@@ -1,0 +1,31 @@
+"""Waveform package: registry-backed factory over all implemented waveforms.
+
+Importing this package registers every waveform module with the factory
+(the import list below is the build-out ledger toward the reference's 46
+names, waveform/mod.rs:459-489).
+"""
+
+from r4w_tpu.waveforms.base import (
+    DemodResult,
+    Waveform,
+    WaveformFactory,
+    WaveformInfo,
+    create_waveform,
+    list_waveforms,
+    register_waveform,
+)
+
+# Registration imports (order defines WaveformFactory.list() order).
+from r4w_tpu.waveforms import psk  # noqa: F401
+from r4w_tpu.waveforms import qam  # noqa: F401
+from r4w_tpu.waveforms import lora_waveform  # noqa: F401
+
+__all__ = [
+    "DemodResult",
+    "Waveform",
+    "WaveformFactory",
+    "WaveformInfo",
+    "create_waveform",
+    "list_waveforms",
+    "register_waveform",
+]
