@@ -5,8 +5,10 @@ Baseline: the reference's published FFT-1024 371 Msamples/s (README.md:92,
 docs/MEASURABLE_OBJECTIVES.md:27, single x86 core + rustfft). North star
 (BASELINE.json): >=5 Gsamples/s/chip.
 
-Also measures LoRa SF7 full-demod throughput as a secondary metric
-(reported in the JSON under "extra").
+axon-backend constraints (see .claude/skills/verify/SKILL.md): complex64
+must not cross jit/host boundaries and block_until_ready is not a true
+sync — so each benchmark is ONE jit containing a fori_loop with a serial
+data dependency, synced by device_get of a float32 scalar.
 """
 
 from __future__ import annotations
@@ -15,57 +17,69 @@ import json
 import time
 
 import jax
+import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FFT1024_MSPS = 371.0
+ITERS = 32
 
 
-def _time_fn(fn, x, warmup=2, iters=10):
-    """Timing with a serialized data dependency: each iteration consumes the
-    previous output, so overlap/async dispatch can't flatter the number."""
-    for _ in range(warmup):
-        x = jax.block_until_ready(fn(x))
+def _timed_scalar(fn, *args):
+    """Run fn twice (compile+warm, then timed); fn must return f32 scalar."""
+    s = jax.device_get(fn(*args))
+    assert np.isfinite(s), "benchmark produced non-finite output"
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    s = jax.device_get(fn(*args))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return dt
 
 
 def bench_fft1024():
     n = 1024
-    batch = 16384  # 16M samples per call (128 MB complex64)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, n), dtype=np.float32)
-        + 1j * np.random.default_rng(1).standard_normal((batch, n), dtype=np.float32),
-        dtype=jnp.complex64,
-    )
-    fft = jax.jit(lambda v: jnp.fft.fft(v, axis=-1))
-    dt = _time_fn(fft, x)
-    return batch * n / dt  # samples/s
+    batch = 16384  # 16.8M samples per iteration
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((batch, n), dtype=np.float32)
+    im = rng.standard_normal((batch, n), dtype=np.float32)
+    scale = np.float32(1.0 / np.sqrt(n))  # unitary: chained FFTs stay bounded
+
+    @jax.jit
+    def run(re, im):
+        v = lax.complex(re, im)
+
+        def body(i, v):
+            return jnp.fft.fft(v, axis=-1) * scale
+
+        v = lax.fori_loop(0, ITERS, body, v)
+        return jnp.sum(v.real**2 + v.imag**2)
+
+    dt = _timed_scalar(run, re, im)
+    return batch * n * ITERS / dt  # samples/s
 
 
 def bench_lora_sf7_demod():
+    """Chained chirp-synthesize → dechirp-FFT-argmax demod loop."""
     from r4w_tpu.waveforms import lora
-
-    p = lora.LoRaParams(sf=7)
-    n_sym = 4096
-    lanes = 32
-    rng = np.random.default_rng(2)
-    symbols = jnp.asarray(rng.integers(0, 128, (lanes, n_sym)))
     from r4w_tpu.waveforms.lora import chirp as chirp_mod
 
-    samples = chirp_mod.symbol_chirps(p, symbols).reshape(lanes, -1)
+    p = lora.LoRaParams(sf=7)
+    lanes, n_sym = 32, 4096
+    rng = np.random.default_rng(2)
+    syms0 = rng.integers(0, 128, (lanes, n_sym)).astype(np.int32)
 
-    # feed demod symbols back into chirp synthesis so iterations chain
-    step = jax.jit(
-        lambda s: chirp_mod.symbol_chirps(
-            p, lora.demodulate_symbols(p, s)[0]
-        ).reshape(lanes, -1)
-    )
-    dt = _time_fn(step, samples)
-    return lanes * n_sym * p.samples_per_symbol / dt  # IQ samples/s
+    @jax.jit
+    def run(syms):
+        def body(i, s):
+            iq = chirp_mod.symbol_chirps(p, s).reshape(lanes, -1)
+            out, _, _ = lora.demodulate_symbols(p, iq)
+            return out
+
+        s = lax.fori_loop(0, ITERS, body, syms)
+        return jnp.sum(s).astype(jnp.float32)
+
+    dt = _timed_scalar(run, syms0)
+    return lanes * n_sym * p.samples_per_symbol * ITERS / dt  # IQ samples/s
 
 
 def main():

@@ -15,9 +15,16 @@ from r4w_tpu.waveforms.base import (
     register_waveform,
 )
 
-# Registration imports (order defines WaveformFactory.list() order).
+# Registration imports (order defines WaveformFactory.list() order,
+# mirroring the reference list in waveform/mod.rs:459-489).
+from r4w_tpu.waveforms import simple_waveforms  # noqa: F401  CW/OOK/ASK/FSK
+from r4w_tpu.waveforms import ppm  # noqa: F401  PPM/ADS-B
+from r4w_tpu.waveforms import analog  # noqa: F401  AM/FM/NBFM
 from r4w_tpu.waveforms import psk  # noqa: F401
 from r4w_tpu.waveforms import qam  # noqa: F401
+from r4w_tpu.waveforms import ofdm  # noqa: F401
+from r4w_tpu.waveforms import dsss  # noqa: F401
+from r4w_tpu.waveforms import fhss  # noqa: F401
 from r4w_tpu.waveforms import lora_waveform  # noqa: F401
 
 __all__ = [

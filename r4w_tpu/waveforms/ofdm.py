@@ -1,0 +1,165 @@
+"""OFDM modem (waveform/ofdm.rs re-design).
+
+All OFDM symbols in a packet are processed as one (n_sym, fft_size)
+batched IFFT/FFT (unitary norm) — the reference's per-symbol FftPlanner
+loop (ofdm.rs:295-360) becomes a single XLA fft over the batch.
+Subcarrier mapping uses centered allocation with DC null; constellation
+map/demap are LUT gathers + nearest-point argmin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
+from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
+from r4w_tpu.waveforms.base import (
+    DemodResult,
+    Waveform,
+    WaveformInfo,
+    data_to_bits,
+    register_waveform,
+)
+from r4w_tpu.waveforms.linear_mod import pack_demod_bits
+
+
+@functools.lru_cache(maxsize=None)
+def subcarrier_constellation(scheme: str) -> np.ndarray:
+    """LUT: bit-group value -> constellation point (ofdm.rs:85-130)."""
+    if scheme == "bpsk":
+        return np.array([1.0, -1.0], np.complex64)
+    if scheme == "qpsk":
+        s = 1.0 / np.sqrt(2.0)
+        pts = []
+        for v in range(4):
+            b0, b1 = (v >> 1) & 1, v & 1
+            pts.append(complex(s if b0 == 0 else -s, s if b1 == 0 else -s))
+        return np.array(pts, np.complex64)
+    if scheme == "qam16":
+        levels = np.array([-3.0, -1.0, 3.0, 1.0]) / np.sqrt(10.0)
+        pts = []
+        for v in range(16):
+            i_idx = (v >> 2) & 0b11
+            q_idx = v & 0b11
+            pts.append(complex(levels[i_idx], levels[q_idx]))
+        return np.array(pts, np.complex64)
+    if scheme == "qam64":
+        levels = np.array([-7.0, -5.0, -1.0, -3.0, 7.0, 5.0, 1.0, 3.0]) / np.sqrt(42.0)
+        pts = []
+        for v in range(64):
+            i_idx = (v >> 3) & 0b111
+            q_idx = v & 0b111
+            pts.append(complex(levels[i_idx], levels[q_idx]))
+        return np.array(pts, np.complex64)
+    raise ValueError(f"unknown subcarrier scheme: {scheme}")
+
+
+_BITS_PER_SC = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6}
+
+
+@dataclasses.dataclass(frozen=True)
+class OFDM(Waveform):
+    common: CommonParams = CommonParams()
+    fft_size: int = 64
+    num_data_subcarriers: int = 52
+    cyclic_prefix_ratio: float = 0.25
+    subcarrier_mod: str = "qpsk"
+
+    @property
+    def common_params(self) -> CommonParams:
+        return self.common
+
+    @property
+    def cp_len(self) -> int:
+        return int(self.fft_size * self.cyclic_prefix_ratio)
+
+    @property
+    def bits_per_subcarrier(self) -> int:
+        return _BITS_PER_SC[self.subcarrier_mod]
+
+    @property
+    def bits_per_ofdm_symbol(self) -> int:
+        return self.num_data_subcarriers * self.bits_per_subcarrier
+
+    def samples_per_symbol(self) -> int:
+        return self.fft_size + self.cp_len
+
+    @property
+    def subcarrier_spacing(self) -> float:
+        return self.common.sample_rate / self.fft_size
+
+    def info(self) -> WaveformInfo:
+        return WaveformInfo(
+            name="OFDM",
+            full_name="Orthogonal Frequency Division Multiplexing",
+            description="Multi-carrier modulation via FFT — WiFi/LTE/5G core",
+            complexity=5,
+            bits_per_symbol=min(self.bits_per_ofdm_symbol, 255),
+            characteristics=("FFT/IFFT multi-carrier", "Cyclic prefix",
+                             "Centered allocation, DC null"),
+        )
+
+    def _fft_bins(self) -> np.ndarray:
+        """Data-subcarrier → FFT bin map (ofdm.rs:282-292)."""
+        half = self.num_data_subcarriers // 2
+        idx = np.arange(self.num_data_subcarriers)
+        return np.where(idx < half, self.fft_size - half + idx, idx - half + 1)
+
+    def modulate(self, data) -> jax.Array:
+        bits = data_to_bits(data)
+        bpo = self.bits_per_ofdm_symbol
+        rem = bits.size % bpo
+        if rem:
+            bits = np.pad(bits, (0, bpo - rem))
+        n_sym = bits.size // bpo
+        values = bits_to_symbols(
+            jnp.asarray(bits).reshape(n_sym, self.num_data_subcarriers,
+                                      self.bits_per_subcarrier).reshape(n_sym, -1),
+            self.bits_per_subcarrier,
+        )  # (n_sym, n_sc)
+        const = jnp.asarray(subcarrier_constellation(self.subcarrier_mod))
+        points = const[values]
+        freq = jnp.zeros((n_sym, self.fft_size), IQ_DTYPE)
+        freq = freq.at[:, jnp.asarray(self._fft_bins())].set(points)
+        time = jnp.fft.ifft(freq, axis=-1, norm="ortho") * self.common.amplitude
+        cp = time[:, self.fft_size - self.cp_len :]
+        sym = jnp.concatenate([cp, time], axis=-1)  # (n_sym, cp+N)
+        return sym.reshape(-1).astype(IQ_DTYPE)
+
+    def demodulate_subcarriers(self, samples) -> jax.Array:
+        """(..., S*(cp+N)) -> (..., S, n_sc) equalized-less subcarrier points."""
+        samples = jnp.asarray(samples, IQ_DTYPE)
+        n = self.samples_per_symbol()
+        s = samples.shape[-1] // n
+        sym = samples[..., : s * n].reshape(*samples.shape[:-1], s, n)
+        body = sym[..., self.cp_len :]
+        freq = jnp.fft.fft(body, axis=-1, norm="ortho") / self.common.amplitude
+        return freq[..., jnp.asarray(self._fft_bins())]
+
+    def demodulate(self, samples) -> DemodResult:
+        points = self.demodulate_subcarriers(samples)  # (S, n_sc)
+        const = jnp.asarray(subcarrier_constellation(self.subcarrier_mod))
+        d = points[..., None] - const
+        values = jnp.argmin(d.real**2 + d.imag**2, axis=-1).astype(SYMBOL_DTYPE)
+        bits = symbols_to_bits(values.reshape(*values.shape[:-2], -1),
+                               self.bits_per_subcarrier)
+        ref = const[values]
+        err = points - ref
+        evm = jnp.sqrt(jnp.mean(err.real**2 + err.imag**2))
+        return DemodResult(
+            bits=pack_demod_bits(bits),
+            symbols=values.reshape(-1),
+            snr_estimate=float(-20.0 * jnp.log10(jnp.maximum(evm, 1e-12))),
+            metadata={"evm_rms": float(evm)},
+        )
+
+
+@register_waveform("OFDM")
+def _ofdm(sample_rate: float) -> OFDM:
+    # OFDM::simple: 64-FFT, 52 data subcarriers, CP 1/4, QPSK (ofdm.rs:252)
+    return OFDM(common=CommonParams(sample_rate=sample_rate))
