@@ -1,3 +1,21 @@
-from r4w_tpu.ops import coding
+from r4w_tpu.ops import (
+    coding,
+    filters,
+    impairments,
+    measure,
+    pulse,
+    resample,
+    spreading,
+    sync,
+)
 
-__all__ = ["coding"]
+__all__ = [
+    "coding",
+    "filters",
+    "impairments",
+    "measure",
+    "pulse",
+    "resample",
+    "spreading",
+    "sync",
+]

@@ -1,0 +1,268 @@
+"""Filter ops (crates/r4w-core/src/filters/* + flat filter blocks, re-designed).
+
+Every filter is a pure block function `f(params, state, x) -> (y, state)`
+(SURVEY.md §7 design stance): streaming parity comes from carrying the
+conv tail / IIR state between blocks, while within a block everything is
+batched. FIR paths lower to `lax.conv_general_dilated`, which XLA maps
+onto the MXU; recursive filters (IIR, single-pole) use `lax.scan`.
+
+Complex signals are filtered as stacked (re, im) channels so the conv
+stays in f32 (TPU-friendly; complex convs are decomposed anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+
+
+def _conv_valid(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """'valid' correlation of real (..., N) with taps (K,): out (..., N-K+1).
+
+    Implemented as conv_general_dilated over a flattened batch.
+    """
+    k = taps.shape[0]
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    lhs = x.reshape(-1, 1, n).astype(REAL_DTYPE)  # (B, C=1, N)
+    # FIR convolution y[n] = sum_k taps[k] x[n-k] == correlation with
+    # reversed taps; conv_general_dilated computes correlation, so reverse.
+    rhs = taps[::-1].reshape(1, 1, k).astype(REAL_DTYPE)  # (O, I, K)
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out.reshape(*batch_shape, n - k + 1)
+
+
+def fir_filter(taps, x, state=None):
+    """Streaming FIR: y[n] = Σ taps[k]·x[n-k] (filters/fir.rs:38).
+
+    state: previous (K-1) input samples (zeros initially).
+    Returns (y same length as x, new state). Complex-safe.
+    """
+    taps = jnp.asarray(taps, REAL_DTYPE)
+    k = taps.shape[0]
+    x = jnp.asarray(x)
+    if state is None:
+        state = jnp.zeros(x.shape[:-1] + (k - 1,), x.dtype)
+    ext = jnp.concatenate([state, x], axis=-1)
+    if jnp.iscomplexobj(x):
+        yr = _conv_valid(ext.real, taps)
+        yi = _conv_valid(ext.imag, taps)
+        y = (yr + 1j * yi).astype(IQ_DTYPE)
+    else:
+        y = _conv_valid(ext, taps)
+    new_state = ext[..., ext.shape[-1] - (k - 1):] if k > 1 else state
+    return y, new_state
+
+
+def fir_apply(taps, x):
+    """One-shot FIR with zero initial state (returns y only)."""
+    y, _ = fir_filter(taps, x)
+    return y
+
+
+def decimating_fir(taps, x, factor: int, state=None):
+    """FIR + keep every factor-th output (decimating_fir.rs)."""
+    y, state = fir_filter(taps, x, state)
+    return y[..., ::factor], state
+
+
+def interpolating_fir(taps, x, factor: int):
+    """Zero-stuff by factor then FIR (interp_fir.rs). Gain = factor."""
+    x = jnp.asarray(x)
+    up = jnp.zeros(x.shape[:-1] + (x.shape[-1] * factor,), x.dtype)
+    up = up.at[..., ::factor].set(x * factor)
+    return fir_apply(taps, up)
+
+
+def freq_xlating_fir(taps, x, center_freq, sample_rate, state=None,
+                     phase0=0.0):
+    """Mix to baseband then lowpass+FIR (freq_xlating_fir.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = x.shape[-1]
+    w = -2.0 * jnp.pi * center_freq / sample_rate
+    ph = phase0 + w * jnp.arange(n, dtype=REAL_DTYPE)
+    shifted = x * jnp.exp(1j * ph.astype(REAL_DTYPE))
+    y, state = fir_filter(taps, shifted, state)
+    return y, state, phase0 + w * n
+
+
+def iir_filter(b, a, x, zi=None):
+    """Direct-form-II-transposed IIR via lax.scan (filters/iir.rs).
+
+    b, a: transfer function coefficients (a[0] normalized to 1).
+    zi: (max(len(a),len(b))-1,) initial state. Returns (y, zf).
+    """
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    n = max(len(a), len(b))
+    b = np.pad(b, (0, n - len(b)))
+    a = np.pad(a, (0, n - len(a)))
+    bj = jnp.asarray(b, REAL_DTYPE)
+    aj = jnp.asarray(a, REAL_DTYPE)
+    x = jnp.asarray(x)
+    complex_in = jnp.iscomplexobj(x)
+    if zi is None:
+        zi = jnp.zeros((n - 1,), x.dtype if complex_in else REAL_DTYPE)
+
+    def step(z, xn):
+        yn = bj[0] * xn + z[0]
+        znew = bj[1:] * xn - aj[1:] * yn
+        znew = znew + jnp.concatenate([z[1:], jnp.zeros_like(z[:1])])
+        return znew, yn
+
+    zf, y = lax.scan(step, zi, jnp.moveaxis(x, -1, 0))
+    return jnp.moveaxis(y, 0, -1), zf
+
+
+def single_pole_iir(alpha: float, x, state=None):
+    """y[n] = α·x[n] + (1-α)·y[n-1] (single_pole_iir.rs)."""
+    x = jnp.asarray(x)
+    if state is None:
+        state = jnp.zeros(x.shape[:-1], x.dtype)
+
+    def step(y_prev, xn):
+        y = alpha * xn + (1.0 - alpha) * y_prev
+        return y, y
+
+    yf, y = lax.scan(step, state, jnp.moveaxis(x, -1, 0))
+    return jnp.moveaxis(y, 0, -1), yf
+
+
+def dc_blocker(x, alpha: float = 0.995, state=None):
+    """y[n] = x[n] - x[n-1] + α·y[n-1] (dc_blocker.rs)."""
+    x = jnp.asarray(x)
+    if state is None:
+        xprev = jnp.zeros(x.shape[:-1], x.dtype)
+        yprev = jnp.zeros(x.shape[:-1], x.dtype)
+    else:
+        xprev, yprev = state
+
+    def step(carry, xn):
+        xp, yp = carry
+        y = xn - xp + alpha * yp
+        return (xn, y), y
+
+    (xf, yf), y = lax.scan(step, (xprev, yprev), jnp.moveaxis(x, -1, 0))
+    return jnp.moveaxis(y, 0, -1), (xf, yf)
+
+
+def cic_decimator(x, rate: int, stages: int = 3, state=None):
+    """CIC decimating filter (cic_filter.rs): N integrators @ input rate,
+    decimate by R, N combs @ output rate (differential delay 1).
+
+    Gain = R^N. Integrators run as cumsum chains per block with carried
+    accumulators; combs as diff with carried last samples.
+    """
+    x = jnp.asarray(x)
+    if state is None:
+        integ = jnp.zeros((stages,) + x.shape[:-1], x.dtype)
+        comb = jnp.zeros((stages,) + x.shape[:-1], x.dtype)
+    else:
+        integ, comb = state
+    # integrator cascade: cumsum with carry-in
+    v = x
+    new_integ = []
+    for s in range(stages):
+        v = jnp.cumsum(v, axis=-1) + integ[s][..., None]
+        new_integ.append(v[..., -1])
+    dec = v[..., rate - 1 :: rate]
+    # comb cascade on decimated stream
+    w = dec
+    new_comb = []
+    for s in range(stages):
+        prev = jnp.concatenate([comb[s][..., None], w[..., :-1]], axis=-1)
+        new_comb.append(w[..., -1])
+        w = w - prev
+    return w, (jnp.stack(new_integ), jnp.stack(new_comb))
+
+
+def moving_average(x, length: int, state=None):
+    """Boxcar moving average (moving_average.rs) as FIR."""
+    taps = jnp.full((length,), 1.0 / length, REAL_DTYPE)
+    return fir_filter(taps, x, state)
+
+
+def moving_rms(x, length: int):
+    p, _ = moving_average(jnp.abs(jnp.asarray(x)) ** 2, length)
+    return jnp.sqrt(p)
+
+
+def median_filter(x, length: int):
+    """Sliding median (median_filter.rs), edge-padded."""
+    x = jnp.asarray(x)
+    half = length // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(half, length - 1 - half)]
+    ext = jnp.pad(x, pad, mode="edge")
+    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(length)[None, :]
+    windows = ext[..., idx]
+    return jnp.median(windows, axis=-1)
+
+
+def hilbert_fir_taps(num_taps: int = 65, window: str = "hamming") -> np.ndarray:
+    """Type-III FIR Hilbert transformer taps (hilbert.rs)."""
+    from r4w_tpu.core.windows import _np_window
+
+    m = num_taps // 2
+    n = np.arange(num_taps) - m
+    h = np.zeros(num_taps)
+    odd = n % 2 != 0
+    h[odd] = 2.0 / (np.pi * n[odd])
+    return (h * _np_window(window, num_taps)).astype(np.float32)
+
+
+def fractional_delay_taps(delay: float, num_taps: int = 31) -> np.ndarray:
+    """Windowed-sinc fractional delay (fractional_delay.rs)."""
+    from r4w_tpu.core.windows import _np_window
+
+    m = (num_taps - 1) / 2.0
+    n = np.arange(num_taps)
+    h = np.sinc(n - m - delay)
+    return (h * _np_window("hamming", num_taps)).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# FIR design (filters/remez.rs is Parks-McClellan; we provide windowed-sinc
+# design which covers the same lowpass/highpass/bandpass use sites)
+# --------------------------------------------------------------------------
+
+
+def design_lowpass(num_taps: int, cutoff: float, sample_rate: float,
+                   window: str = "hamming") -> np.ndarray:
+    from r4w_tpu.core.windows import _np_window
+
+    m = (num_taps - 1) / 2.0
+    n = np.arange(num_taps)
+    fc = cutoff / sample_rate  # normalized (cycles/sample)
+    h = 2.0 * fc * np.sinc(2.0 * fc * (n - m))
+    h = h * _np_window(window, num_taps)
+    return (h / h.sum()).astype(np.float32)
+
+
+def design_highpass(num_taps: int, cutoff: float, sample_rate: float,
+                    window: str = "hamming") -> np.ndarray:
+    lp = design_lowpass(num_taps, cutoff, sample_rate, window)
+    hp = -lp
+    hp[(num_taps - 1) // 2] += 1.0
+    return hp.astype(np.float32)
+
+
+def design_bandpass(num_taps: int, f_lo: float, f_hi: float,
+                    sample_rate: float, window: str = "hamming") -> np.ndarray:
+    m = (num_taps - 1) / 2.0
+    n = np.arange(num_taps)
+    center = (f_lo + f_hi) / 2.0 / sample_rate
+    lp = design_lowpass(num_taps, (f_hi - f_lo) / 2.0, sample_rate, window)
+    return (2.0 * lp * np.cos(2.0 * np.pi * center * (n - m))).astype(
+        np.float32
+    )

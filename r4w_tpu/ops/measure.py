@@ -1,0 +1,191 @@
+"""Measurement & analysis ops: EVM, SNR, BER tooling, PSD, Goertzel.
+
+Re-designs of evm_calculator.rs, snr_estimator.rs, ber_tool.rs
+(BerTester:44, confidence intervals :164, PerTester:220), welch_psd.rs,
+periodogram_psd.rs, stft.rs, goertzel.rs, channel_capacity.rs,
+eye_diagram.rs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+from r4w_tpu.core.windows import make_window, window_gains
+
+
+def evm_rms(received, reference, normalize: bool = True):
+    """RMS error-vector magnitude (evm_calculator.rs), optionally
+    normalized by reference RMS; returns linear ratio (×100 = %)."""
+    rx = jnp.asarray(received, IQ_DTYPE)
+    ref = jnp.asarray(reference, IQ_DTYPE)
+    err = rx - ref
+    e = jnp.sqrt(jnp.mean(err.real**2 + err.imag**2, axis=-1))
+    if normalize:
+        p = jnp.sqrt(jnp.mean(ref.real**2 + ref.imag**2, axis=-1))
+        return e / jnp.maximum(p, 1e-12)
+    return e
+
+
+def snr_estimate_m2m4(x):
+    """Blind M2M4 SNR estimator (snr_estimator.rs) for constant-modulus
+    signals: SNR = sqrt(2·M2² − M4) / (M2 − sqrt(2·M2² − M4))."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    p = x.real**2 + x.imag**2
+    m2 = jnp.mean(p, axis=-1)
+    m4 = jnp.mean(p**2, axis=-1)
+    s = jnp.sqrt(jnp.maximum(2.0 * m2**2 - m4, 0.0))
+    n = jnp.maximum(m2 - s, 1e-12)
+    return 10.0 * jnp.log10(jnp.maximum(s / n, 1e-12))
+
+
+def ber_count(tx_bits, rx_bits):
+    """(errors, total) over the common length (ber_tool.rs BerTester:44)."""
+    tx = jnp.asarray(tx_bits)
+    rx = jnp.asarray(rx_bits)
+    n = min(tx.shape[-1], rx.shape[-1])
+    errs = jnp.sum((tx[..., :n] != rx[..., :n]).astype(jnp.int32), axis=-1)
+    return errs, n
+
+
+def _norm_ppf(p: float) -> float:
+    """Inverse normal CDF (Acklam's approximation) — avoids scipy dep."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = np.sqrt(-2 * np.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p <= phigh:
+        q = p - 0.5
+        r = q * q
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+               (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    q = np.sqrt(-2 * np.log(1 - p))
+    return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+           ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+
+
+def ber_confidence_interval(errors: int, total: int,
+                            confidence: float = 0.95):
+    """Wilson score interval for a BER measurement (ber_tool.rs:164)."""
+    if total == 0:
+        return 0.0, 1.0
+    z = _norm_ppf(1.0 - (1.0 - confidence) / 2.0)
+    p = errors / total
+    denom = 1.0 + z * z / total
+    center = (p + z * z / (2 * total)) / denom
+    half = z * np.sqrt(p * (1 - p) / total + z * z / (4 * total * total)) / denom
+    return max(0.0, center - half), min(1.0, center + half)
+
+
+def theoretical_ber_bpsk(ebn0_db):
+    e = 10.0 ** (jnp.asarray(ebn0_db, REAL_DTYPE) / 10.0)
+    return 0.5 * jax.scipy.special.erfc(jnp.sqrt(e))
+
+
+def theoretical_ber_qpsk(ebn0_db):
+    return theoretical_ber_bpsk(ebn0_db)
+
+
+def theoretical_ber_mqam(ebn0_db, m: int):
+    """Gray-coded square M-QAM approximation."""
+    k = np.log2(m)
+    e = 10.0 ** (jnp.asarray(ebn0_db, REAL_DTYPE) / 10.0) * k
+    arg = jnp.sqrt(3.0 * e / (m - 1))
+    ser = 4.0 * (1.0 - 1.0 / np.sqrt(m)) * 0.5 * jax.scipy.special.erfc(
+        arg / jnp.sqrt(2.0)
+    )
+    return ser / k
+
+
+def periodogram_psd(x, nfft: int | None = None, window: str = "hann",
+                    sample_rate: float = 1.0):
+    """Single-segment windowed periodogram (periodogram_psd.rs).
+    Returns PSD in power/Hz, DC-centered."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = x.shape[-1]
+    nfft = nfft or n
+    w = make_window(window, n)
+    _, enbw = window_gains(window, n)
+    xw = x * w
+    spec = jnp.fft.fftshift(jnp.fft.fft(xw, n=nfft, axis=-1), axes=-1)
+    scale = 1.0 / (jnp.sum(w**2) * sample_rate)
+    return (spec.real**2 + spec.imag**2) * scale
+
+
+def welch_psd(x, nperseg: int = 256, overlap: float = 0.5,
+              window: str = "hann", sample_rate: float = 1.0):
+    """Welch-averaged PSD (welch_psd.rs): segment, window, average —
+    all segments as one batch axis."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    hop = max(1, int(nperseg * (1.0 - overlap)))
+    n = x.shape[-1]
+    n_seg = max(1, (n - nperseg) // hop + 1)
+    starts = jnp.arange(n_seg) * hop
+    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
+    segs = x[..., idx]  # (..., n_seg, nperseg)
+    w = make_window(window, nperseg)
+    spec = jnp.fft.fftshift(jnp.fft.fft(segs * w, axis=-1), axes=-1)
+    p = (spec.real**2 + spec.imag**2) / (jnp.sum(w**2) * sample_rate)
+    return jnp.mean(p, axis=-2)
+
+
+def stft(x, nfft: int = 256, hop: int | None = None, window: str = "hann"):
+    """Complex STFT frames (stft.rs): (..., frames, nfft)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    hop = hop or nfft // 2
+    n = x.shape[-1]
+    n_frames = max(0, (n - nfft) // hop + 1)
+    if n_frames == 0:
+        return jnp.zeros(x.shape[:-1] + (0, nfft), IQ_DTYPE)
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(nfft)[None, :]
+    return jnp.fft.fft(x[..., idx] * make_window(window, nfft), axis=-1)
+
+
+def goertzel_power(x, freq_bin: int, n: int | None = None):
+    """Single-bin DFT power via the Goertzel recurrence (goertzel.rs),
+    expressed directly as a dot with the DFT basis (same O(N), batched)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = n or x.shape[-1]
+    k = jnp.arange(n, dtype=REAL_DTYPE)
+    basis = jnp.exp(-2j * jnp.pi * freq_bin * k / n).astype(IQ_DTYPE)
+    v = jnp.einsum("...n,n->...", x[..., :n], basis)
+    return v.real**2 + v.imag**2
+
+
+def channel_capacity_awgn(snr_db, bandwidth_hz):
+    """Shannon capacity C = B·log2(1+SNR) (channel_capacity.rs)."""
+    snr = 10.0 ** (jnp.asarray(snr_db, REAL_DTYPE) / 10.0)
+    return bandwidth_hz * jnp.log2(1.0 + snr)
+
+
+def eye_diagram(x, sps: int, n_traces: int = 64, span: int = 2):
+    """(traces, span*sps) overlapped symbol traces (eye_diagram.rs)."""
+    x = jnp.asarray(x)
+    w = span * sps
+    n = min(n_traces, (x.shape[-1] - w) // sps)
+    if n <= 0:
+        return jnp.zeros((0, w), x.dtype)
+    starts = jnp.arange(n) * sps
+    idx = starts[:, None] + jnp.arange(w)[None, :]
+    return x[..., idx]
+
+
+def signal_power_db(x):
+    x = jnp.asarray(x, IQ_DTYPE)
+    return 10.0 * jnp.log10(jnp.maximum(
+        jnp.mean(x.real**2 + x.imag**2, axis=-1), 1e-30))

@@ -1,0 +1,340 @@
+"""Known-answer and property tests for the DSP ops library."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r4w_tpu.ops import filters, impairments, measure, pulse, resample, sync
+
+
+# ---------------------------------------------------------------- filters
+
+
+def test_fir_matches_numpy_convolve():
+    rng = np.random.default_rng(0)
+    taps = rng.standard_normal(17).astype(np.float32)
+    x = rng.standard_normal(200).astype(np.float32)
+    y = np.asarray(filters.fir_apply(taps, x))
+    ref = np.convolve(x, taps)[: len(x)]
+    assert np.allclose(y, ref, atol=1e-4)
+
+
+def test_fir_streaming_equals_oneshot():
+    rng = np.random.default_rng(1)
+    taps = rng.standard_normal(9).astype(np.float32)
+    x = (rng.standard_normal(128) + 1j * rng.standard_normal(128)).astype(
+        np.complex64
+    )
+    full = np.asarray(filters.fir_apply(taps, x))
+    state = None
+    parts = []
+    for blk in np.split(x, 4):
+        y, state = filters.fir_filter(taps, blk, state)
+        parts.append(np.asarray(y))
+    assert np.allclose(np.concatenate(parts), full, atol=1e-5)
+
+
+def test_iir_single_pole_impulse_response():
+    alpha = 0.25
+    x = np.zeros(16, np.float32)
+    x[0] = 1.0
+    y, _ = filters.single_pole_iir(alpha, x)
+    expected = alpha * (1 - alpha) ** np.arange(16)
+    assert np.allclose(np.asarray(y), expected, atol=1e-6)
+
+
+def test_iir_biquad_matches_scipy_style():
+    # simple 1st-order lowpass y[n] = b0 x[n] + b1 x[n-1] - a1 y[n-1]
+    b = [0.5, 0.5]
+    a = [1.0, -0.2]
+    x = np.random.default_rng(2).standard_normal(64).astype(np.float32)
+    y, _ = filters.iir_filter(b, a, x)
+    ref = np.zeros_like(x)
+    for n in range(len(x)):
+        ref[n] = 0.5 * x[n] + (0.5 * x[n - 1] if n > 0 else 0) + (
+            0.2 * ref[n - 1] if n > 0 else 0
+        )
+    assert np.allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_dc_blocker_removes_dc():
+    x = (np.random.default_rng(3).standard_normal(4096) + 5.0).astype(
+        np.float32
+    )
+    y, _ = filters.dc_blocker(x)
+    assert abs(np.mean(np.asarray(y)[500:])) < 0.05
+
+
+def test_cic_decimator_dc_gain():
+    r, n = 4, 3
+    x = np.ones(256, np.float32)
+    y, _ = filters.cic_decimator(x, rate=r, stages=n)
+    # steady-state gain = R^N
+    assert np.allclose(np.asarray(y)[8:], r**n, atol=1e-3)
+
+
+def test_design_lowpass_response():
+    taps = filters.design_lowpass(101, 0.1, 1.0)
+    w = np.fft.rfftfreq(4096)
+    h = np.abs(np.fft.rfft(taps, 4096))
+    passband = h[w < 0.05]
+    stopband = h[w > 0.2]
+    assert np.all(passband > 0.9)
+    assert np.all(stopband < 0.01)
+
+
+def test_median_filter_rejects_impulse():
+    x = np.zeros(32, np.float32)
+    x[10] = 100.0
+    y = filters.median_filter(x, 5)
+    assert np.max(np.asarray(y)) == 0.0
+
+
+def test_moving_average():
+    x = np.arange(10, dtype=np.float32)
+    y, _ = filters.moving_average(x, 2)
+    assert np.allclose(np.asarray(y)[1:], (x[1:] + x[:-1]) / 2)
+
+
+# ---------------------------------------------------------------- pulse
+
+
+def test_rrc_cascade_is_nyquist():
+    """RRC → matched RRC = RC: zero ISI at symbol strobes."""
+    sps = 8
+    taps = pulse.root_raised_cosine_taps(sps, num_symbols=12, rolloff=0.35)
+    rc = np.convolve(taps, taps)
+    center = len(rc) // 2
+    strobes = rc[center % sps :: sps]
+    peak_idx = np.argmax(strobes)
+    others = np.delete(strobes, peak_idx)
+    assert np.max(np.abs(others)) < 0.01 * strobes[peak_idx]
+
+
+def test_shape_symbols_peaks_at_symbols():
+    sps = 8
+    taps = pulse.raised_cosine_taps(sps, num_symbols=8, rolloff=0.35)
+    syms = jnp.asarray([1.0, -1.0, 1.0, 1.0], jnp.float32)
+    y = np.asarray(pulse.shape_symbols(syms, taps, sps))
+    delay = (len(taps) - 1) // 2  # group delay
+    vals = [y[delay + i * sps] for i in range(4)]
+    assert np.allclose(vals, [1, -1, 1, 1], atol=0.05)
+
+
+def test_gaussian_taps_unit_area():
+    t = pulse.gaussian_taps(8, bt=0.3)
+    assert abs(t.sum() - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------- resample
+
+
+def test_polyphase_decimate_tone():
+    fs = 1000.0
+    t = np.arange(1000) / fs
+    x = np.exp(1j * 2 * np.pi * 50 * t).astype(np.complex64)
+    taps = filters.design_lowpass(63, 100.0, fs)
+    y = np.asarray(resample.polyphase_decimate(x, taps, 4))
+    # 50 Hz tone at 250 Hz output rate
+    spec = np.abs(np.fft.fft(y[16:144]))
+    peak = np.fft.fftfreq(128, 4 / fs)[np.argmax(spec)]
+    assert abs(peak - 50.0) < 4.0
+
+
+def test_rational_resample_length():
+    x = np.random.default_rng(5).standard_normal(300).astype(np.float32)
+    y = resample.rational_resample(x, up=3, down=2)
+    assert abs(y.shape[-1] - 450) <= 3
+
+
+def test_halfband_decimate_preserves_low_tone():
+    fs = 1000.0
+    t = np.arange(2048) / fs
+    x = np.cos(2 * np.pi * 30 * t).astype(np.float32)
+    y = np.asarray(resample.halfband_decimate(x))
+    spec = np.abs(np.fft.rfft(y[32:]))
+    f = np.fft.rfftfreq(len(y) - 32, 2 / fs)
+    assert abs(f[np.argmax(spec)] - 30.0) < 2.0
+
+
+def test_arbitrary_resample_tone_ratio():
+    fs = 1000.0
+    t = np.arange(1024) / fs
+    x = np.cos(2 * np.pi * 40 * t).astype(np.float32)
+    y = np.asarray(resample.arbitrary_resample(x, 1.5))
+    assert y.shape[-1] == 1536
+    spec = np.abs(np.fft.rfft(y[64:-64]))
+    f = np.fft.rfftfreq(len(y) - 128, 1 / 1500.0)
+    assert abs(f[np.argmax(spec)] - 40.0) < 3.0
+
+
+def test_pfb_channelizer_isolates_tone():
+    fs = 1.0
+    c = 8
+    n = 4096
+    t = np.arange(n)
+    # tone centered in channel 2 (freq = 2/8 cycles/sample)
+    x = np.exp(1j * 2 * np.pi * (2.0 / c) * t).astype(np.complex64)
+    ch = np.asarray(resample.pfb_channelizer(x, c))
+    power = np.mean(np.abs(ch) ** 2, axis=0)
+    assert np.argmax(power) == 2
+    assert power[2] > 10 * np.sort(power)[-2]
+
+
+# ---------------------------------------------------------------- sync
+
+
+def test_cfo_estimate_and_correct():
+    fs = 100_000.0
+    n = 4096
+    t = np.arange(n) / fs
+    x = np.exp(1j * 2 * np.pi * 123.0 * t).astype(np.complex64)
+    est = float(sync.cfo_estimate(x, fs))
+    assert abs(est - 123.0) < 1.0
+    y = sync.cfo_correct(x, est, fs)
+    resid = float(sync.cfo_estimate(np.asarray(y), fs))
+    assert abs(resid) < 1.0
+
+
+def test_costas_locks_bpsk():
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, 4000)
+    x = (1.0 - 2.0 * bits).astype(np.complex64)
+    # small residual CFO + phase
+    n = len(x)
+    x = x * np.exp(1j * (0.02 * np.arange(n) + 0.5)).astype(np.complex64)
+    out = sync.costas_loop(jnp.asarray(x), loop_bw=0.02, order=2)
+    tail = np.asarray(out.y)[-500:]
+    # after lock, symbols are on the real axis (up to 180° ambiguity)
+    assert np.mean(np.abs(tail.imag)) < 0.15
+
+
+def test_correlate_sync_finds_offset():
+    rng = np.random.default_rng(8)
+    pre = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        np.complex64
+    )
+    noise = 0.1 * (rng.standard_normal(500) + 1j * rng.standard_normal(500))
+    x = noise.astype(np.complex64)
+    x[137 : 137 + 64] += pre
+    best, peak, _ = sync.correlate_sync(x, pre)
+    assert int(best) == 137
+    assert float(peak) > 0.9
+
+
+def test_schmidl_cox_detects_repeated_halves():
+    rng = np.random.default_rng(9)
+    half = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        np.complex64
+    )
+    pre = np.concatenate([half, half])
+    x = 0.05 * (rng.standard_normal(400) + 1j * rng.standard_normal(400))
+    x = x.astype(np.complex64)
+    x[100:228] += pre
+    d, m, _ = sync.schmidl_cox(x, 64)
+    # S&C has a plateau around the true start; argmax lands within it
+    assert abs(int(d) - 100) <= 10
+    assert float(m[100]) > 0.9
+    # metric away from the preamble is low
+    assert float(jnp.max(m[..., :60])) < 0.5
+
+
+def test_best_timing_offset():
+    sps = 8
+    syms = np.random.default_rng(10).choice([-1.0, 1.0], 100)
+    taps = pulse.root_raised_cosine_taps(sps, 8, 0.35)
+    y = np.asarray(pulse.shape_symbols(jnp.asarray(syms.astype(np.float32)),
+                                       taps, sps))
+    delay = (len(taps) - 1)
+    aligned = y[delay % sps:]
+    off = int(sync.best_timing_offset(aligned.astype(np.complex64), sps))
+    assert off == (delay - delay % sps) % sps or off == 0
+
+
+# ---------------------------------------------------------------- measure
+
+
+def test_evm_and_m2m4_snr():
+    rng = np.random.default_rng(11)
+    ref = np.exp(1j * 2 * np.pi * rng.random(8192)).astype(np.complex64)
+    noise = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)) \
+        * np.sqrt(0.05 / 2)
+    rx = (ref + noise).astype(np.complex64)
+    evm = float(measure.evm_rms(rx, ref))
+    assert abs(evm - np.sqrt(0.05)) < 0.02
+    snr = float(measure.snr_estimate_m2m4(rx))
+    assert abs(snr - 13.0) < 1.5  # 1/0.05 = 13 dB
+
+
+def test_ber_confidence_interval():
+    lo, hi = measure.ber_confidence_interval(10, 1000)
+    assert lo < 0.01 < hi
+    lo0, hi0 = measure.ber_confidence_interval(0, 1000)
+    assert lo0 < 1e-9 and hi0 < 0.01
+
+
+def test_welch_psd_tone():
+    fs = 1000.0
+    t = np.arange(8192) / fs
+    x = np.exp(1j * 2 * np.pi * 100 * t).astype(np.complex64)
+    psd = np.asarray(measure.welch_psd(x, nperseg=256, sample_rate=fs))
+    freqs = np.fft.fftshift(np.fft.fftfreq(256, 1 / fs))
+    assert abs(freqs[np.argmax(psd)] - 100.0) < fs / 256
+
+
+def test_goertzel_matches_fft():
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal(128) + 1j * rng.standard_normal(128)).astype(
+        np.complex64
+    )
+    g = float(measure.goertzel_power(x, 5))
+    f = np.abs(np.fft.fft(x))[5] ** 2
+    assert abs(g - f) / f < 1e-3
+
+
+def test_theoretical_ber_curves():
+    assert float(measure.theoretical_ber_bpsk(10.0)) < 1e-5
+    assert float(measure.theoretical_ber_bpsk(0.0)) > 0.05
+    assert float(measure.theoretical_ber_mqam(10.0, 16)) > float(
+        measure.theoretical_ber_bpsk(10.0)
+    )
+
+
+# ---------------------------------------------------------------- impairments
+
+
+def test_iq_imbalance_roundtrip():
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
+        np.complex64
+    )
+    y = impairments.iq_imbalance(x, gain_db=1.0, phase_deg=5.0)
+    g, p = impairments.iq_imbalance_estimate(y)
+    z = impairments.iq_imbalance_correct(y, g, p)
+    # residual image should be tiny
+    assert float(measure.evm_rms(z, x)) < 0.05
+
+
+def test_phase_noise_is_random_walk():
+    x = np.ones(10000, np.complex64)
+    y = impairments.phase_noise(jax.random.key(0), x, 100.0, 1e6)
+    phi = np.unwrap(np.angle(np.asarray(y)))
+    # variance grows ~linearly with n
+    v1 = np.var(phi[:2000])
+    v2 = np.var(phi)
+    assert v2 > v1
+
+
+def test_saleh_pa_compresses():
+    small = np.asarray(impairments.saleh_pa(np.full(4, 0.01 + 0j,
+                                                    np.complex64)))
+    large = np.asarray(impairments.saleh_pa(np.full(4, 2.0 + 0j,
+                                                    np.complex64)))
+    assert abs(small[0]) / 0.01 > abs(large[0]) / 2.0  # gain compression
+
+
+def test_dac_quantization_levels():
+    x = np.linspace(-1, 1, 1001).astype(np.complex64)
+    y = np.asarray(impairments.quantize_dac(x, bits=4))
+    assert len(np.unique(y.real)) <= 16
