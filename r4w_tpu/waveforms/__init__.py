@@ -26,6 +26,7 @@ from r4w_tpu.waveforms import ofdm  # noqa: F401
 from r4w_tpu.waveforms import dsss  # noqa: F401
 from r4w_tpu.waveforms import fhss  # noqa: F401
 from r4w_tpu.waveforms import lora_waveform  # noqa: F401
+from r4w_tpu.waveforms import gnss_waveforms  # noqa: F401  GPS/GLONASS/Galileo
 
 __all__ = [
     "DemodResult",
