@@ -1,0 +1,568 @@
+"""r4w_tpu command-line interface.
+
+Mirrors the reference CLI surface (crates/r4w-cli/src/main.rs:48-546):
+tx, rx, simulate, chirp, info, analyze, waveform, benchmark, gnss
+(info/code/generate/simulate/scenario), compare, record, playback,
+convert, metrics, config. `python -m r4w_tpu ...` or the `r4w-tpu`
+entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _load_waveform(name: str, sample_rate: float):
+    from r4w_tpu.waveforms import create_waveform
+
+    wf = create_waveform(name, sample_rate)
+    if wf is None:
+        from r4w_tpu.waveforms import list_waveforms
+
+        sys.exit(f"error: unknown waveform '{name}'. "
+                 f"Available: {', '.join(list_waveforms())}")
+    return wf
+
+
+def _parse_payload(args) -> bytes:
+    if getattr(args, "message", None) is not None:
+        return args.message.encode()
+    if getattr(args, "hex", None):
+        return bytes.fromhex(args.hex)
+    return b"Hello, World!"
+
+
+def _read_iq(path: str, fmt: str, max_samples=None) -> np.ndarray:
+    from r4w_tpu.io import read_iq_file, sigmf
+
+    if path.endswith((".sigmf-data", ".sigmf-meta", ".sigmf")) or \
+            sigmf.sigmf_exists(path):
+        samples, _ = sigmf.read_sigmf(path, max_samples)
+        return samples
+    return read_iq_file(path, fmt, max_samples)
+
+
+# ------------------------------------------------------------- subcommands
+
+
+def cmd_tx(args):
+    """Modulate a payload to an IQ file (cmd_tx, main.rs:1164)."""
+    wf = _load_waveform(args.waveform, args.sample_rate)
+    payload = _parse_payload(args)
+    samples = np.asarray(wf.modulate(payload))
+    from r4w_tpu.io import write_iq_file, sigmf
+
+    if args.output.endswith(".sigmf-data") or args.sigmf:
+        sigmf.write_sigmf(args.output, samples, args.sample_rate,
+                          fmt=args.format,
+                          description=f"{args.waveform} tx")
+    else:
+        write_iq_file(args.output, samples, args.format)
+    print(f"wrote {len(samples)} samples ({args.format}) to {args.output}")
+
+
+def cmd_rx(args):
+    """Demodulate an IQ file (cmd_rx, main.rs:1200)."""
+    wf = _load_waveform(args.waveform, args.sample_rate)
+    samples = _read_iq(args.input, args.format)
+    res = wf.demodulate(samples)
+    data = bytes(np.asarray(res.bits).astype(np.uint8))
+    print(f"demodulated {len(samples)} samples -> {len(data)} bytes")
+    print("hex:", data.hex())
+    try:
+        print("text:", data.decode("utf-8", errors="replace"))
+    except Exception:
+        pass
+    if res.snr_estimate is not None:
+        print(f"snr estimate: {res.snr_estimate:.1f} dB")
+
+
+def cmd_simulate(args):
+    """Full loopback: modulate → channel → demodulate → BER
+    (cmd_simulate, main.rs:1252)."""
+    jax = _jax()
+    from r4w_tpu.channel import ChannelConfig, apply_channel
+
+    wf = _load_waveform(args.waveform, args.sample_rate)
+    payload = _parse_payload(args)
+    tx = wf.modulate(payload)
+    cfg = ChannelConfig(model=args.channel, snr_db=args.snr,
+                        sample_rate=args.sample_rate, cfo_hz=args.cfo)
+    rx = apply_channel(jax.random.key(args.seed), tx, cfg)
+    res = wf.demodulate(rx)
+    got = bytes(np.asarray(res.bits).astype(np.uint8))[: len(payload)]
+    tx_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
+    rx_bits = np.unpackbits(np.frombuffer(got.ljust(len(payload), b"\0"),
+                                          np.uint8))
+    ber = float(np.mean(tx_bits != rx_bits[: len(tx_bits)]))
+    print(f"waveform:  {wf.info().name}")
+    print(f"channel:   {args.channel} @ {args.snr:.1f} dB SNR")
+    print(f"payload:   {payload.hex()} ({len(payload)} bytes)")
+    print(f"received:  {got.hex()}")
+    print(f"BER:       {ber:.4f}")
+    print(f"match:     {'YES' if got == payload else 'no'}")
+
+
+def cmd_chirp(args):
+    """Generate LoRa chirps (cmd_chirp, main.rs:1395)."""
+    from r4w_tpu.waveforms import lora
+    from r4w_tpu.io import write_iq_file
+
+    p = lora.LoRaParams(sf=args.sf, bw_hz=args.bandwidth)
+    from r4w_tpu.waveforms.lora import chirp as chirp_mod
+
+    if args.symbol is not None:
+        samples = np.asarray(
+            chirp_mod.symbol_chirps(p, np.array([args.symbol]))
+        ).reshape(-1)
+    elif args.down:
+        samples = np.asarray(chirp_mod.base_downchirp(p))
+    else:
+        samples = np.asarray(chirp_mod.base_upchirp(p))
+    if args.output:
+        write_iq_file(args.output, samples, args.format)
+        print(f"wrote {len(samples)} chirp samples to {args.output}")
+    else:
+        print(f"chirp: SF{args.sf} BW{args.bandwidth} "
+              f"{len(samples)} samples")
+
+
+def cmd_info(args):
+    """Waveform info card (cmd_info, main.rs:1430)."""
+    wf = _load_waveform(args.waveform, args.sample_rate)
+    info = wf.info()
+    print(f"{info.name} — {info.full_name}")
+    print(f"  {info.description}")
+    print(f"  complexity:       {info.complexity}/5")
+    print(f"  bits/symbol:      {info.bits_per_symbol}")
+    print(f"  samples/symbol:   {wf.samples_per_symbol()}")
+    print(f"  carries data:     {info.carries_data}")
+    for c in info.characteristics:
+        print(f"  - {c}")
+    if info.history:
+        print(f"  history: {info.history}")
+    if info.modern_usage:
+        print(f"  usage:   {info.modern_usage}")
+
+
+def cmd_analyze(args):
+    """Spectrum analysis of an IQ file (cmd_analyze, main.rs:1505)."""
+    from r4w_tpu.ops import measure
+
+    samples = _read_iq(args.input, args.format, max_samples=args.max_samples)
+    psd = np.asarray(measure.welch_psd(samples, nperseg=args.fft_size,
+                                       sample_rate=args.sample_rate))
+    psd_db = 10 * np.log10(np.maximum(psd, 1e-20))
+    freqs = np.fft.fftshift(np.fft.fftfreq(args.fft_size,
+                                           1.0 / args.sample_rate))
+    peak = int(np.argmax(psd_db))
+    power = float(np.mean(np.abs(samples) ** 2))
+    print(f"samples:     {len(samples)}")
+    print(f"power:       {10*np.log10(max(power,1e-20)):.1f} dBFS")
+    print(f"peak:        {freqs[peak]/1e3:+.1f} kHz @ {psd_db[peak]:.1f} dB")
+    # 3 dB bandwidth around the peak
+    above = psd_db >= psd_db[peak] - 3.0
+    bw = float(np.sum(above)) * args.sample_rate / args.fft_size
+    print(f"3dB width:   {bw/1e3:.1f} kHz")
+    if args.ascii:
+        _ascii_spectrum(freqs, psd_db, width=70, height=12)
+    if args.json:
+        print(json.dumps({"freqs_hz": freqs.tolist()[::args.fft_size // 64],
+                          "psd_db": psd_db.tolist()[::args.fft_size // 64]}))
+
+
+def _ascii_spectrum(freqs, psd_db, width=70, height=12):
+    n = len(psd_db)
+    step = max(1, n // width)
+    cols = [float(np.max(psd_db[i:i+step])) for i in range(0, n, step)][:width]
+    lo, hi = min(cols), max(cols)
+    rng = max(hi - lo, 1e-9)
+    for row in range(height, 0, -1):
+        level = lo + rng * row / height
+        print("".join("#" if c >= level else " " for c in cols))
+    print(f"{freqs[0]/1e3:+.0f}k{' ' * (width-12)}{freqs[-1]/1e3:+.0f}k")
+
+
+def cmd_waveform(args):
+    """--list / --demo (cmd_waveform, main.rs:1710)."""
+    from r4w_tpu.waveforms import list_waveforms
+
+    if args.demo:
+        wf = _load_waveform(args.demo, args.sample_rate)
+        demo = np.asarray(wf.generate_demo(args.duration_ms))
+        print(f"{args.demo}: {len(demo)} demo samples, "
+              f"peak {np.max(np.abs(demo)):.2f}")
+        return
+    print(f"{len(list_waveforms())} waveforms:")
+    for name in list_waveforms():
+        print(f"  {name}")
+
+
+def cmd_benchmark(args):
+    """Waveform throughput benchmark (cmd_benchmark, main.rs:1895)."""
+    jax = _jax()
+    wf = _load_waveform(args.waveform, args.sample_rate)
+    payload = bytes(range(args.payload_bytes % 256)) or b"\x00"
+    tx = wf.modulate(payload)
+    n = tx.shape[-1]
+    # throughput: repeated demodulation of the modulated burst
+    t0 = time.perf_counter()
+    iters = 0
+    total_samples = 0
+    lat = []
+    while time.perf_counter() - t0 < args.duration:
+        t1 = time.perf_counter()
+        res = wf.demodulate(tx)
+        jax.block_until_ready(res.symbols)
+        lat.append(time.perf_counter() - t1)
+        iters += 1
+        total_samples += n
+    dt = time.perf_counter() - t0
+    lat_ms = np.array(lat) * 1e3
+    print(f"waveform:    {wf.info().name}")
+    print(f"iterations:  {iters} in {dt:.2f}s")
+    print(f"throughput:  {total_samples/dt/1e6:.2f} Msamples/s")
+    print(f"latency:     avg {lat_ms.mean():.2f} ms  min {lat_ms.min():.2f}"
+          f"  max {lat_ms.max():.2f}  p99 {np.percentile(lat_ms, 99):.2f}")
+
+
+def cmd_compare(args):
+    """Side-by-side waveform comparison (cmd_compare, main.rs:4635)."""
+    jax = _jax()
+    from r4w_tpu.channel import awgn
+
+    payload = _parse_payload(args)
+    names = args.waveforms.split(",")
+    print(f"{'waveform':<14}{'samples':>9}{'sps':>6}{'BER@' + str(args.snr) + 'dB':>12}")
+    for name in names:
+        wf = _load_waveform(name.strip(), args.sample_rate)
+        tx = wf.modulate(payload)
+        rx = awgn(jax.random.key(0), tx, args.snr)
+        res = wf.demodulate(rx)
+        got = np.asarray(res.bits).astype(np.uint8)[: len(payload)]
+        tx_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
+        rx_bits = np.unpackbits(got)[: len(tx_bits)]
+        nbits = min(len(tx_bits), len(rx_bits))
+        ber = float(np.mean(tx_bits[:nbits] != rx_bits[:nbits])) if nbits else 1.0
+        print(f"{wf.info().name:<14}{tx.shape[-1]:>9}"
+              f"{wf.samples_per_symbol():>6}{ber:>12.4f}")
+
+
+def cmd_record(args):
+    """Record from the simulator device to SigMF (cmd_record)."""
+    from r4w_tpu.sim import Simulator, SimulatorConfig
+    from r4w_tpu.io import sigmf
+
+    sim = Simulator(SimulatorConfig(sample_rate=args.sample_rate,
+                                    noise_floor_db=args.noise_floor))
+    if args.inject:
+        wf = _load_waveform(args.inject, args.sample_rate)
+        sim.inject_signal(np.asarray(wf.modulate(_parse_payload(args))))
+    samples = sim.receive(int(args.duration * args.sample_rate))
+    sigmf.write_sigmf(args.output, samples, args.sample_rate,
+                      fmt=args.format, description="r4w-tpu recording")
+    print(f"recorded {len(samples)} samples to {args.output}")
+
+
+def cmd_playback(args):
+    """Replay a recording through a demodulator (cmd_playback)."""
+    samples = _read_iq(args.input, args.format)
+    print(f"loaded {len(samples)} samples")
+    if args.waveform:
+        wf = _load_waveform(args.waveform, args.sample_rate)
+        res = wf.demodulate(samples)
+        data = bytes(np.asarray(res.bits).astype(np.uint8))
+        print(f"decoded {len(data)} bytes: {data[:64].hex()}")
+
+
+def cmd_convert(args):
+    """IQ format conversion (cmd_convert, main.rs:5073)."""
+    from r4w_tpu.io import convert_iq_file
+
+    convert_iq_file(args.input, args.output, args.from_format,
+                    args.to_format)
+    print(f"converted {args.input} ({args.from_format}) -> "
+          f"{args.output} ({args.to_format})")
+
+
+def cmd_metrics(args):
+    """Prometheus metrics dump/serve (cmd_metrics, main.rs:5227)."""
+    from r4w_tpu.observe import REGISTRY, serve_metrics
+
+    REGISTRY.gauge("r4w_up", "process alive").set(1)
+    if args.serve:
+        print(f"serving metrics on :{args.port}/metrics (ctrl-c to stop)")
+        serve_metrics(args.port, blocking=True)
+    else:
+        print(REGISTRY.to_prometheus())
+
+
+def cmd_config(args):
+    """Show / validate / generate config (R4wConfig surface)."""
+    from r4w_tpu.config import R4wConfig
+
+    if args.example:
+        print(R4wConfig.example_yaml())
+        return
+    cfg = R4wConfig.load_from(args.file) if args.file else R4wConfig.load()
+    if args.profile:
+        cfg = cfg.with_profile(args.profile)
+    errs = cfg.validate()
+    if errs:
+        print("INVALID configuration:")
+        for e in errs:
+            print(f"  - {e}")
+        sys.exit(1)
+    print(cfg.to_yaml())
+
+
+# ----------------------------------------------------------------- gnss
+
+
+def cmd_gnss(args):
+    if args.gnss_cmd == "info":
+        print("GNSS signals: GPS-L1CA (1023-chip Gold, BPSK), GPS-L5 "
+              "(10230-chip), GLONASS-L1OF (511-chip m-seq, FDMA), "
+              "Galileo-E1 (4092-chip CBOC(6,1,1/11))")
+        return
+    if args.gnss_cmd == "code":
+        from r4w_tpu.gnss import prn
+
+        code = {
+            "gps": lambda: prn.gps_ca_code(args.prn),
+            "glonass": lambda: prn.glonass_l1of_code(),
+            "galileo": lambda: prn.galileo_e1_code(args.prn),
+            "l5": lambda: prn.gps_l5_code(args.prn),
+        }[args.system]()
+        bits = "".join("1" if c < 0 else "0" for c in code[:32])
+        print(f"{args.system} PRN {args.prn}: {len(code)} chips, "
+              f"first 32: {bits}")
+        print(f"balance: {int(np.sum(code))}")
+        return
+    if args.gnss_cmd == "scenario":
+        from r4w_tpu.gnss import GnssScenario, load_scenario_yaml
+        from r4w_tpu.io import sigmf
+
+        cfg = load_scenario_yaml(args.config)
+        dur = args.duration if args.duration else cfg.duration_s
+        gen = GnssScenario(cfg)
+        out = args.output or "scenario.sigmf-data"
+        t0 = time.perf_counter()
+        samples = gen.generate(dur)
+        sigmf.write_sigmf(out, samples, cfg.sample_rate, fmt=cfg.format
+                          if cfg.format in ("cf32", "ci16", "ci8", "cu8",
+                                            "cf64") else "cf32",
+                          description="r4w-tpu GNSS scenario")
+        dt = time.perf_counter() - t0
+        print(f"{len(cfg.satellites)} SVs x {dur}s @ {cfg.sample_rate/1e6}"
+              f" MS/s -> {out} in {dt:.1f}s "
+              f"({len(samples)/dt/1e6:.1f} Msamples/s)")
+        return
+    if args.gnss_cmd == "simulate":
+        jax = _jax()
+        from r4w_tpu.gnss import acquisition, prn
+        from r4w_tpu.channel import awgn
+
+        fs = 1_023_000.0
+        code = prn.gps_ca_code(args.prn).astype(np.float32)
+        x = np.roll(code, args.code_phase).astype(np.complex64)
+        t = np.arange(len(x)) / fs
+        x = x * np.exp(2j * np.pi * args.doppler * t)
+        rx = awgn(jax.random.key(0), x, args.snr)
+        res = acquisition.acquire(rx, prn.code_bank([args.prn]),
+                                  [args.prn], fs)
+        print(f"PRN {args.prn}: detected={bool(res.detected[0])} "
+              f"code_phase={float(res.code_phase[0]):.0f} "
+              f"doppler={float(res.doppler_hz[0]):+.0f} Hz "
+              f"metric={float(res.peak_metric[0]):.1f}")
+        return
+    sys.exit(f"unknown gnss subcommand {args.gnss_cmd}")
+
+
+# ----------------------------------------------------------------- parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="r4w-tpu",
+        description="TPU-native SDR waveform framework "
+                    "(r4w capabilities, JAX/XLA implementation)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp, waveform=True):
+        if waveform:
+            sp.add_argument("-w", "--waveform", default="BPSK")
+        sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+        sp.add_argument("-m", "--message", default=None)
+        sp.add_argument("--hex", default=None)
+
+    sp = sub.add_parser("tx", help="modulate payload to IQ file")
+    add_common(sp)
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.add_argument("--sigmf", action="store_true")
+    sp.set_defaults(fn=cmd_tx)
+
+    sp = sub.add_parser("rx", help="demodulate IQ file")
+    add_common(sp)
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.set_defaults(fn=cmd_rx)
+
+    sp = sub.add_parser("simulate", help="loopback through a channel")
+    add_common(sp)
+    sp.add_argument("--channel", default="awgn")
+    sp.add_argument("--snr", type=float, default=20.0)
+    sp.add_argument("--cfo", type=float, default=0.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("chirp", help="generate LoRa chirps")
+    sp.add_argument("--sf", type=int, default=7)
+    sp.add_argument("--bandwidth", type=int, default=125_000)
+    sp.add_argument("--symbol", type=int, default=None)
+    sp.add_argument("--down", action="store_true")
+    sp.add_argument("-o", "--output", default=None)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.set_defaults(fn=cmd_chirp)
+
+    sp = sub.add_parser("info", help="waveform info")
+    add_common(sp)
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("analyze", help="spectrum analysis of an IQ file")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+    sp.add_argument("--fft-size", type=int, default=1024)
+    sp.add_argument("--max-samples", type=int, default=1 << 20)
+    sp.add_argument("--ascii", action="store_true")
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("waveform", help="list waveforms / generate demo")
+    sp.add_argument("--list", action="store_true")
+    sp.add_argument("--demo", default=None)
+    sp.add_argument("--duration-ms", type=float, default=10.0)
+    sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+    sp.set_defaults(fn=cmd_waveform)
+
+    sp = sub.add_parser("benchmark", help="waveform throughput benchmark")
+    add_common(sp)
+    sp.add_argument("--duration", type=float, default=2.0)
+    sp.add_argument("--payload-bytes", type=int, default=64)
+    sp.set_defaults(fn=cmd_benchmark)
+
+    sp = sub.add_parser("compare", help="side-by-side waveform comparison")
+    sp.add_argument("waveforms", help="comma-separated names")
+    sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+    sp.add_argument("-m", "--message", default=None)
+    sp.add_argument("--hex", default=None)
+    sp.add_argument("--snr", type=float, default=15.0)
+    sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser("record", help="record from the simulator")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+    sp.add_argument("--duration", type=float, default=1.0)
+    sp.add_argument("--noise-floor", type=float, default=-90.0)
+    sp.add_argument("--inject", default=None,
+                    help="waveform to inject into the recording")
+    sp.add_argument("-m", "--message", default=None)
+    sp.add_argument("--hex", default=None)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.set_defaults(fn=cmd_record)
+
+    sp = sub.add_parser("playback", help="replay a recording")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-w", "--waveform", default=None)
+    sp.add_argument("-s", "--sample-rate", type=float, default=125_000.0)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.set_defaults(fn=cmd_playback)
+
+    sp = sub.add_parser("convert", help="convert IQ file formats")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--from-format", required=True)
+    sp.add_argument("--to-format", required=True)
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("metrics", help="Prometheus metrics")
+    sp.add_argument("--serve", action="store_true")
+    sp.add_argument("--port", type=int, default=9090)
+    sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("config", help="show/validate configuration")
+    sp.add_argument("--file", default=None)
+    sp.add_argument("--profile", default=None)
+    sp.add_argument("--example", action="store_true")
+    sp.set_defaults(fn=cmd_config)
+
+    sp = sub.add_parser("gnss", help="GNSS tools")
+    gs = sp.add_subparsers(dest="gnss_cmd", required=True)
+    g = gs.add_parser("info")
+    g.set_defaults(fn=cmd_gnss)
+    g = gs.add_parser("code")
+    g.add_argument("--system", default="gps",
+                   choices=["gps", "glonass", "galileo", "l5"])
+    g.add_argument("--prn", type=int, default=1)
+    g.set_defaults(fn=cmd_gnss)
+    g = gs.add_parser("scenario")
+    g.add_argument("--config", required=True)
+    g.add_argument("--duration", type=float, default=None)
+    g.add_argument("-o", "--output", default=None)
+    g.set_defaults(fn=cmd_gnss)
+    g = gs.add_parser("simulate")
+    g.add_argument("--prn", type=int, default=1)
+    g.add_argument("--doppler", type=float, default=1000.0)
+    g.add_argument("--code-phase", type=int, default=200)
+    g.add_argument("--snr", type=float, default=-15.0)
+    g.set_defaults(fn=cmd_gnss)
+
+    return p
+
+
+def main(argv=None):
+    # honor JAX_PLATFORMS even where a device plugin would override it
+    # (the axon TPU plugin ignores the env var; jax.config works)
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    args = build_parser().parse_args(argv)
+    try:
+        args.fn(args)
+    except BrokenPipeError:
+        # output piped to head etc. — exit quietly
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        sys.exit(0)
+    except (FileNotFoundError, ValueError, KeyError) as e:
+        sys.exit(f"error: {e}")
+
+
+if __name__ == "__main__":
+    main()

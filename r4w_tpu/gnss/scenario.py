@@ -258,6 +258,11 @@ def load_scenario_yaml(path_or_text: str) -> ScenarioConfig:
     """Parse a reference-format scenario YAML (file path or text)."""
     import os
 
+    looks_like_path = "\n" not in path_or_text and path_or_text.endswith(
+        (".yaml", ".yml")
+    )
+    if looks_like_path and not os.path.exists(path_or_text):
+        raise FileNotFoundError(f"scenario config not found: {path_or_text}")
     text = (
         open(path_or_text).read()
         if os.path.exists(path_or_text)
