@@ -104,6 +104,15 @@ def cmd_simulate(args):
                         sample_rate=args.sample_rate, cfo_hz=args.cfo)
     rx = apply_channel(jax.random.key(args.seed), tx, cfg)
     res = wf.demodulate(rx)
+    if not wf.info().carries_data:
+        from r4w_tpu.channel import measure_snr
+
+        print(f"waveform:  {wf.info().name} (carries no data)")
+        print(f"channel:   {args.channel} @ {args.snr:.1f} dB SNR")
+        print(f"measured SNR: {float(measure_snr(tx, rx)):.1f} dB")
+        for k, v in res.metadata.items():
+            print(f"{k}: {v}")
+        return
     got = bytes(np.asarray(res.bits).astype(np.uint8))[: len(payload)]
     tx_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
     rx_bits = np.unpackbits(np.frombuffer(got.ljust(len(payload), b"\0"),

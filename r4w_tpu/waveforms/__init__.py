@@ -24,6 +24,11 @@ from r4w_tpu.waveforms import psk  # noqa: F401
 from r4w_tpu.waveforms import qam  # noqa: F401
 from r4w_tpu.waveforms import ofdm  # noqa: F401
 from r4w_tpu.waveforms import dsss  # noqa: F401
+from r4w_tpu.waveforms import iot_waveforms  # noqa: F401  Zigbee/UWB/FMCW
+from r4w_tpu.waveforms import hf_waveforms  # noqa: F401  STANAG/ALE/188-110
+from r4w_tpu.waveforms import pmr_waveforms  # noqa: F401  P25/TETRA/DMR
+from r4w_tpu.waveforms import milfh_waveforms  # noqa: F401  SINCGARS/HQ/L16
+from r4w_tpu.waveforms import beacon  # noqa: F401  emergency beacons
 from r4w_tpu.waveforms import fhss  # noqa: F401
 from r4w_tpu.waveforms import lora_waveform  # noqa: F401
 from r4w_tpu.waveforms import gnss_waveforms  # noqa: F401  GPS/GLONASS/Galileo

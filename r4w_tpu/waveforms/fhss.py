@@ -177,3 +177,39 @@ class FHSS(Waveform):
 @register_waveform("FHSS")
 def _fhss(sample_rate: float) -> FHSS:
     return FHSS(common=CommonParams(sample_rate=sample_rate))
+
+
+@dataclasses.dataclass(frozen=True)
+class FhssAntiJam(FHSS):
+    """Anti-jam FHSS variant (fhss_antijam.rs:499): hops avoid a set of
+    known-jammed channels by remapping onto the clean subset."""
+
+    jammed_channels: tuple[int, ...] = ()
+
+    def _channels_for(self, n_hops: int) -> np.ndarray:
+        raw = super()._channels_for(n_hops)
+        if not self.jammed_channels:
+            return raw
+        clean = np.array(
+            [c for c in range(self.num_channels)
+             if c not in set(self.jammed_channels)]
+        )
+        if len(clean) == 0:
+            raise ValueError("all channels jammed")
+        return clean[raw % len(clean)]
+
+    def info(self) -> WaveformInfo:
+        base = super().info()
+        return WaveformInfo(
+            name="FHSS-AntiJam", full_name="Anti-jam FHSS",
+            description="FHSS with jammed-channel avoidance",
+            complexity=4, bits_per_symbol=1,
+            characteristics=base.characteristics + (
+                f"{len(self.jammed_channels)} channels excluded",
+            ),
+        )
+
+
+@register_waveform("FHSS-AntiJam", aliases=("FHSSANTIJAM",))
+def _fhss_antijam(sample_rate: float) -> FhssAntiJam:
+    return FhssAntiJam(common=CommonParams(sample_rate=sample_rate))

@@ -1,0 +1,278 @@
+"""HF modem waveforms: STANAG 4285, MIL-STD-188-110, ALE, 3G-ALE.
+
+Re-designs of waveform/{stanag4285,milstd188110,ale,ale3g}.rs: serial-
+tone PSK modems with known preambles on an audio-band carrier, and the
+8-FSK ALE tone alphabet with Golay-coded words. Framing follows the
+reference's structure; the heavy standard internals (full interleaver
+schedules, scrambler polynomials) use simplified-but-documented
+equivalents behind the same API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
+from r4w_tpu.fec.block import golay_decode, golay_encode
+from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
+from r4w_tpu.waveforms.base import (
+    DemodResult,
+    Waveform,
+    WaveformInfo,
+    data_to_bits,
+    register_waveform,
+)
+from r4w_tpu.waveforms.linear_mod import pack_demod_bits
+
+
+def _carrier(n: int, freq: float, fs: float) -> jax.Array:
+    ph = 2.0 * jnp.pi * freq / fs * jnp.arange(n, dtype=REAL_DTYPE)
+    return jnp.exp(1j * ph.astype(REAL_DTYPE)).astype(IQ_DTYPE)
+
+
+@functools.lru_cache(maxsize=None)
+def _scrambler(length: int, seed: int = 0xAB) -> np.ndarray:
+    """8PSK scrambler symbols from an LFSR (stanag4285.rs data scrambler
+    equivalent)."""
+    from r4w_tpu.ops.spreading import lfsr_bits
+
+    bits = lfsr_bits(8, 0x8E, seed, length=3 * length)
+    tribits = bits[: 3 * length].reshape(length, 3)
+    return (tribits[:, 0] * 4 + tribits[:, 1] * 2 + tribits[:, 2]).astype(
+        np.int32
+    )
+
+
+class _SerialToneModem(Waveform):
+    """Shared serial-tone PSK machinery: preamble + scrambled PSK data on
+    an 1800 Hz carrier at 2400 baud."""
+
+    # subclass attributes: name/full/desc, psk_order, preamble_len
+    common: CommonParams
+    carrier_freq = 1800.0
+    symbol_rate = 2400.0
+    psk_order = 8
+    preamble_len = 80
+    name = "HF"
+    full_name = "HF serial modem"
+    desc = ""
+
+    @property
+    def common_params(self) -> CommonParams:
+        return self.common
+
+    def samples_per_symbol(self) -> int:
+        return max(int(self.common.sample_rate / self.symbol_rate), 1)
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return int(np.log2(self.psk_order))
+
+    def info(self) -> WaveformInfo:
+        return WaveformInfo(
+            name=self.name, full_name=self.full_name, description=self.desc,
+            complexity=4, bits_per_symbol=self.bits_per_symbol,
+            characteristics=(f"{self.symbol_rate:.0f} Bd on "
+                             f"{self.carrier_freq:.0f} Hz carrier",
+                             f"{self.preamble_len}-symbol sync preamble"),
+        )
+
+    def _preamble_symbols(self) -> np.ndarray:
+        return _scrambler(self.preamble_len, seed=0x5A)
+
+    def _psk_points(self) -> jax.Array:
+        m = self.psk_order
+        ang = 2.0 * np.pi * np.arange(m) / m
+        return jnp.asarray(np.exp(1j * ang).astype(np.complex64))
+
+    def _symbols_to_iq(self, symbols: jax.Array) -> jax.Array:
+        pts = self._psk_points()[symbols]
+        sps = self.samples_per_symbol()
+        base = jnp.repeat(pts, sps, axis=-1)
+        car = _carrier(base.shape[-1], self.carrier_freq,
+                       self.common.sample_rate)
+        return (self.common.amplitude * base * car).astype(IQ_DTYPE)
+
+    def modulate(self, data) -> jax.Array:
+        bits = data_to_bits(data)
+        bps = self.bits_per_symbol
+        rem = bits.size % bps
+        if rem:
+            bits = np.pad(bits, (0, bps - rem))
+        dsyms = bits_to_symbols(jnp.asarray(bits), bps)
+        scr = jnp.asarray(_scrambler(int(dsyms.shape[-1])))
+        dsyms = (dsyms + scr) % self.psk_order
+        pre = jnp.asarray(self._preamble_symbols())
+        return self._symbols_to_iq(jnp.concatenate([pre, dsyms]))
+
+    def demodulate(self, samples) -> DemodResult:
+        samples = jnp.asarray(samples, IQ_DTYPE)
+        sps = self.samples_per_symbol()
+        n = samples.shape[-1]
+        car = _carrier(n, self.carrier_freq, self.common.sample_rate)
+        base = samples * jnp.conj(car)
+        s = n // sps
+        if s <= self.preamble_len:
+            empty = jnp.zeros(0, SYMBOL_DTYPE)
+            return DemodResult(bits=empty, symbols=empty)
+        avg = jnp.mean(base[..., : s * sps].reshape(*base.shape[:-1], s, sps),
+                       axis=-1)
+        # phase reference from the known preamble
+        pre = self._psk_points()[jnp.asarray(self._preamble_symbols())]
+        ref = jnp.sum(avg[..., : self.preamble_len] * jnp.conj(pre), axis=-1)
+        ref = ref / jnp.maximum(jnp.abs(ref), 1e-12)
+        data = avg[..., self.preamble_len :] * jnp.conj(ref[..., None])
+        d = data[..., None] - self._psk_points()
+        raw = jnp.argmin(d.real**2 + d.imag**2, axis=-1).astype(SYMBOL_DTYPE)
+        scr = jnp.asarray(_scrambler(int(raw.shape[-1])))
+        symbols = (raw - scr) % self.psk_order
+        bits = symbols_to_bits(symbols, self.bits_per_symbol)
+        snr = float(-20.0 * jnp.log10(jnp.maximum(
+            jnp.mean(jnp.abs(data - self._psk_points()[symbols])), 1e-9)))
+        return DemodResult(bits=pack_demod_bits(bits), symbols=symbols,
+                           snr_estimate=snr)
+
+
+@dataclasses.dataclass(frozen=True)
+class Stanag4285(_SerialToneModem):
+    """STANAG 4285 HF modem (stanag4285.rs:844 LoC): 2400 Bd 8PSK serial
+    tone with an 80-symbol sync preamble."""
+
+    common: CommonParams = CommonParams(sample_rate=9600.0)
+    name = "STANAG-4285"
+    full_name = "NATO STANAG 4285 HF modem"
+    desc = "Serial-tone PSK on 1800 Hz with 80-symbol preamble"
+
+
+@dataclasses.dataclass(frozen=True)
+class MilStd188110(_SerialToneModem):
+    """MIL-STD-188-110 serial-tone HF modem (milstd188110.rs)."""
+
+    common: CommonParams = CommonParams(sample_rate=9600.0)
+    preamble_len = 96
+    name = "MIL-STD-188-110"
+    full_name = "MIL-STD-188-110 serial tone modem"
+    desc = "2400 Bd serial PSK; autobaud preamble"
+
+
+# --------------------------------------------------------------------- ALE
+
+ALE_TONES = np.array([750.0 + 250.0 * i for i in range(8)])  # 750..2500 Hz
+
+
+@dataclasses.dataclass(frozen=True)
+class Ale(Waveform):
+    """MIL-STD-188-141 ALE (ale.rs:756): 8-FSK at 125 baud, 24-bit words
+    Golay(24,12)-encoded into 48 bits + triple word redundancy."""
+
+    common: CommonParams = CommonParams(sample_rate=8000.0)
+    baud: float = 125.0
+    redundancy: int = 3
+
+    @property
+    def common_params(self) -> CommonParams:
+        return self.common
+
+    def samples_per_symbol(self) -> int:
+        return int(self.common.sample_rate / self.baud)
+
+    def info(self) -> WaveformInfo:
+        return WaveformInfo(
+            name="ALE", full_name="Automatic Link Establishment",
+            description="8-FSK 125 Bd with Golay-protected 24-bit words",
+            complexity=4, bits_per_symbol=3,
+            characteristics=("Tones 750-2500 Hz / 250 Hz spacing",
+                             f"{self.redundancy}x word redundancy"),
+        )
+
+    def _word_to_symbols(self, bits24: np.ndarray) -> np.ndarray:
+        d = bits24.reshape(2, 12)
+        cw = np.asarray(golay_encode(jnp.asarray(d))).reshape(-1)  # 48 bits
+        return np.asarray(
+            bits_to_symbols(jnp.asarray(np.tile(cw, self.redundancy)), 3)
+        )
+
+    def modulate(self, data) -> jax.Array:
+        bits = data_to_bits(data)
+        rem = bits.size % 24
+        if rem:
+            bits = np.pad(bits, (0, 24 - rem))
+        words = bits.reshape(-1, 24)
+        symbols = np.concatenate([self._word_to_symbols(w) for w in words])
+        sps = self.samples_per_symbol()
+        freqs = jnp.asarray(ALE_TONES, REAL_DTYPE)[jnp.asarray(symbols)]
+        f_samp = jnp.repeat(freqs, sps)
+        phase = 2.0 * jnp.pi * jnp.cumsum(f_samp) / self.common.sample_rate
+        return (self.common.amplitude
+                * jnp.exp(1j * phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
+
+    def demodulate(self, samples) -> DemodResult:
+        samples = jnp.asarray(samples, IQ_DTYPE)
+        sps = self.samples_per_symbol()
+        s = samples.shape[-1] // sps
+        if s == 0:
+            empty = jnp.zeros(0, SYMBOL_DTYPE)
+            return DemodResult(bits=empty, symbols=empty)
+        chunks = samples[..., : s * sps].reshape(*samples.shape[:-1], s, sps)
+        t = jnp.arange(sps, dtype=REAL_DTYPE) / self.common.sample_rate
+        basis = jnp.exp(
+            (-2j * jnp.pi) * jnp.asarray(ALE_TONES, REAL_DTYPE)[:, None]
+            * t[None, :]
+        ).astype(IQ_DTYPE)  # (8, sps)
+        corr = jnp.abs(jnp.einsum("...sn,kn->...sk", chunks, basis))
+        symbols = jnp.argmax(corr, axis=-1).astype(SYMBOL_DTYPE)
+        # majority-vote redundancy then Golay decode
+        bits = symbols_to_bits(symbols, 3)
+        word_bits = 48 * self.redundancy
+        n_words = bits.shape[-1] // word_bits
+        out = []
+        for w in range(n_words):
+            chunk = np.asarray(
+                bits[..., w * word_bits : (w + 1) * word_bits]
+            ).reshape(self.redundancy, 48)
+            voted = (chunk.sum(0) * 2 > self.redundancy).astype(np.int32)
+            dec, _ = golay_decode(jnp.asarray(voted.reshape(2, 24)))
+            out.append(np.asarray(dec).reshape(-1))
+        data_bits = (jnp.asarray(np.concatenate(out))
+                     if out else jnp.zeros(0, SYMBOL_DTYPE))
+        return DemodResult(bits=pack_demod_bits(data_bits), symbols=symbols)
+
+
+@dataclasses.dataclass(frozen=True)
+class Ale3g(_SerialToneModem):
+    """3G-ALE / MIL-STD-188-141B App C (ale3g.rs): burst PSK waveforms;
+    modeled as the BW0-style 8PSK burst on 1800 Hz."""
+
+    common: CommonParams = CommonParams(sample_rate=9600.0)
+    preamble_len = 64
+    name = "3G-ALE"
+    full_name = "Third-Generation ALE (188-141B App C)"
+    desc = "Burst 8PSK link-setup waveform (BW0-style burst)"
+    amd_message: str = ""
+
+
+@register_waveform("STANAG-4285", aliases=("STANAG",))
+def _stanag(sample_rate: float) -> Stanag4285:
+    return Stanag4285(common=CommonParams(sample_rate=max(sample_rate, 9600.0)))
+
+
+@register_waveform("ALE")
+def _ale(sample_rate: float) -> Ale:
+    return Ale(common=CommonParams(sample_rate=max(sample_rate, 8000.0)))
+
+
+@register_waveform("3G-ALE", aliases=("ALE3G", "MILSTD188141B"))
+def _ale3g(sample_rate: float) -> Ale3g:
+    return Ale3g(common=CommonParams(sample_rate=max(sample_rate, 9600.0)))
+
+
+@register_waveform("MIL-STD-188-110", aliases=("188110", "MIL188110"))
+def _milstd(sample_rate: float) -> MilStd188110:
+    return MilStd188110(
+        common=CommonParams(sample_rate=max(sample_rate, 9600.0))
+    )

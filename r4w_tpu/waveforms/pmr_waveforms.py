@@ -1,0 +1,229 @@
+"""PMR / public-safety waveforms: P25 (C4FM + Phase 2), TETRA
+(π/4-DQPSK), DMR (4FSK).
+
+Re-designs of waveform/{p25,tetra,dmr}.rs: all are small variations on
+two batched cores — continuous-phase 4-level FSK (C4FM/DMR) and
+differentially-encoded π/4-DQPSK (TETRA, P25 Phase 2 H-DQPSK).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
+from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
+from r4w_tpu.waveforms.base import (
+    DemodResult,
+    Waveform,
+    WaveformInfo,
+    data_to_bits,
+    register_waveform,
+)
+from r4w_tpu.waveforms.linear_mod import pack_demod_bits
+
+# dibit -> deviation order used by P25/DMR: 01,00,10,11 -> +3,+1,-1,-3
+_FOUR_LEVEL = {0b01: 3, 0b00: 1, 0b10: -1, 0b11: -3}
+_FOUR_LEVEL_LUT = np.array([_FOUR_LEVEL[v] for v in range(4)], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class FourLevelFsk(Waveform):
+    """Shared C4FM/4FSK core: dibits → ±1/±3 × deviation, continuous
+    phase."""
+
+    common: CommonParams = CommonParams(sample_rate=48_000.0)
+    symbol_rate: float = 4800.0
+    deviation_unit: float = 600.0  # Hz per level unit (P25: ±600/±1800)
+    name_: str = "C4FM"
+    full_name_: str = "4-level continuous FSK"
+    desc_: str = ""
+
+    @property
+    def common_params(self) -> CommonParams:
+        return self.common
+
+    def samples_per_symbol(self) -> int:
+        return max(int(self.common.sample_rate / self.symbol_rate), 1)
+
+    def info(self) -> WaveformInfo:
+        return WaveformInfo(
+            name=self.name_, full_name=self.full_name_,
+            description=self.desc_, complexity=3, bits_per_symbol=2,
+            characteristics=(
+                f"{self.symbol_rate:.0f} Bd, deviations "
+                f"±{self.deviation_unit:.0f}/±{3*self.deviation_unit:.0f} Hz",
+            ),
+        )
+
+    def modulate(self, data) -> jax.Array:
+        bits = data_to_bits(data)
+        if bits.size % 2:
+            bits = np.pad(bits, (0, 1))
+        dibits = bits_to_symbols(jnp.asarray(bits), 2)
+        levels = jnp.asarray(_FOUR_LEVEL_LUT)[dibits]
+        sps = self.samples_per_symbol()
+        freq = jnp.repeat(levels * self.deviation_unit, sps)
+        omega = 2.0 * jnp.pi * freq / self.common.sample_rate
+        phase = jnp.cumsum(omega) - omega
+        return (self.common.amplitude
+                * jnp.exp(1j * phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
+
+    def demodulate(self, samples) -> DemodResult:
+        samples = jnp.asarray(samples, IQ_DTYPE)
+        sps = self.samples_per_symbol()
+        s = samples.shape[-1] // sps
+        if s == 0:
+            empty = jnp.zeros(0, SYMBOL_DTYPE)
+            return DemodResult(bits=empty, symbols=empty)
+        chunks = samples[..., : s * sps].reshape(*samples.shape[:-1], s, sps)
+        d = chunks[..., 1:] * jnp.conj(chunks[..., :-1])
+        freq = (jnp.angle(jnp.sum(d, axis=-1)) * self.common.sample_rate
+                / (2.0 * jnp.pi))
+        lv = freq / self.deviation_unit
+        dibits = jnp.argmin(
+            jnp.abs(lv[..., None] - jnp.asarray(_FOUR_LEVEL_LUT)), axis=-1
+        ).astype(SYMBOL_DTYPE)
+        bits = symbols_to_bits(dibits, 2)
+        return DemodResult(bits=pack_demod_bits(bits), symbols=dibits)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pi4Dqpsk(Waveform):
+    """π/4-DQPSK core (TETRA / P25 Phase 2): dibits → differential phase
+    steps ±π/4, ±3π/4."""
+
+    common: CommonParams = CommonParams(sample_rate=72_000.0)
+    symbol_rate: float = 18_000.0
+    name_: str = "TETRA"
+    full_name_: str = "pi/4-DQPSK"
+    desc_: str = ""
+
+    _STEPS = (np.pi / 4, 3 * np.pi / 4, -np.pi / 4, -3 * np.pi / 4)
+
+    @property
+    def common_params(self) -> CommonParams:
+        return self.common
+
+    def samples_per_symbol(self) -> int:
+        return max(int(self.common.sample_rate / self.symbol_rate), 1)
+
+    def info(self) -> WaveformInfo:
+        return WaveformInfo(
+            name=self.name_, full_name=self.full_name_,
+            description=self.desc_, complexity=3, bits_per_symbol=2,
+            characteristics=("Differential ±π/4, ±3π/4 phase steps",
+                             f"{self.symbol_rate/1e3:.0f} kBd"),
+        )
+
+    def modulate(self, data) -> jax.Array:
+        bits = data_to_bits(data)
+        if bits.size % 2:
+            bits = np.pad(bits, (0, 1))
+        dibits = bits_to_symbols(jnp.asarray(bits), 2)
+        steps = jnp.asarray(np.asarray(self._STEPS, np.float32))[dibits]
+        # differential reference symbol at phase 0 leads the burst
+        phase = jnp.concatenate([jnp.zeros(1, REAL_DTYPE),
+                                 jnp.cumsum(steps)])
+        pts = jnp.exp(1j * phase.astype(REAL_DTYPE))
+        sps = self.samples_per_symbol()
+        return (self.common.amplitude
+                * jnp.repeat(pts, sps, axis=-1)).astype(IQ_DTYPE)
+
+    def demodulate(self, samples) -> DemodResult:
+        samples = jnp.asarray(samples, IQ_DTYPE)
+        sps = self.samples_per_symbol()
+        s = samples.shape[-1] // sps
+        if s < 2:
+            empty = jnp.zeros(0, SYMBOL_DTYPE)
+            return DemodResult(bits=empty, symbols=empty)
+        avg = jnp.mean(
+            samples[..., : s * sps].reshape(*samples.shape[:-1], s, sps),
+            axis=-1,
+        )
+        dphase = jnp.angle(avg[..., 1:] * jnp.conj(avg[..., :-1]))
+        steps = jnp.asarray(np.asarray(self._STEPS, np.float32))
+        err = jnp.abs(
+            jnp.mod(dphase[..., None] - steps + jnp.pi, 2 * jnp.pi) - jnp.pi
+        )
+        dibits = jnp.argmin(err, axis=-1).astype(SYMBOL_DTYPE)
+        # first symbol is the differential reference
+        bits = symbols_to_bits(dibits, 2)
+        return DemodResult(bits=pack_demod_bits(bits), symbols=dibits)
+
+
+# P25 modulate prepends the frame sync word so the first differential /
+# level reference exists; we expose plain cores and let framing carry it.
+
+
+@register_waveform("P25", aliases=("APCO25", "APCOP25"))
+def _p25(sample_rate: float) -> FourLevelFsk:
+    return FourLevelFsk(
+        common=CommonParams(sample_rate=max(sample_rate, 48_000.0)),
+        symbol_rate=4800.0, deviation_unit=600.0,
+        name_="P25", full_name_="APCO Project 25 Phase 1 (C4FM)",
+        desc_="4.8 kBd C4FM digital voice/data",
+    )
+
+
+@register_waveform("P25-Phase2", aliases=("P25PHASE2", "P25P2"))
+def _p25p2(sample_rate: float) -> Pi4Dqpsk:
+    return Pi4Dqpsk(
+        common=CommonParams(sample_rate=max(sample_rate, 48_000.0)),
+        symbol_rate=6000.0,
+        name_="P25-Phase2", full_name_="APCO P25 Phase 2 (H-DQPSK)",
+        desc_="6 kBd differential QPSK TDMA voice",
+    )
+
+
+@register_waveform("TETRA")
+def _tetra(sample_rate: float) -> Pi4Dqpsk:
+    return Pi4Dqpsk(
+        common=CommonParams(sample_rate=max(sample_rate, 72_000.0)),
+        symbol_rate=18_000.0,
+        name_="TETRA", full_name_="TETRA TMO pi/4-DQPSK",
+        desc_="18 kBd trunked emergency-services radio",
+    )
+
+
+@register_waveform("TETRA-DMO", aliases=("TETRADMO",))
+def _tetra_dmo(sample_rate: float) -> Pi4Dqpsk:
+    return Pi4Dqpsk(
+        common=CommonParams(sample_rate=max(sample_rate, 72_000.0)),
+        symbol_rate=18_000.0,
+        name_="TETRA-DMO", full_name_="TETRA Direct Mode",
+        desc_="Direct mode pi/4-DQPSK",
+    )
+
+
+@register_waveform("DMR", aliases=("DMRTIER2",))
+def _dmr(sample_rate: float) -> FourLevelFsk:
+    return FourLevelFsk(
+        common=CommonParams(sample_rate=max(sample_rate, 48_000.0)),
+        symbol_rate=4800.0, deviation_unit=648.0,
+        name_="DMR", full_name_="Digital Mobile Radio Tier II (4FSK)",
+        desc_="4.8 kBd 4FSK, ±648/±1944 Hz deviations",
+    )
+
+
+@register_waveform("DMR-Tier3", aliases=("DMRTIER3",))
+def _dmr3(sample_rate: float) -> FourLevelFsk:
+    return FourLevelFsk(
+        common=CommonParams(sample_rate=max(sample_rate, 48_000.0)),
+        symbol_rate=4800.0, deviation_unit=648.0,
+        name_="DMR-Tier3", full_name_="DMR Tier III trunked",
+        desc_="Trunked-mode DMR 4FSK",
+    )
+
+
+@register_waveform("DMR-Direct", aliases=("DMRDIRECT",))
+def _dmr_direct(sample_rate: float) -> FourLevelFsk:
+    return FourLevelFsk(
+        common=CommonParams(sample_rate=max(sample_rate, 48_000.0)),
+        symbol_rate=4800.0, deviation_unit=648.0,
+        name_="DMR-Direct", full_name_="DMR direct (simplex) mode",
+        desc_="DMR dual-capacity direct mode",
+    )
