@@ -82,7 +82,33 @@ def bench_lora_sf7_demod():
     return lanes * n_sym * p.samples_per_symbol * ITERS / dt  # IQ samples/s
 
 
+def _tpu_canary(timeout_s: int = 150) -> bool:
+    """Probe the device in a subprocess — the axon tunnel can wedge and
+    hang any compute indefinitely; never let that hang the bench."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: jnp.sum(x*x))"
+        "(jnp.ones((256,256), jnp.float32))))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
+    device_note = ""
+    if not _tpu_canary():
+        # fall back to CPU so the driver still records a number
+        jax.config.update("jax_platforms", "cpu")
+        device_note = " (TPU tunnel unresponsive — CPU fallback)"
     fft_sps = bench_fft1024()
     lora_sps = bench_lora_sf7_demod()
     msps = fft_sps / 1e6
@@ -95,7 +121,7 @@ def main():
                 "vs_baseline": round(msps / BASELINE_FFT1024_MSPS, 2),
                 "extra": {
                     "lora_sf7_demod_Msps": round(lora_sps / 1e6, 1),
-                    "device": str(jax.devices()[0]),
+                    "device": str(jax.devices()[0]) + device_note,
                 },
             }
         )
