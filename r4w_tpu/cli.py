@@ -402,6 +402,71 @@ def cmd_gnss(args):
     sys.exit(f"unknown gnss subcommand {args.gnss_cmd}")
 
 
+def cmd_mesh(args):
+    """Mesh tools (cmd_mesh, main.rs:2223-2489)."""
+    from r4w_tpu import mesh
+
+    if args.mesh_cmd == "simulate":
+        sim = mesh.MeshSimulation(seed=args.seed)
+        n = args.nodes
+        for i in range(1, n + 1):
+            sim.add_node(i)
+        # ring + a chord topology
+        for i in range(1, n + 1):
+            sim.connect(i, i % n + 1, snr_db=8.0, loss=args.loss)
+        if n > 3:
+            sim.connect(1, n // 2 + 1, snr_db=5.0, loss=args.loss)
+        src, dst = 1, n // 2 + 1
+        sim.nodes[src].send(dst, args.message.encode(), want_ack=True)
+        moved = sim.run()
+        ok = any(p.payload == args.message.encode()
+                 for p in sim.nodes[dst].inbox)
+        print(f"{n}-node mesh, {moved} transmissions over {sim.round} rounds")
+        print(f"delivery {src} -> {dst}: {'OK' if ok else 'FAILED'}")
+        for nid, st in sim.status().items():
+            print(f"  node {nid}: neighbors={st['neighbors']} "
+                  f"sent={st['sent']} relayed={st['relayed']} "
+                  f"received={st['received']}")
+        return
+    if args.mesh_cmd == "status":
+        node = mesh.MeshNode(args.node_id)
+        print(f"node {node.node_id}: neighbors={sorted(node.neighbors)} "
+              f"routes={node.routes} stats={node.stats}")
+        return
+    sys.exit(f"unknown mesh subcommand {args.mesh_cmd}")
+
+
+def cmd_spec(args):
+    """Waveform-spec YAML tools (specs/*.yaml, waveform wizard path)."""
+    from r4w_tpu.waveform_spec import WaveformSpec
+
+    spec = WaveformSpec.load(args.file)
+    print(f"{spec.name} — {spec.full_name}")
+    print(f"  scheme: {spec.scheme} order {spec.order} "
+          f"({spec.bits_per_symbol} bits/symbol)")
+    print(f"  timing: {spec.symbol_rate:.0f} Bd @ {spec.sample_rate:.0f} S/s"
+          f" ({spec.samples_per_symbol} sps)")
+    if spec.pulse_type:
+        print(f"  pulse:  {spec.pulse_type} rolloff {spec.rolloff}")
+    if args.check:
+        from r4w_tpu.waveforms import create_waveform
+
+        wf = create_waveform(spec.name, spec.sample_rate)
+        if wf is None or not hasattr(wf, "constellation_points"):
+            print("  check: no comparable built-in waveform")
+        else:
+            ok, err = spec.check_constellation(wf)
+            print(f"  constellation vs built-in {spec.name}: "
+                  f"{'MATCH' if ok else 'MISMATCH'} (max err {err:.3f})")
+    if args.roundtrip:
+        wf = spec.build_waveform()
+        data = b"spec!"
+        res = wf.demodulate(wf.modulate(data))
+        got = bytes(np.asarray(res.bits[: len(data)]).astype(np.uint8))
+        print(f"  spec-built waveform roundtrip: "
+              f"{'OK' if got == data else 'FAILED'}")
+
+
 # ----------------------------------------------------------------- parser
 
 
@@ -522,6 +587,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--example", action="store_true")
     sp.set_defaults(fn=cmd_config)
 
+    sp = sub.add_parser("mesh", help="mesh networking tools")
+    ms = sp.add_subparsers(dest="mesh_cmd", required=True)
+    m = ms.add_parser("simulate")
+    m.add_argument("--nodes", type=int, default=6)
+    m.add_argument("--loss", type=float, default=0.0)
+    m.add_argument("--seed", type=int, default=0)
+    m.add_argument("-m", "--message", default="mesh hello")
+    m.set_defaults(fn=cmd_mesh)
+    m = ms.add_parser("status")
+    m.add_argument("--node-id", type=int, default=1)
+    m.set_defaults(fn=cmd_mesh)
+
+    sp = sub.add_parser("spec", help="waveform-spec YAML tools")
+    sp.add_argument("file")
+    sp.add_argument("--check", action="store_true",
+                    help="compare against the built-in waveform")
+    sp.add_argument("--roundtrip", action="store_true",
+                    help="build a waveform from the spec and roundtrip it")
+    sp.set_defaults(fn=cmd_spec)
+
     sp = sub.add_parser("gnss", help="GNSS tools")
     gs = sp.add_subparsers(dest="gnss_cmd", required=True)
     g = gs.add_parser("info")
@@ -571,6 +656,10 @@ def main(argv=None):
         sys.exit(0)
     except (FileNotFoundError, ValueError, KeyError) as e:
         sys.exit(f"error: {e}")
+    except Exception as e:  # yaml errors etc. — never dump a traceback
+        if type(e).__module__.startswith("yaml"):
+            sys.exit(f"error: invalid YAML: {e}")
+        raise
 
 
 if __name__ == "__main__":

@@ -1,0 +1,251 @@
+"""Block registry + plugin system.
+
+Re-designs of block_gateway.rs (BlockRegistry/BlockCategory — runtime
+block discovery for pipeline builders) and plugin/ (C-ABI dynamic
+waveform plugins → Python module/entry-point plugins; the dynamic-
+loading role maps to importlib here, manager.rs:148).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import importlib
+import importlib.util
+import os
+import sys
+from typing import Callable
+
+
+class BlockCategory(enum.Enum):
+    SOURCE = "source"
+    SINK = "sink"
+    FILTER = "filter"
+    MODULATOR = "modulator"
+    DEMODULATOR = "demodulator"
+    SYNC = "sync"
+    FEC = "fec"
+    MEASUREMENT = "measurement"
+    CHANNEL = "channel"
+    RESAMPLER = "resampler"
+    GNSS = "gnss"
+    RADAR = "radar"
+    MATH = "math"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockInfo:
+    name: str
+    category: BlockCategory
+    description: str
+    factory: Callable
+    params: tuple[str, ...] = ()
+
+
+class BlockRegistry:
+    """Runtime block catalog (block_gateway.rs:28)."""
+
+    def __init__(self):
+        self._blocks: dict[str, BlockInfo] = {}
+
+    def register(self, name: str, category: BlockCategory,
+                 description: str, factory: Callable,
+                 params: tuple[str, ...] = ()):
+        self._blocks[name.lower()] = BlockInfo(name, category, description,
+                                               factory, params)
+
+    def get(self, name: str) -> BlockInfo | None:
+        return self._blocks.get(name.lower())
+
+    def create(self, name: str, **kwargs):
+        info = self.get(name)
+        if info is None:
+            raise KeyError(f"unknown block '{name}'")
+        return info.factory(**kwargs)
+
+    def list(self, category: BlockCategory | None = None) -> list[BlockInfo]:
+        out = sorted(self._blocks.values(), key=lambda b: b.name)
+        if category:
+            out = [b for b in out if b.category == category]
+        return out
+
+    def categories(self) -> dict[BlockCategory, int]:
+        out: dict[BlockCategory, int] = {}
+        for b in self._blocks.values():
+            out[b.category] = out.get(b.category, 0) + 1
+        return out
+
+
+def _populate(reg: BlockRegistry):
+    """Register the built-in catalog (the pipeline-builder surface the
+    GUI's pipeline_wizard consumes)."""
+    from r4w_tpu.ops import (coding, filters, impairments, measure, pulse,
+                             radar, resample, spreading, sync)
+    from r4w_tpu import channel as ch
+
+    C = BlockCategory
+    entries = [
+        ("fir_filter", C.FILTER, "FIR filter (streaming state)",
+         lambda **k: filters.fir_filter, ("taps",)),
+        ("iir_filter", C.FILTER, "IIR biquad/direct-form II",
+         lambda **k: filters.iir_filter, ("b", "a")),
+        ("dc_blocker", C.FILTER, "DC removal", lambda **k: filters.dc_blocker),
+        ("cic_decimator", C.FILTER, "CIC decimating filter",
+         lambda **k: filters.cic_decimator, ("rate", "stages")),
+        ("median_filter", C.FILTER, "sliding median",
+         lambda **k: filters.median_filter, ("length",)),
+        ("moving_average", C.FILTER, "boxcar average",
+         lambda **k: filters.moving_average, ("length",)),
+        ("rrc_shaper", C.FILTER, "root-raised-cosine pulse shaping",
+         lambda **k: pulse.shape_symbols, ("sps", "rolloff")),
+        ("polyphase_decimator", C.RESAMPLER, "decimating FIR",
+         lambda **k: resample.polyphase_decimate, ("factor",)),
+        ("rational_resampler", C.RESAMPLER, "L/M resampler",
+         lambda **k: resample.rational_resample, ("up", "down")),
+        ("arbitrary_resampler", C.RESAMPLER, "fractional-ratio resampler",
+         lambda **k: resample.arbitrary_resample, ("ratio",)),
+        ("pfb_channelizer", C.RESAMPLER, "polyphase channelizer",
+         lambda **k: resample.pfb_channelizer, ("n_channels",)),
+        ("costas_loop", C.SYNC, "carrier recovery",
+         lambda **k: sync.costas_loop, ("loop_bw", "order")),
+        ("cfo_estimator", C.SYNC, "blind CFO estimate",
+         lambda **k: sync.cfo_estimate, ("order",)),
+        ("correlate_sync", C.SYNC, "preamble correlation sync",
+         lambda **k: sync.correlate_sync, ("threshold",)),
+        ("schmidl_cox", C.SYNC, "OFDM timing metric",
+         lambda **k: sync.schmidl_cox, ("half_len",)),
+        ("awgn_channel", C.CHANNEL, "AWGN at target SNR",
+         lambda **k: ch.awgn, ("snr_db",)),
+        ("rayleigh_channel", C.CHANNEL, "iid Rayleigh fading",
+         lambda **k: ch.rayleigh),
+        ("tdl_channel", C.CHANNEL, "3GPP EPA/EVA/ETU fading TDL",
+         lambda **k: ch.tdl_channel, ("profile", "doppler_hz")),
+        ("phase_noise", C.CHANNEL, "Wiener phase noise",
+         lambda **k: impairments.phase_noise, ("linewidth_hz",)),
+        ("iq_imbalance", C.CHANNEL, "gain/phase IQ imbalance",
+         lambda **k: impairments.iq_imbalance, ("gain_db", "phase_deg")),
+        ("welch_psd", C.MEASUREMENT, "Welch averaged PSD",
+         lambda **k: measure.welch_psd, ("nperseg",)),
+        ("evm", C.MEASUREMENT, "error-vector magnitude",
+         lambda **k: measure.evm_rms),
+        ("snr_m2m4", C.MEASUREMENT, "blind SNR estimator",
+         lambda **k: measure.snr_estimate_m2m4),
+        ("eye_diagram", C.MEASUREMENT, "overlapped symbol traces",
+         lambda **k: measure.eye_diagram, ("sps",)),
+        ("gold_code", C.SOURCE, "Gold spreading code",
+         lambda **k: spreading.gold_code, ("degree", "index")),
+        ("zadoff_chu", C.SOURCE, "Zadoff-Chu sequence",
+         lambda **k: spreading.zadoff_chu, ("root", "length")),
+        ("cfar", C.RADAR, "cell-averaging CFAR",
+         lambda **k: radar.cfar_1d, ("guard", "train", "pfa")),
+        ("pulse_compressor", C.RADAR, "matched-filter compression",
+         lambda **k: radar.pulse_compress),
+        ("range_doppler", C.RADAR, "range-Doppler map",
+         lambda **k: radar.range_doppler_map),
+        ("gray_code", C.MATH, "Gray encode/decode",
+         lambda **k: (coding.gray_encode, coding.gray_decode)),
+    ]
+    for e in entries:
+        name, cat, desc, fac = e[:4]
+        params = e[4] if len(e) > 4 else ()
+        reg.register(name, cat, desc, fac, params)
+
+    # waveforms appear as modulator/demodulator pairs
+    from r4w_tpu.waveforms import create_waveform, list_waveforms
+
+    for wname in list_waveforms():
+        reg.register(
+            f"mod_{wname.lower()}", C.MODULATOR, f"{wname} modulator",
+            lambda wname=wname, **k: create_waveform(
+                wname, k.get("sample_rate", 125_000.0)),
+            ("sample_rate",),
+        )
+
+
+_REGISTRY: BlockRegistry | None = None
+
+
+def default_registry() -> BlockRegistry:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = BlockRegistry()
+        _populate(_REGISTRY)
+    return _REGISTRY
+
+
+# --------------------------------------------------------------------------
+# Plugin system (plugin/ re-design)
+# --------------------------------------------------------------------------
+
+PLUGIN_API_VERSION = 1
+PLUGIN_SEARCH_PATHS = ("./plugins", "~/.local/share/r4w_tpu/plugins")
+
+
+@dataclasses.dataclass
+class PluginInfo:
+    """Descriptor a plugin module must export as `R4W_PLUGIN`
+    (plugin/abi.rs:45 PluginInfo / WaveformDescriptor)."""
+
+    name: str
+    version: str
+    api_version: int = PLUGIN_API_VERSION
+    waveforms: tuple[str, ...] = ()
+
+
+class PluginManager:
+    """Discover + load Python waveform plugins (plugin/manager.rs:148).
+
+    A plugin is a .py file exporting `R4W_PLUGIN: PluginInfo`-shaped
+    metadata and a `register(register_waveform)` function that adds its
+    waveforms to the factory.
+    """
+
+    def __init__(self, search_paths=PLUGIN_SEARCH_PATHS):
+        self.search_paths = [os.path.expanduser(p) for p in search_paths]
+        self.loaded: dict[str, PluginInfo] = {}
+        self.errors: dict[str, str] = {}
+
+    def discover_plugins(self) -> list[str]:
+        found = []
+        for root in self.search_paths:
+            if not os.path.isdir(root):
+                continue
+            for fn in sorted(os.listdir(root)):
+                if fn.endswith(".py") and not fn.startswith("_"):
+                    found.append(os.path.join(root, fn))
+        return found
+
+    def load_plugin(self, path: str) -> PluginInfo | None:
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            spec = importlib.util.spec_from_file_location(
+                f"r4w_tpu_plugin_{name}", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)  # type: ignore[union-attr]
+            meta = getattr(mod, "R4W_PLUGIN", None)
+            if meta is None:
+                raise ValueError("missing R4W_PLUGIN metadata")
+            api = getattr(meta, "api_version",
+                          meta.get("api_version") if isinstance(meta, dict)
+                          else None)
+            if api != PLUGIN_API_VERSION:
+                raise ValueError(
+                    f"api_version {api} != {PLUGIN_API_VERSION}")
+            from r4w_tpu.waveforms.base import register_waveform
+
+            mod.register(register_waveform)
+            info = (meta if isinstance(meta, PluginInfo) else PluginInfo(
+                name=meta.get("name", name),
+                version=meta.get("version", "0"),
+                api_version=api,
+                waveforms=tuple(meta.get("waveforms", ())),
+            ))
+            self.loaded[info.name] = info
+            return info
+        except Exception as e:  # noqa: BLE001 - plugin isolation
+            self.errors[name] = str(e)
+            return None
+
+    def load_all(self) -> list[PluginInfo]:
+        return [info for p in self.discover_plugins()
+                if (info := self.load_plugin(p)) is not None]
