@@ -147,7 +147,8 @@ class GnssScenario:
             (s.range_m + s.iono_delay_m + s.tropo_delay_m) / LIGHT_SPEED
             for s in sats
         ]
-        self._delay_s = jnp.asarray(delays, jnp.float64)
+        # host-side f64 (consumed by _phases_at; never shipped to device)
+        self._delay_s = np.asarray(delays, np.float64)
         self._key = jax.random.key(config.seed)
         self._t0 = 0.0
         self._block_fn = self._make_block_fn()

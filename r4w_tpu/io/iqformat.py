@@ -45,11 +45,23 @@ def from_sigmf_datatype(datatype: str) -> str:
 
 
 def encode_samples(samples, fmt: str = "cf32") -> bytes:
-    """complex array -> interleaved bytes (io/format.rs:287 write path)."""
+    """complex array -> interleaved bytes (io/format.rs:287 write path).
+
+    The ci16 hot path goes through the native iqcore library when
+    available (r4w_tpu/native, ~4x numpy).
+    """
     if fmt not in _FORMATS:
         raise ValueError(f"unknown IQ format {fmt}; know {list(_FORMATS)}")
     dt, scale, offset = _FORMATS[fmt]
     x = np.asarray(samples)
+    if fmt == "ci16":
+        from r4w_tpu import native
+
+        if native.native_available():
+            inter = native.interleave(
+                np.real(x).reshape(-1).astype(np.float32),
+                np.imag(x).reshape(-1).astype(np.float32))
+            return native.f32_to_i16(inter, scale).tobytes()
     inter = np.empty(x.size * 2, np.float64)
     inter[0::2] = np.real(x).reshape(-1)
     inter[1::2] = np.imag(x).reshape(-1)
