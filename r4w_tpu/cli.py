@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+from r4w_tpu.core.hostio import to_device, to_host
+
 
 def _jax():
     import jax
@@ -56,6 +58,11 @@ def _read_iq(path: str, fmt: str, max_samples=None) -> np.ndarray:
     return read_iq_file(path, fmt, max_samples)
 
 
+def _read_iq_device(path: str, fmt: str, max_samples=None):
+    """Read an IQ file straight onto the device (complex-safe transfer)."""
+    return to_device(_read_iq(path, fmt, max_samples))
+
+
 # ------------------------------------------------------------- subcommands
 
 
@@ -63,7 +70,7 @@ def cmd_tx(args):
     """Modulate a payload to an IQ file (cmd_tx, main.rs:1164)."""
     wf = _load_waveform(args.waveform, args.sample_rate)
     payload = _parse_payload(args)
-    samples = np.asarray(wf.modulate(payload))
+    samples = to_host(wf.modulate(payload))
     from r4w_tpu.io import write_iq_file, sigmf
 
     if args.output.endswith(".sigmf-data") or args.sigmf:
@@ -78,7 +85,7 @@ def cmd_tx(args):
 def cmd_rx(args):
     """Demodulate an IQ file (cmd_rx, main.rs:1200)."""
     wf = _load_waveform(args.waveform, args.sample_rate)
-    samples = _read_iq(args.input, args.format)
+    samples = _read_iq_device(args.input, args.format)
     res = wf.demodulate(samples)
     data = bytes(np.asarray(res.bits).astype(np.uint8))
     print(f"demodulated {len(samples)} samples -> {len(data)} bytes")
@@ -135,13 +142,13 @@ def cmd_chirp(args):
     from r4w_tpu.waveforms.lora import chirp as chirp_mod
 
     if args.symbol is not None:
-        samples = np.asarray(
+        samples = to_host(
             chirp_mod.symbol_chirps(p, np.array([args.symbol]))
         ).reshape(-1)
     elif args.down:
-        samples = np.asarray(chirp_mod.base_downchirp(p))
+        samples = to_host(chirp_mod.base_downchirp(p))
     else:
-        samples = np.asarray(chirp_mod.base_upchirp(p))
+        samples = to_host(chirp_mod.base_upchirp(p))
     if args.output:
         write_iq_file(args.output, samples, args.format)
         print(f"wrote {len(samples)} chirp samples to {args.output}")
@@ -173,7 +180,8 @@ def cmd_analyze(args):
     from r4w_tpu.ops import measure
 
     samples = _read_iq(args.input, args.format, max_samples=args.max_samples)
-    psd = np.asarray(measure.welch_psd(samples, nperseg=args.fft_size,
+    psd = np.asarray(measure.welch_psd(to_device(samples),
+                                       nperseg=args.fft_size,
                                        sample_rate=args.sample_rate))
     psd_db = 10 * np.log10(np.maximum(psd, 1e-20))
     freqs = np.fft.fftshift(np.fft.fftfreq(args.fft_size,
@@ -280,7 +288,7 @@ def cmd_record(args):
                                     noise_floor_db=args.noise_floor))
     if args.inject:
         wf = _load_waveform(args.inject, args.sample_rate)
-        sim.inject_signal(np.asarray(wf.modulate(_parse_payload(args))))
+        sim.inject_signal(to_host(wf.modulate(_parse_payload(args))))
     samples = sim.receive(int(args.duration * args.sample_rate))
     sigmf.write_sigmf(args.output, samples, args.sample_rate,
                       fmt=args.format, description="r4w-tpu recording")
@@ -289,7 +297,7 @@ def cmd_record(args):
 
 def cmd_playback(args):
     """Replay a recording through a demodulator (cmd_playback)."""
-    samples = _read_iq(args.input, args.format)
+    samples = _read_iq_device(args.input, args.format)
     print(f"loaded {len(samples)} samples")
     if args.waveform:
         wf = _load_waveform(args.waveform, args.sample_rate)
@@ -399,7 +407,91 @@ def cmd_gnss(args):
               f"doppler={float(res.doppler_hz[0]):+.0f} Hz "
               f"metric={float(res.peak_metric[0]):.1f}")
         return
+    if args.gnss_cmd == "ephemeris":
+        from r4w_tpu.gnss import ephemeris as eph
+
+        if args.eph_cmd == "fetch":
+            sys.exit("error: CDDIS fetch needs network access; pass a "
+                     "local RINEX/SP3/IONEX file to `ephemeris info`")
+        if args.eph_cmd == "info":
+            kind, data = eph.load_ephemeris_file(args.file)
+            if kind == "rinex_nav":
+                n_eph = sum(len(v) for v in data.values())
+                toes = [e.toe for v in data.values() for e in v]
+                print("=== RINEX Ephemeris Summary ===")
+                if toes:
+                    print(f"Time span:    GPS {min(toes):.0f} - "
+                          f"{max(toes):.0f} "
+                          f"({(max(toes) - min(toes)) / 3600:.1f} hours)")
+                print(f"GPS satellites: {len(data)} ({n_eph} ephemerides)")
+                for prn in sorted(data):
+                    e = data[prn][0]
+                    x, y, z = e.position(e.toe)
+                    r = np.sqrt(x * x + y * y + z * z)
+                    print(f"  G{prn:02d}: toe={e.toe:.0f} "
+                          f"|r|={r / 1e3:.0f} km af0={e.af0:.2e}")
+            elif kind == "sp3":
+                epochs, records = data
+                svs = sorted({r.prn for r in records})
+                print("=== SP3 Precise Ephemeris Summary ===")
+                print(f"Epoch count:   {len(epochs)}")
+                if len(epochs) > 1:
+                    print(f"Interval:      {epochs[1] - epochs[0]:.0f} "
+                          "seconds")
+                print(f"Satellites:    {len(svs)} "
+                      f"({', '.join(svs[:12])}{'...' if len(svs) > 12 else ''})")
+            else:
+                maps, lats, lons = data
+                print("=== IONEX TEC Summary ===")
+                print(f"Maps:          {len(maps)}")
+                if lats is not None:
+                    print(f"Grid:          {len(lats)} lats x "
+                          f"{len(lons)} lons")
+                if maps:
+                    first = maps[min(maps)]
+                    print(f"TEC range:     {first.min():.1f} - "
+                          f"{first.max():.1f} TECU")
+            return
+        sys.exit(f"unknown ephemeris subcommand {args.eph_cmd}")
     sys.exit(f"unknown gnss subcommand {args.gnss_cmd}")
+
+
+def cmd_adsb(args):
+    """ADS-B tools (cmd_adsb: decode/generate, main.rs)."""
+    from r4w_tpu import adsb
+
+    if args.adsb_cmd == "generate":
+        msg = adsb.AdsbMessage(icao=int(args.icao, 16), type_code=4,
+                               callsign=args.callsign)
+        iq = adsb.transmit_over_ppm(msg, args.sample_rate)
+        if args.output:
+            from r4w_tpu.io import write_iq_file
+
+            write_iq_file(args.output, iq, "cf32")
+            print(f"wrote {iq.shape[-1]} samples to {args.output}")
+        else:
+            frame = msg.to_bits()
+            data = np.packbits(np.asarray(frame).astype(np.uint8))
+            print("frame hex:", bytes(data).hex())
+        return
+    if args.adsb_cmd == "decode":
+        if args.hex_frame:
+            raw = bytes.fromhex(args.hex_frame)
+            msg = adsb.decode_frame_bytes(raw)
+        else:
+            samples = _read_iq_device(args.input, "cf32")
+            msg = adsb.receive_over_ppm(samples, args.sample_rate)
+        if msg is None:
+            sys.exit("error: not a DF17 frame")
+        print(f"ICAO:     {msg.icao:06X}")
+        print(f"type:     TC{msg.type_code}")
+        print(f"CRC:      {'OK' if msg.crc_ok else 'FAILED'}")
+        if msg.callsign:
+            print(f"callsign: {msg.callsign}")
+        if msg.altitude_ft is not None:
+            print(f"altitude: {msg.altitude_ft} ft")
+        return
+    sys.exit(f"unknown adsb subcommand {args.adsb_cmd}")
 
 
 def cmd_mesh(args):
@@ -587,6 +679,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--example", action="store_true")
     sp.set_defaults(fn=cmd_config)
 
+    sp = sub.add_parser("adsb", help="ADS-B Mode-S tools")
+    asb = sp.add_subparsers(dest="adsb_cmd", required=True)
+    a = asb.add_parser("generate")
+    a.add_argument("--icao", default="4840D6")
+    a.add_argument("--callsign", default="R4WTPU")
+    a.add_argument("-o", "--output", default=None)
+    a.add_argument("-s", "--sample-rate", type=float, default=8e6)
+    a.set_defaults(fn=cmd_adsb)
+    a = asb.add_parser("decode")
+    a.add_argument("-i", "--input", default=None)
+    a.add_argument("--hex-frame", default=None)
+    a.add_argument("-s", "--sample-rate", type=float, default=8e6)
+    a.set_defaults(fn=cmd_adsb)
+
     sp = sub.add_parser("mesh", help="mesh networking tools")
     ms = sp.add_subparsers(dest="mesh_cmd", required=True)
     m = ms.add_parser("simulate")
@@ -627,6 +733,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--code-phase", type=int, default=200)
     g.add_argument("--snr", type=float, default=-15.0)
     g.set_defaults(fn=cmd_gnss)
+    g = gs.add_parser("ephemeris",
+                      help="RINEX/SP3/IONEX ephemeris tools")
+    ge = g.add_subparsers(dest="eph_cmd", required=True)
+    e = ge.add_parser("info")
+    e.add_argument("file")
+    e.set_defaults(fn=cmd_gnss)
+    e = ge.add_parser("fetch")
+    e.add_argument("-d", "--date", default=None)
+    e.set_defaults(fn=cmd_gnss)
 
     return p
 

@@ -1,3 +1,4 @@
+from r4w_tpu.core.hostio import to_device, to_host
 from r4w_tpu.core.types import (
     IQ_DTYPE,
     REAL_DTYPE,
@@ -26,4 +27,6 @@ __all__ = [
     "db_to_linear_power",
     "linear_power_to_db",
     "next_pow2",
+    "to_device",
+    "to_host",
 ]

@@ -1,7 +1,7 @@
 """GNSS stack: PRN codes, BOC/CBOC, batched PCPS acquisition, DLL/PLL
 tracking, coordinates/orbits/atmosphere, LNAV, scenario engine."""
 
-from r4w_tpu.gnss import boc, coordinates, environment, nav_message, prn
+from r4w_tpu.gnss import boc, coordinates, environment, ephemeris, nav_message, prn
 from r4w_tpu.gnss.acquisition import (
     AcquisitionResult,
     PcpsConfig,
@@ -25,7 +25,7 @@ from r4w_tpu.gnss.tracking import (
 )
 
 __all__ = [
-    "boc", "coordinates", "environment", "nav_message", "prn",
+    "boc", "coordinates", "environment", "ephemeris", "nav_message", "prn",
     "AcquisitionResult", "PcpsConfig", "acquire", "pcps_grid",
     "GnssScenario", "ReceiverConfig", "SatelliteConfig", "ScenarioConfig",
     "load_scenario_yaml",

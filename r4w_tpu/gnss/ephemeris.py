@@ -1,0 +1,251 @@
+"""Precise ephemeris: RINEX navigation, SP3 orbit files, IONEX TEC maps.
+
+Re-design of waveform/gnss/{ephemeris,sp3,ionex,cddis}.rs (feature
+`ephemeris`, ~2.1k LoC): text parsers + broadcast-ephemeris satellite
+position computation (IS-GPS-200 algorithm). The CDDIS downloader role
+is a local-file loader here (zero-egress environment); point it at
+mirrored files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+
+import numpy as np
+
+MU = 3.986005e14          # WGS-84 gravitational parameter (GPS value)
+OMEGA_E = 7.2921151467e-5  # earth rotation rate
+
+
+@dataclasses.dataclass
+class BroadcastEphemeris:
+    """One RINEX-nav record (subset used for position)."""
+
+    prn: int
+    toe: float          # time of ephemeris (seconds of week)
+    sqrt_a: float
+    e: float
+    i0: float
+    omega0: float       # RAAN at toe
+    omega: float        # argument of perigee
+    m0: float
+    delta_n: float
+    idot: float
+    omega_dot: float
+    cuc: float = 0.0
+    cus: float = 0.0
+    crc: float = 0.0
+    crs: float = 0.0
+    cic: float = 0.0
+    cis: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
+    af2: float = 0.0
+
+    def position(self, t_sow: float):
+        """ECEF position at GPS seconds-of-week t (IS-GPS-200 20.3.3.4.3)."""
+        a = self.sqrt_a**2
+        n = math.sqrt(MU / a**3) + self.delta_n
+        tk = t_sow - self.toe
+        if tk > 302400:
+            tk -= 604800
+        if tk < -302400:
+            tk += 604800
+        mk = self.m0 + n * tk
+        ek = mk
+        for _ in range(10):
+            ek = mk + self.e * math.sin(ek)
+        nu = math.atan2(math.sqrt(1 - self.e**2) * math.sin(ek),
+                        math.cos(ek) - self.e)
+        phi = nu + self.omega
+        du = self.cus * math.sin(2 * phi) + self.cuc * math.cos(2 * phi)
+        dr = self.crs * math.sin(2 * phi) + self.crc * math.cos(2 * phi)
+        di = self.cis * math.sin(2 * phi) + self.cic * math.cos(2 * phi)
+        u = phi + du
+        r = a * (1 - self.e * math.cos(ek)) + dr
+        i = self.i0 + di + self.idot * tk
+        x_orb = r * math.cos(u)
+        y_orb = r * math.sin(u)
+        omega_k = (self.omega0 + (self.omega_dot - OMEGA_E) * tk
+                   - OMEGA_E * self.toe)
+        x = (x_orb * math.cos(omega_k)
+             - y_orb * math.cos(i) * math.sin(omega_k))
+        y = (x_orb * math.sin(omega_k)
+             + y_orb * math.cos(i) * math.cos(omega_k))
+        z = y_orb * math.sin(i)
+        return np.array([x, y, z])
+
+    def clock_bias(self, t_sow: float) -> float:
+        dt = t_sow - self.toe
+        return self.af0 + self.af1 * dt + self.af2 * dt * dt
+
+
+def _f(s: str) -> float:
+    """RINEX float: fortran D exponents."""
+    return float(s.replace("D", "E").replace("d", "e"))
+
+
+def parse_rinex_nav(text: str) -> dict[int, list[BroadcastEphemeris]]:
+    """Parse RINEX 2.x GPS navigation message text (ephemeris.rs)."""
+    lines = text.splitlines()
+    # skip header
+    i = 0
+    for i, ln in enumerate(lines):
+        if "END OF HEADER" in ln:
+            i += 1
+            break
+    out: dict[int, list[BroadcastEphemeris]] = {}
+    while i + 7 < len(lines):
+        hdr = lines[i]
+        if len(hdr) < 22 or not hdr[:2].strip().isdigit():
+            i += 1
+            continue
+        prn = int(hdr[:2])
+        try:
+            af0, af1, af2 = _f(hdr[22:41]), _f(hdr[41:60]), _f(hdr[60:79])
+            rows = []
+            for j in range(1, 8):
+                ln = lines[i + j].ljust(79)
+                rows.append([
+                    _f(ln[3:22]) if ln[3:22].strip() else 0.0,
+                    _f(ln[22:41]) if ln[22:41].strip() else 0.0,
+                    _f(ln[41:60]) if ln[41:60].strip() else 0.0,
+                    _f(ln[60:79]) if ln[60:79].strip() else 0.0,
+                ])
+            eph = BroadcastEphemeris(
+                prn=prn,
+                crs=rows[0][1], delta_n=rows[0][2], m0=rows[0][3],
+                cuc=rows[1][0], e=rows[1][1], cus=rows[1][2],
+                sqrt_a=rows[1][3],
+                toe=rows[2][0], cic=rows[2][1], omega0=rows[2][2],
+                cis=rows[2][3],
+                i0=rows[3][0], crc=rows[3][1], omega=rows[3][2],
+                omega_dot=rows[3][3],
+                idot=rows[4][0],
+                af0=af0, af1=af1, af2=af2,
+            )
+            out.setdefault(prn, []).append(eph)
+        except (ValueError, IndexError):
+            pass
+        i += 8
+    return out
+
+
+# --------------------------------------------------------------------------
+# SP3 precise orbits (sp3.rs)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Sp3Record:
+    epoch_index: int
+    prn: str       # e.g. "G01"
+    pos_km: np.ndarray  # (3,)
+    clock_us: float
+
+
+def parse_sp3(text: str):
+    """Parse SP3-c position records → (epochs list of seconds, records)."""
+    epochs: list[float] = []
+    records: list[Sp3Record] = []
+    for ln in text.splitlines():
+        if ln.startswith("*"):
+            parts = ln.split()
+            # *  2024  1  1  0  0  0.0000
+            h, m, s = float(parts[4]), float(parts[5]), float(parts[6])
+            epochs.append(h * 3600 + m * 60 + s)
+        elif ln.startswith("P") and epochs:
+            prn = ln[1:4].strip()
+            try:
+                x, y, z, clk = (float(ln[4:18]), float(ln[18:32]),
+                                float(ln[32:46]), float(ln[46:60]))
+            except ValueError:
+                continue
+            records.append(Sp3Record(len(epochs) - 1, prn,
+                                     np.array([x, y, z]), clk))
+    return epochs, records
+
+
+def sp3_interpolate(epochs, records, prn: str, t_s: float,
+                    order: int = 7) -> np.ndarray:
+    """Lagrange-interpolated ECEF position (km) at time t (sp3.rs)."""
+    pts = [(epochs[r.epoch_index], r.pos_km) for r in records
+           if r.prn == prn]
+    if len(pts) < 2:
+        raise ValueError(f"not enough SP3 points for {prn}")
+    pts.sort(key=lambda p: p[0])
+    ts = np.array([p[0] for p in pts])
+    xs = np.stack([p[1] for p in pts])
+    k = min(order + 1, len(pts))
+    i0 = int(np.clip(np.searchsorted(ts, t_s) - k // 2, 0, len(pts) - k))
+    tt, xx = ts[i0 : i0 + k], xs[i0 : i0 + k]
+    out = np.zeros(3)
+    for j in range(k):
+        lj = 1.0
+        for m in range(k):
+            if m != j:
+                lj *= (t_s - tt[m]) / (tt[j] - tt[m])
+        out += lj * xx[j]
+    return out
+
+
+# --------------------------------------------------------------------------
+# IONEX TEC maps (ionex.rs)
+# --------------------------------------------------------------------------
+
+
+def parse_ionex(text: str):
+    """Parse IONEX TEC maps → dict epoch_index -> 2-D TEC grid plus the
+    (lat, lon) axes."""
+    lines = text.splitlines()
+    lat1 = lat2 = dlat = lon1 = lon2 = dlon = None
+    exponent = -1
+    maps: dict[int, np.ndarray] = {}
+    i = 0
+    current = None
+    cur_idx = None
+    cur_rows: list[float] = []
+    lat_count = 0
+    for ln in lines:
+        if "LAT1 / LAT2 / DLAT" in ln:
+            lat1, lat2, dlat = (float(ln[2:8]), float(ln[8:14]),
+                                float(ln[14:20]))
+        elif "LON1 / LON2 / DLON" in ln:
+            lon1, lon2, dlon = (float(ln[2:8]), float(ln[8:14]),
+                                float(ln[14:20]))
+        elif "EXPONENT" in ln:
+            exponent = int(ln.split()[0])
+        elif "START OF TEC MAP" in ln:
+            cur_idx = int(ln.split()[0]) - 1
+            current = []
+            cur_rows = []
+        elif "LAT/LON1/LON2/DLON/H" in ln and current is not None:
+            if cur_rows:
+                current.append(cur_rows)
+            cur_rows = []
+        elif "END OF TEC MAP" in ln and current is not None:
+            if cur_rows:
+                current.append(cur_rows)
+            maps[cur_idx] = np.asarray(current, float) * (10.0 ** exponent)
+            current = None
+        elif current is not None and ln[:60].strip() and not ln[60:].strip():
+            cur_rows.extend(float(v) for v in ln.split())
+    lats = (np.arange(lat1, lat2 + dlat / 2, dlat)
+            if lat1 is not None else None)
+    lons = (np.arange(lon1, lon2 + dlon / 2, dlon)
+            if lon1 is not None else None)
+    return maps, lats, lons
+
+
+def load_ephemeris_file(path: str):
+    """Auto-detecting loader (the cddis.rs role, local files only)."""
+    text = open(path).read()
+    if "NAV DATA" in text[:200] or "NAVIGATION DATA" in text[:200]:
+        return "rinex_nav", parse_rinex_nav(text)
+    if text.startswith("#c") or text.startswith("#d"):
+        return "sp3", parse_sp3(text)
+    if "IONEX VERSION" in text[:200]:
+        return "ionex", parse_ionex(text)
+    raise ValueError(f"unrecognized ephemeris format: {path}")

@@ -53,7 +53,9 @@ def encode_samples(samples, fmt: str = "cf32") -> bytes:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown IQ format {fmt}; know {list(_FORMATS)}")
     dt, scale, offset = _FORMATS[fmt]
-    x = np.asarray(samples)
+    from r4w_tpu.core.hostio import to_host
+
+    x = to_host(samples)
     if fmt == "ci16":
         from r4w_tpu import native
 
