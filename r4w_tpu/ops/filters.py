@@ -266,3 +266,57 @@ def design_bandpass(num_taps: int, f_lo: float, f_hi: float,
     return (2.0 * lp * np.cos(2.0 * np.pi * center * (n - m))).astype(
         np.float32
     )
+
+
+def design_equiripple(num_taps: int, bands, desired, weights=None,
+                      grid_density: int = 16, iters: int = 60
+                      ) -> np.ndarray:
+    """Equiripple linear-phase FIR design (filters/remez.rs role).
+
+    Same problem as Parks-McClellan — minimax multiband approximation —
+    solved with Lawson's iteratively-reweighted least squares on a dense
+    cosine-basis grid (robust, no exchange-step edge cases). Host-side
+    numpy float64 design.
+
+    bands: [(f_lo, f_hi), ...] in normalized frequency [0, 0.5];
+    desired: target gain per band; weights: relative ripple weights.
+    """
+    if num_taps % 2 == 0:
+        raise ValueError("design_equiripple needs an odd tap count")
+    bands = list(bands)
+    desired = list(desired)
+    if len(bands) != len(desired):
+        raise ValueError("bands and desired must have equal length")
+    w_bands = list(weights) if weights is not None else [1.0] * len(bands)
+    half = num_taps // 2
+    freqs = []
+    target = []
+    wgrid = []
+    for (lo, hi), d, wb in zip(bands, desired, w_bands):
+        npts = max(int((hi - lo) * 2 * grid_density * num_taps), 8)
+        f = np.linspace(lo, hi, npts)
+        freqs.append(f)
+        target.append(np.full(npts, float(d)))
+        wgrid.append(np.full(npts, float(wb)))
+    f = np.concatenate(freqs)
+    d = np.concatenate(target)
+    wb = np.concatenate(wgrid)
+    # amplitude response of a symmetric type-I filter:
+    # A(f) = c0 + 2 sum_k c_k cos(2 pi f k)
+    basis = np.cos(2 * np.pi * np.outer(f, np.arange(half + 1)))
+    basis[:, 1:] *= 2.0
+    lawson = np.ones_like(f)
+    c = None
+    for _ in range(iters):
+        w = np.sqrt(lawson) * wb
+        c, *_ = np.linalg.lstsq(basis * w[:, None], d * w, rcond=None)
+        err = np.abs(basis @ c - d) * wb
+        lawson *= err + 1e-12
+        lawson /= lawson.max()
+    taps = np.concatenate([c[half:0:-1], c[:half + 1]])
+    return taps
+
+
+def design_remez(num_taps: int, bands, desired, weights=None) -> np.ndarray:
+    """Parks-McClellan-compatible entry point (filters/remez.rs:design)."""
+    return design_equiripple(num_taps, bands, desired, weights)

@@ -145,3 +145,176 @@ def pfb_synthesizer(channels, taps_per_phase: int = 8):
     windows = ext[..., idx, :]  # (..., F, T, C)
     out = jnp.einsum("...ftc,ct->...fc", windows, bank[:, ::-1] * c)
     return out.reshape(*out.shape[:-2], -1)
+
+
+# ---------------------------------------------------------------- Farrow
+
+
+def farrow_resample(x, ratio: float, order: int = 3):
+    """Farrow-structure fractional resampler (farrow_resampler.rs).
+
+    Cubic-Lagrange interpolation at output positions k/ratio; unlike the
+    reference's per-sample state machine, every output sample's base
+    index and fractional offset mu are computed up-front, so the whole
+    resample is one gather + polynomial evaluation (TPU-friendly).
+    """
+    if order not in (1, 2, 3):
+        raise ValueError("farrow order must be 1, 2 or 3")
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    n_out = int(np.floor((n - order) * ratio))
+    t = jnp.arange(n_out, dtype=REAL_DTYPE) / ratio
+    base = jnp.floor(t).astype(jnp.int32)
+    mu = (t - base).astype(REAL_DTYPE)
+    if order == 1:
+        i0 = jnp.clip(base, 0, n - 2)
+        a = x[..., i0]
+        b = x[..., i0 + 1]
+        return a + (b - a) * mu
+    if order == 2:
+        i0 = jnp.clip(base, 1, n - 2)
+        m = mu + (base - i0).astype(REAL_DTYPE)
+        xm, x0, x1 = x[..., i0 - 1], x[..., i0], x[..., i0 + 1]
+        c1 = 0.5 * (x1 - xm)
+        c2 = 0.5 * (x1 - 2 * x0 + xm)
+        return x0 + m * (c1 + m * c2)
+    # cubic Lagrange on x[base-1 .. base+2], mu in [0,1) between the
+    # middle two points
+    i0 = jnp.clip(base, 1, n - 3)
+    mu = mu + (base - i0).astype(REAL_DTYPE)  # keep exact position
+    xm1, x0, x1, x2 = (x[..., i0 - 1], x[..., i0], x[..., i0 + 1],
+                       x[..., i0 + 2])
+    l_m1 = -mu * (mu - 1) * (mu - 2) / 6.0
+    l_0 = (mu + 1) * (mu - 1) * (mu - 2) / 2.0
+    l_1 = -(mu + 1) * mu * (mu - 2) / 2.0
+    l_2 = (mu + 1) * mu * (mu - 1) / 6.0
+    return xm1 * l_m1 + x0 * l_0 + x1 * l_1 + x2 * l_2
+
+
+# ----------------------------------------------------------------- WOLA
+
+
+def wola_channelize(x, num_channels: int, taps_per_channel: int = 4,
+                    window=None):
+    """Weighted overlap-add analysis channelizer (wola_channelizer.rs
+    process): critically sampled (hop = num_channels); returns
+    (..., n_frames, num_channels)."""
+    k = num_channels
+    p = taps_per_channel
+    x = jnp.asarray(x, IQ_DTYPE)
+    if window is None:
+        if p == 1:
+            w = np.ones(k)
+        else:
+            # windowed-sinc prototype with cutoff at the channel edge
+            t = np.arange(k * p) - (k * p - 1) / 2.0
+            w = np.sinc(t / k) * np.hanning(k * p)
+    else:
+        w = np.asarray(window, np.float64)
+        if len(w) != k * p:
+            raise ValueError("window must have num_channels*taps entries")
+    w = jnp.asarray(w, REAL_DTYPE)
+    n = x.shape[-1]
+    n_frames = n // k - p + 1
+    if n_frames <= 0:
+        return jnp.zeros(x.shape[:-1] + (0, k), IQ_DTYPE)
+    idx = jnp.arange(n_frames)[:, None] * k + jnp.arange(k * p)[None, :]
+    frames = x[..., idx] * w  # (..., F, K*P)
+    folded = frames.reshape(*frames.shape[:-1], p, k).sum(-2)
+    return jnp.fft.fft(folded, axis=-1)
+
+
+def wola_synthesize(channels, taps_per_channel: int = 4, window=None):
+    """Overlap-add synthesis inverse of wola_channelize
+    (wola_channelizer.rs synthesize_frame). With taps_per_channel=1
+    (rectangular window) reconstruction is exact."""
+    ch = jnp.asarray(channels, IQ_DTYPE)
+    k = ch.shape[-1]
+    p = taps_per_channel
+    if window is None:
+        if p == 1:
+            w = np.ones(k)
+        else:
+            t = np.arange(k * p) - (k * p - 1) / 2.0
+            w = np.sinc(t / k) * np.hanning(k * p)
+    else:
+        w = np.asarray(window, np.float64)
+    # normalize so analysis+synthesis windows overlap-add to unity
+    wsum = np.zeros(k)
+    for i in range(p):
+        wsum += (np.asarray(w[i * k:(i + 1) * k]) ** 2
+                 if p > 1 else np.ones(k))
+    w_syn = jnp.asarray(
+        (w if p > 1 else np.ones(k)) /
+        np.tile(np.maximum(wsum, 1e-12), p), REAL_DTYPE)
+    frames = jnp.fft.ifft(ch, axis=-1)  # (..., F, K)
+    expanded = jnp.tile(frames, (1,) * (frames.ndim - 1) + (p,)) * w_syn
+    f = frames.shape[-2]
+    n_out = (f + p - 1) * k
+    out = jnp.zeros((*frames.shape[:-2], n_out), IQ_DTYPE)
+    idx = jnp.arange(f)[:, None] * k + jnp.arange(k * p)[None, :]
+    out = out.at[..., idx].add(expanded)
+    return out
+
+
+# -------------------------------------------------------- PFB clock sync
+
+
+def pfb_clock_sync(x, sps: float, num_filts: int = 32,
+                   loop_bw: float = 0.1, rrc_beta: float = 0.35,
+                   span_symbols: int = 8):
+    """Polyphase-filterbank symbol timing recovery (pfb_clock_sync.rs).
+
+    GNU-Radio style: a bank of `num_filts` fractionally-delayed RRC
+    matched filters plus their derivatives; a 2nd-order loop picks the
+    branch whose derivative output is orthogonal to the symbol output.
+    One `lax.scan` step per recovered symbol. Returns (symbols (S,),
+    timing_track (S,))."""
+    from r4w_tpu.ops.pulse import root_raised_cosine_taps
+
+    x = jnp.asarray(x, IQ_DTYPE)
+    if x.ndim != 1:
+        raise ValueError("pfb_clock_sync expects a 1-D sample stream")
+    nf = num_filts
+    sps_i = int(round(sps))
+    # prototype RRC oversampled by the bank size; branch k is the
+    # prototype delayed by k/nf of a sample
+    proto = np.asarray(
+        root_raised_cosine_taps(sps_i * nf, num_symbols=span_symbols,
+                                rolloff=rrc_beta), np.float64) * nf
+    span = -(-len(proto) // nf)
+    proto = np.pad(proto, (0, span * nf - len(proto)))
+    dproto = np.gradient(proto)
+    bank = jnp.asarray(proto.reshape(span, nf).T, REAL_DTYPE)   # (NF, span)
+    dbank = jnp.asarray(dproto.reshape(span, nf).T, REAL_DTYPE)
+    n = x.shape[-1]
+    n_sym = int((n - span) // sps) - 2
+    if n_sym <= 0:
+        return jnp.zeros(0, IQ_DTYPE), jnp.zeros(0, REAL_DTYPE)
+    kp = loop_bw
+    ki = 0.25 * loop_bw * loop_bw
+
+    def step(carry, i):
+        phase, rate = carry
+        pos = i * sps + phase
+        base = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - base.astype(REAL_DTYPE)
+        # branch k applies a delay of -k/nf, so position base+frac needs
+        # branch nf - frac*nf applied one sample later
+        braw = jnp.round((1.0 - frac) * nf).astype(jnp.int32) % nf
+        base = jnp.clip(base + jnp.where(braw != 0, 1, 0), 0, n - span - 1)
+        win = jax.lax.dynamic_slice(x, (base,), (span,))
+        sym = jnp.sum(win * bank[braw])
+        dsym = jnp.sum(win * dbank[braw])
+        # energy-gradient TED, power-normalized: positive when late
+        err = jnp.clip(
+            (sym.real * dsym.real + sym.imag * dsym.imag)
+            / (sym.real**2 + sym.imag**2 + 1e-6), -1.0, 1.0)
+        rate = jnp.clip(rate - ki * err, -0.1, 0.1)
+        phase = phase + rate - kp * err
+        return (phase, rate), (sym, phase)
+
+    _, (syms, track) = jax.lax.scan(
+        step, (jnp.asarray(0.0, REAL_DTYPE), jnp.asarray(0.0, REAL_DTYPE)),
+        jnp.arange(n_sym))
+    return syms, track

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
@@ -247,3 +248,175 @@ def schmidl_cox(x, half_len: int):
     floor = 0.05 * jnp.max(r, axis=-1, keepdims=True)
     m = (jnp.abs(p) ** 2) / jnp.maximum(r, floor) ** 2
     return jnp.argmax(m, axis=-1), m, p
+
+
+# --------------------------------------------------------------- dpll
+
+
+def dpll_advance(errors, alpha: float, beta: float,
+                 max_freq: float = np.pi):
+    """Second-order PI phase loop driven by an external error sequence
+    (dpll.rs advance): returns (phase (N,), freq (N,)).
+
+    Typical alpha=4*BW, beta=4*BW^2 for critical damping.
+    """
+    e = jnp.asarray(errors, REAL_DTYPE)
+
+    def step(carry, en):
+        phase, freq = carry
+        freq = jnp.clip(freq + beta * en, -max_freq, max_freq)
+        phase = jnp.mod(phase + freq + alpha * en + np.pi,
+                        2 * np.pi) - np.pi
+        return (phase, freq), (phase, freq)
+
+    _, (ph, fr) = jax.lax.scan(
+        step, (jnp.asarray(0.0, REAL_DTYPE), jnp.asarray(0.0, REAL_DTYPE)),
+        e)
+    return ph, fr
+
+
+# ---------------------------------------------------------- FLL band-edge
+
+
+def _band_edge_taps(sps: float, rolloff: float, num_taps: int):
+    """Lowpass prototype of width ~rolloff/sps modulated to the two
+    band edges at ±(1+rolloff)/(2·sps) cycles/sample (fll_band_edge.rs
+    filter design role)."""
+    n = np.arange(num_taps) - (num_taps - 1) / 2.0
+    bw = rolloff / (2.0 * sps)  # one-sided prototype bandwidth
+    proto = np.sinc(2 * bw * n) * np.hamming(num_taps)
+    proto /= np.sum(proto)
+    fc = (1.0 + rolloff) / (2.0 * sps)
+    # the loop computes sum(buffer * taps) with newest sample last, which
+    # time-reverses the impulse response — negate the modulation so the
+    # "upper" taps really select the +fc band edge
+    upper = proto * np.exp(-2j * np.pi * fc * n)
+    lower = proto * np.exp(2j * np.pi * fc * n)
+    return upper.astype(np.complex64), lower.astype(np.complex64)
+
+
+def fll_band_edge(x, sps: float, rolloff: float = 0.35,
+                  num_taps: int = 45, loop_bw: float = 0.01):
+    """Band-edge frequency-locked loop (fll_band_edge.rs): balances
+    energy in filters straddling the two spectral band edges; returns
+    (corrected, freq_track_rad_per_sample)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    up, lo = _band_edge_taps(sps, rolloff, num_taps)
+    up = jnp.asarray(up)
+    lo = jnp.asarray(lo)
+    k = num_taps
+    kp = loop_bw
+    ki = 0.25 * loop_bw * loop_bw
+
+    def step(carry, xn):
+        phase, freq, buf = carry
+        xr = xn * jnp.exp(-1j * phase)
+        buf = jnp.concatenate([buf[1:], xr[None]])
+        e_up = jnp.abs(jnp.sum(buf * up)) ** 2
+        e_lo = jnp.abs(jnp.sum(buf * lo)) ** 2
+        err = jnp.clip((e_lo - e_up) / (e_lo + e_up + 1e-12), -1.0, 1.0)
+        freq = jnp.clip(freq - ki * err, -np.pi / 2, np.pi / 2)
+        phase = phase + freq - kp * err
+        return (phase, freq, buf), (xr, freq)
+
+    buf0 = jnp.zeros(k, IQ_DTYPE)
+    init = (jnp.asarray(0.0, REAL_DTYPE), jnp.asarray(0.0, REAL_DTYPE),
+            buf0)
+    _, (y, track) = jax.lax.scan(step, init, x)
+    return y, track
+
+
+# ---------------------------------------------------- access code / PN
+
+
+def access_code_correlate(bits, code):
+    """Slide a binary access code over a bit stream; returns the number
+    of matching bits at every alignment (access_code_detector.rs).
+    bits (..., N) in {0,1}, code (K,) -> (..., N-K+1) match counts."""
+    from r4w_tpu.ops.filters import fir_apply
+
+    b = 2.0 * jnp.asarray(bits, REAL_DTYPE) - 1.0
+    c = 2.0 * jnp.asarray(code, REAL_DTYPE) - 1.0
+    k = c.shape[0]
+    # correlation via streaming FIR with reversed taps; fir output y[n]
+    # = sum_j taps[j] b[n-j]; taps = c reversed -> y[n] = corr ending at n
+    y = fir_apply(c[::-1], b)[..., k - 1:]
+    return (y + k) / 2.0  # match count in 0..K
+
+
+def access_code_detect(bits, code, max_errors: int = 0):
+    """Positions where the access code matches within max_errors bit
+    flips. Returns a boolean mask over alignments."""
+    k = jnp.asarray(code).shape[0]
+    return access_code_correlate(bits, code) >= (k - max_errors)
+
+
+def pn_sync_correlate(received, reference):
+    """Circular correlation acquisition of a ±1 PN sequence
+    (pn_sync.rs PnSynchronizer::correlate): returns (offset, peak,
+    correlation magnitudes). Works on real or complex chips."""
+    rx = jnp.asarray(received)
+    ref = jnp.asarray(reference, rx.dtype if jnp.iscomplexobj(rx)
+                      else REAL_DTYPE)
+    n = ref.shape[-1]
+    m = rx.shape[-1] // n
+    if m >= 1:
+        # average code periods coherently for processing gain
+        rx_f = jnp.mean(rx[..., : m * n].reshape(*rx.shape[:-1], m, n),
+                        axis=-2)
+    else:
+        rx_f = rx[..., :n]
+    corr = jnp.fft.ifft(
+        jnp.fft.fft(rx_f.astype(IQ_DTYPE), axis=-1)
+        * jnp.conj(jnp.fft.fft(ref.astype(IQ_DTYPE), n)), axis=-1)
+    mag = jnp.abs(corr)
+    off = jnp.argmax(mag, axis=-1)
+    return off, jnp.max(mag, axis=-1) / n, mag / n
+
+
+def despread_pn(received, reference, offset):
+    """Despread with an aligned PN replica (pn_sync.rs despread)."""
+    rx = jnp.asarray(received)
+    ref = jnp.asarray(reference)
+    n = ref.shape[-1]
+    ref_rolled = jnp.roll(ref, offset)
+    m = rx.shape[-1] // n
+    chips = rx[..., : m * n].reshape(*rx.shape[:-1], m, n)
+    return jnp.mean(chips * ref_rolled, axis=-1)
+
+
+# -------------------------------------------------------------- bursts
+
+
+def burst_detect(x, window: int = 64, threshold_db: float = 10.0):
+    """Energy-rise burst detector (burst_synchronizer.rs role): moving
+    power vs global noise floor; returns (mask (N,), power_db (N,))."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    p = x.real**2 + x.imag**2
+    kern = jnp.ones(window, REAL_DTYPE) / window
+    from r4w_tpu.ops.filters import fir_apply
+
+    avg = fir_apply(kern, p)
+    floor = jnp.median(avg) + 1e-20
+    power_db = 10.0 * jnp.log10(jnp.maximum(avg, 1e-30) / floor)
+    return power_db > threshold_db, power_db
+
+
+def burst_synchronize(x, preamble, threshold: float = 0.5):
+    """Locate a burst by preamble cross-correlation: returns
+    (best_start, metric in 0..1, normalized correlation). Fine timing
+    companion to burst_detect."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    p = jnp.asarray(preamble, IQ_DTYPE)
+    k = p.shape[-1]
+    n = x.shape[-1]
+    nfft = int(2 ** np.ceil(np.log2(n + k)))
+    corr = jnp.fft.ifft(
+        jnp.fft.fft(x, nfft) * jnp.conj(jnp.fft.fft(p, nfft)))[:n - k + 1]
+    # normalize by local energy so the metric is |rho| in [0,1]
+    e_local = jnp.convolve(x.real**2 + x.imag**2, jnp.ones(k), "full")[
+        k - 1: n]
+    e_p = jnp.sum(p.real**2 + p.imag**2)
+    rho = jnp.abs(corr) / jnp.sqrt(jnp.maximum(e_local * e_p, 1e-30))
+    best = jnp.argmax(rho)
+    return best, rho[best], rho

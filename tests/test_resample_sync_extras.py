@@ -1,0 +1,216 @@
+"""Farrow/WOLA/PFB clock sync + FLL/DPLL/access-code/PN/burst sync."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from r4w_tpu.ops import resample as rs, sync as sy
+from r4w_tpu.ops.pulse import root_raised_cosine_taps
+
+
+def _rrc_bpsk(bits, sps=4):
+    taps = root_raised_cosine_taps(sps, 8, 0.35)
+    up = np.zeros(len(bits) * sps)
+    up[::sps] = bits
+    return np.convolve(up, taps)
+
+
+# -------------------------------------------------------------- Farrow
+
+
+def test_farrow_tone_preserved():
+    fs = 100.0
+    t = np.arange(1000) / fs
+    x = np.sin(2 * np.pi * 7.0 * t).astype(np.float32)
+    y = np.asarray(rs.farrow_resample(x, 1.5))
+    ty = np.arange(len(y)) / (fs * 1.5)
+    assert np.max(np.abs(y[20:-20] - np.sin(2 * np.pi * 7.0 *
+                                            ty[20:-20]))) < 2e-3
+
+
+def test_farrow_orders_and_downsample():
+    x = np.linspace(0, 1, 200).astype(np.float32) ** 2
+    for order in (1, 2, 3):
+        y = np.asarray(rs.farrow_resample(x, 0.7, order=order))
+        t = np.arange(len(y)) / 0.7 / 199.0
+        assert np.max(np.abs(y[5:-5] - t[5:-5] ** 2)) < 5e-3
+
+
+def test_farrow_complex():
+    n = 500
+    x = np.exp(2j * np.pi * 0.05 * np.arange(n)).astype(np.complex64)
+    y = np.asarray(rs.farrow_resample(x, 1.25))
+    t = np.arange(len(y)) / 1.25
+    assert np.max(np.abs(y[10:-10] -
+                         np.exp(2j * np.pi * 0.05 * t[10:-10]))) < 5e-3
+
+
+def test_farrow_bad_order():
+    import pytest
+
+    with pytest.raises(ValueError):
+        rs.farrow_resample(np.ones(16, np.float32), 1.0, order=5)
+
+
+# ---------------------------------------------------------------- WOLA
+
+
+def test_wola_rect_perfect_reconstruction():
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(512) + 1j * rng.standard_normal(512)
+           ).astype(np.complex64)
+    ch = rs.wola_channelize(sig, 8, taps_per_channel=1)
+    rec = np.asarray(rs.wola_synthesize(ch, taps_per_channel=1))
+    assert np.max(np.abs(rec[:504] - sig[:504])) < 1e-5
+
+
+def test_wola_tone_isolation():
+    n = 8
+    tone = np.exp(2j * np.pi * (3 / n) * np.arange(4096)).astype(
+        np.complex64)
+    chans = np.asarray(rs.wola_channelize(tone, n, taps_per_channel=4))
+    pw = np.mean(np.abs(chans) ** 2, axis=0)
+    assert np.argmax(pw) == 3
+    assert pw[3] > 100 * np.sort(pw)[-2]  # >20 dB isolation
+
+
+# ------------------------------------------------------- PFB clock sync
+
+
+def test_pfb_clock_sync_recovers_bpsk():
+    rng = np.random.default_rng(1)
+    bits = rng.choice([-1.0, 1.0], 800)
+    tx = _rrc_bpsk(bits)
+    # fractional rate error + 1-sample offset
+    rx = np.asarray(rs.farrow_resample(tx.astype(np.float32), 1.0002)
+                    )[1:].astype(np.complex64)
+    syms, _ = rs.pfb_clock_sync(rx, 4.0, num_filts=32, loop_bw=0.1)
+    tail = np.asarray(syms)[-400:]
+    amp = np.mean(np.abs(tail.real))
+    # eye mostly open: decisions unambiguous
+    assert float(np.min(np.abs(tail.real))) > 0.3 * amp
+    # hard decisions match the sent bits at some alignment
+    dec = np.sign(tail.real)
+    sent = bits[-(len(tail) + 8):]
+    best = max(
+        abs(np.mean(dec * sent[k:k + len(dec)])) for k in range(8))
+    assert best > 0.99
+
+
+# ------------------------------------------------------------- FLL/DPLL
+
+
+def test_fll_band_edge_locks():
+    rng = np.random.default_rng(2)
+    sym = rng.choice([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j], 3000) / np.sqrt(2)
+    sps = 4
+    up = np.zeros(len(sym) * sps, complex)
+    up[::sps] = sym
+    tx = np.convolve(up, root_raised_cosine_taps(sps, 8, 0.35))
+    for cfo in (0.02, -0.03):
+        rx = (tx * np.exp(1j * cfo * np.arange(len(tx)))).astype(
+            np.complex64)
+        _, track = sy.fll_band_edge(rx, sps, loop_bw=0.01)
+        assert abs(float(np.asarray(track)[-1]) - cfo) < 0.01
+
+
+def test_dpll_integrates_constant_error():
+    ph, fr = sy.dpll_advance(np.full(100, 0.1, np.float32),
+                             alpha=0.1, beta=0.01)
+    # frequency ramps up under constant positive error
+    assert float(fr[-1]) > float(fr[10]) > 0
+    assert np.all(np.abs(np.asarray(ph)) <= np.pi + 1e-6)
+
+
+# ------------------------------------------------------ access code / PN
+
+
+def test_access_code_detect():
+    rng = np.random.default_rng(3)
+    code = rng.integers(0, 2, 24)
+    bits = rng.integers(0, 2, 300)
+    bits[100:124] = code
+    mask = np.asarray(sy.access_code_detect(bits, code))
+    assert mask[100]
+    assert np.sum(mask) == 1
+    # one flipped bit still detected with max_errors=1
+    bits[105] ^= 1
+    assert not np.asarray(sy.access_code_detect(bits, code))[100]
+    assert np.asarray(sy.access_code_detect(bits, code, max_errors=1))[100]
+
+
+def test_pn_sync_finds_offset():
+    from r4w_tpu.ops.spreading import m_sequence
+
+    pn = np.asarray(m_sequence(7)).astype(np.float32)  # 127 chips, ±1
+    rng = np.random.default_rng(4)
+    rx = np.tile(np.roll(pn, 37), 4) + 0.5 * rng.standard_normal(4 * 127)
+    off, peak, mag = sy.pn_sync_correlate(rx.astype(np.float32), pn)
+    assert int(off) == 37
+    assert float(peak) > 3 * float(np.median(np.asarray(mag)))
+
+
+def test_despread_pn():
+    from r4w_tpu.ops.spreading import m_sequence
+
+    pn = np.asarray(m_sequence(6)).astype(np.float32)  # 63 chips
+    data = np.asarray([1.0, -1.0, 1.0, 1.0, -1.0])
+    tx = (data[:, None] * np.roll(pn, 5)[None, :]).reshape(-1)
+    out = np.asarray(sy.despread_pn(tx.astype(np.float32), pn, 5))
+    assert np.allclose(out, data, atol=1e-5)
+
+
+# -------------------------------------------------------------- bursts
+
+
+def test_burst_detect_and_synchronize():
+    rng = np.random.default_rng(5)
+    n = 4000
+    noise = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    preamble = np.exp(2j * np.pi * 0.1 * np.arange(64))
+    burst = np.concatenate([preamble,
+                            np.exp(2j * np.pi * 0.02 * np.arange(400))])
+    x = noise.astype(np.complex64)
+    x[1000:1000 + len(burst)] += burst.astype(np.complex64)
+    mask, pdb = sy.burst_detect(x, window=64, threshold_db=6.0)
+    mask = np.asarray(mask)
+    assert mask[1100] and not mask[200]
+    start, metric, _ = sy.burst_synchronize(x, preamble.astype(np.complex64))
+    assert abs(int(start) - 1000) <= 1
+    assert float(metric) > 0.8
+
+
+# ------------------------------------------------------------ equiripple
+
+
+def test_equiripple_lowpass_beats_windowed():
+    from r4w_tpu.ops import filters as ft
+
+    taps = ft.design_remez(63, [(0.0, 0.20), (0.26, 0.5)],
+                           [1.0, 0.0], [1.0, 10.0])
+    assert np.allclose(taps, taps[::-1])  # linear phase
+    w = np.abs(np.fft.rfft(taps, 4096))
+    f = np.linspace(0, 0.5, len(w))
+    pb, sb = w[f <= 0.20], w[f >= 0.26]
+    assert 20 * np.log10(pb.max()) < 0.1
+    assert 20 * np.log10(pb.min()) > -0.1
+    assert 20 * np.log10(sb.max()) < -70.0
+
+
+def test_equiripple_bandpass():
+    from r4w_tpu.ops import filters as ft
+
+    taps = ft.design_remez(81, [(0.0, 0.08), (0.12, 0.2), (0.24, 0.5)],
+                           [0.0, 1.0, 0.0])
+    w = np.abs(np.fft.rfft(taps, 4096))
+    f = np.linspace(0, 0.5, len(w))
+    assert 20 * np.log10(w[(f >= 0.13) & (f <= 0.19)].min()) > -0.1
+    assert 20 * np.log10(w[f <= 0.07].max()) < -50.0
+    assert 20 * np.log10(w[f >= 0.25].max()) < -50.0
+
+
+def test_equiripple_rejects_even_taps():
+    import pytest
+    from r4w_tpu.ops import filters as ft
+
+    with pytest.raises(ValueError):
+        ft.design_equiripple(64, [(0.0, 0.2)], [1.0])
