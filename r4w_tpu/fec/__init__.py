@@ -2,6 +2,7 @@
 codes (repetition/Golay), Reed-Solomon, BCH, LDPC, turbo, polar,
 interleavers, puncturing."""
 
+from r4w_tpu.fec import fountain
 from r4w_tpu.fec.convolutional import (
     conv_encode,
     depuncture,
@@ -35,6 +36,7 @@ from r4w_tpu.fec.interleave import (
 from r4w_tpu.ops.coding import hamming_decode, hamming_encode
 
 __all__ = [
+    "fountain",
     "conv_encode", "viterbi_decode", "puncture", "depuncture",
     "crc_compute", "crc_check", "fletcher16", "CRC_PARAMS",
     "repetition_encode", "repetition_decode", "golay_encode",

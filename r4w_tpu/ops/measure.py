@@ -189,3 +189,181 @@ def signal_power_db(x):
     x = jnp.asarray(x, IQ_DTYPE)
     return 10.0 * jnp.log10(jnp.maximum(
         jnp.mean(x.real**2 + x.imag**2, axis=-1), 1e-30))
+
+
+# -------------------------------------------------------------- wavelet
+
+
+_WAVELETS = {
+    "haar": np.asarray([1.0, 1.0]) / np.sqrt(2.0),
+    "db2": np.asarray([0.48296291314469025, 0.836516303737469,
+                       0.22414386804185735, -0.12940952255092145]),
+    "db4": np.asarray([0.23037781330885523, 0.7148465705525415,
+                       0.6308807679295904, -0.02798376941698385,
+                       -0.18703481171888114, 0.030841381835986965,
+                       0.032883011666982945, -0.010597401784997278]),
+}
+
+
+def dwt(x, wavelet: str = "haar", levels: int = 1):
+    """Multi-level discrete wavelet transform (wavelet.rs re-design):
+    returns [cA_L, cD_L, cD_{L-1}, ..., cD_1] (pywt ordering). Each
+    level is one strided conv pair — batch-friendly."""
+    if wavelet not in _WAVELETS:
+        raise ValueError(f"unknown wavelet {wavelet}; know {list(_WAVELETS)}")
+    h = _WAVELETS[wavelet]  # lowpass
+    g = h[::-1].copy()
+    g[1::2] *= -1.0  # highpass via QMF
+    lo = jnp.asarray(h[::-1], REAL_DTYPE)  # conv orientation
+    hi = jnp.asarray(g[::-1], REAL_DTYPE)
+    a = jnp.asarray(x, REAL_DTYPE)
+    details = []
+    for _ in range(levels):
+        n = a.shape[-1]
+        if n < len(h):
+            break
+        pad = (len(h) - 1)
+        ap = jnp.concatenate([a[..., -pad:], a], axis=-1)  # periodic ext
+        idx = jnp.arange(0, n, 2)[:, None] + jnp.arange(len(h))[None, :]
+        frames = ap[..., idx]
+        ca = jnp.einsum("...fk,k->...f", frames, lo)
+        cd = jnp.einsum("...fk,k->...f", frames, hi)
+        details.append(cd)
+        a = ca
+    return [a] + details[::-1]
+
+
+def dwt_denoise(x, wavelet: str = "db4", levels: int = 3,
+                threshold: float | None = None):
+    """Soft-threshold wavelet denoising. Returns same-length estimate
+    via inverse transform of thresholded coefficients (synthesis by
+    transposed strided conv)."""
+    coeffs = dwt(x, wavelet, levels)
+    ca, details = coeffs[0], coeffs[1:]
+    if threshold is None:
+        # universal threshold from the finest detail band
+        sigma = jnp.median(jnp.abs(details[-1])) / 0.6745
+        threshold = sigma * jnp.sqrt(2.0 * jnp.log(
+            jnp.asarray(float(jnp.asarray(x).shape[-1]))))
+    soft = [jnp.sign(d) * jnp.maximum(jnp.abs(d) - threshold, 0.0)
+            for d in details]
+    return idwt([ca] + soft, wavelet)
+
+
+def idwt(coeffs, wavelet: str = "haar"):
+    """Inverse multi-level DWT for the coefficient list from dwt()."""
+    h = _WAVELETS[wavelet]
+    g = h[::-1].copy()
+    g[1::2] *= -1.0
+    lo = jnp.asarray(h, REAL_DTYPE)
+    hi = jnp.asarray(g, REAL_DTYPE)
+    a = coeffs[0]
+    for cd in coeffs[1:]:
+        n = cd.shape[-1]
+        a = a[..., :n]
+        up_a = jnp.zeros((*a.shape[:-1], 2 * n), REAL_DTYPE
+                         ).at[..., ::2].set(a)
+        up_d = jnp.zeros((*cd.shape[:-1], 2 * n), REAL_DTYPE
+                         ).at[..., ::2].set(cd)
+        k = lo.shape[0]
+        pad = k - 1
+        up_a = jnp.concatenate([up_a, up_a[..., :pad]], axis=-1)
+        up_d = jnp.concatenate([up_d, up_d[..., :pad]], axis=-1)
+        idx = jnp.arange(2 * n)[:, None] + jnp.arange(k)[None, :]
+        # x[n] = sum_f ca[f] h[2f-n] + cd[f] g[2f-n] (same atoms as the
+        # convolution-form analysis) -> gather + dot with the unreversed
+        # filters, circularly extended
+        a = (jnp.einsum("...fk,k->...f", up_a[..., idx], lo)
+             + jnp.einsum("...fk,k->...f", up_d[..., idx], hi))
+    return a
+
+
+# -------------------------------------------------------- moving stats
+
+
+def moving_variance(x, length: int):
+    """Sliding-window variance (moving_variance.rs) via two moving sums."""
+    from r4w_tpu.ops.filters import moving_average
+
+    x = jnp.asarray(x, REAL_DTYPE)
+    m, _ = moving_average(x, length)
+    m2, _ = moving_average(x * x, length)
+    return jnp.maximum(m2 - m * m, 0.0)
+
+
+def moving_minmax(x, length: int):
+    """Sliding min and max over a window (moving_minmax.rs): windowed
+    reduce via gather (..., N-L+1)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    idx = jnp.arange(n - length + 1)[:, None] + jnp.arange(length)[None, :]
+    w = x[..., idx]
+    return jnp.min(w, axis=-1), jnp.max(w, axis=-1)
+
+
+def moving_autocorrelation(x, length: int, lag: int = 1):
+    """Sliding normalized autocorrelation at a fixed lag
+    (moving_autocorrelation.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = x.shape[-1]
+    prod = x[..., lag:] * jnp.conj(x[..., :-lag])
+    pwr = x.real**2 + x.imag**2
+    m = n - lag - length + 1
+    if m <= 0:
+        return jnp.zeros((*x.shape[:-1], 0), IQ_DTYPE)
+    idx = jnp.arange(m)[:, None] + jnp.arange(length)[None, :]
+    num = jnp.sum(prod[..., idx], axis=-1)
+    den = jnp.sum(pwr[..., idx], axis=-1)
+    return num / jnp.maximum(den, 1e-30)
+
+
+# ------------------------------------------------- constellation/quality
+
+
+def constellation_persistence(symbols, bins: int = 64, extent: float = 1.5):
+    """2-D constellation density histogram (constellation_tracer.rs GUI
+    role): scatter-add of symbol positions -> (bins, bins) counts."""
+    s = jnp.asarray(symbols).reshape(-1)
+    xi = jnp.clip(((s.real + extent) / (2 * extent) * bins).astype(
+        jnp.int32), 0, bins - 1)
+    yi = jnp.clip(((s.imag + extent) / (2 * extent) * bins).astype(
+        jnp.int32), 0, bins - 1)
+    return jnp.zeros((bins, bins), jnp.float32).at[yi, xi].add(1.0)
+
+
+def noise_figure_db(gain_db: float, t_noise_k: float,
+                    t0_k: float = 290.0):
+    """Noise figure from effective noise temperature (noise_figure.rs)."""
+    return 10.0 * np.log10(1.0 + t_noise_k / t0_k)
+
+
+def cascade_noise_figure_db(stages):
+    """Friis cascade: stages = [(gain_db, nf_db), ...] -> total NF dB."""
+    f_tot = 0.0
+    g_acc = 1.0
+    for i, (g_db, nf_db) in enumerate(stages):
+        f = 10 ** (nf_db / 10.0)
+        if i == 0:
+            f_tot = f
+        else:
+            f_tot += (f - 1.0) / g_acc
+        g_acc *= 10 ** (g_db / 10.0)
+    return 10.0 * np.log10(f_tot)
+
+
+def signal_quality(symbols, reference):
+    """Aggregate link metrics (signal_quality_metrics.rs): EVM %, SNR
+    estimate, magnitude/phase error."""
+    s = jnp.asarray(symbols, IQ_DTYPE)
+    r = jnp.asarray(reference, IQ_DTYPE)
+    err = s - r
+    p_ref = jnp.mean(r.real**2 + r.imag**2)
+    p_err = jnp.mean(err.real**2 + err.imag**2)
+    evm = jnp.sqrt(p_err / jnp.maximum(p_ref, 1e-30))
+    return {
+        "evm_pct": 100.0 * evm,
+        "snr_db": 10.0 * jnp.log10(jnp.maximum(p_ref / jnp.maximum(
+            p_err, 1e-30), 1e-30)),
+        "mag_err": jnp.mean(jnp.abs(jnp.abs(s) - jnp.abs(r))),
+        "phase_err_rad": jnp.mean(jnp.abs(jnp.angle(s * jnp.conj(r)))),
+    }
