@@ -494,6 +494,16 @@ def cmd_adsb(args):
     sys.exit(f"unknown adsb subcommand {args.adsb_cmd}")
 
 
+def cmd_gallery(args):
+    """Regenerate the PNG gallery (reference gallery/ directory)."""
+    from r4w_tpu import viz
+
+    names = args.waveforms.split(",") if args.waveforms else None
+    made = viz.generate_gallery(args.output, names, args.sample_rate)
+    made += viz.generate_channel_gallery(args.output, args.sample_rate)
+    print(f"wrote {len(made)} figures under {args.output}")
+
+
 def cmd_mesh(args):
     """Mesh tools (cmd_mesh, main.rs:2223-2489)."""
     from r4w_tpu import mesh
@@ -692,6 +702,13 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--hex-frame", default=None)
     a.add_argument("-s", "--sample-rate", type=float, default=8e6)
     a.set_defaults(fn=cmd_adsb)
+
+    sp = sub.add_parser("gallery", help="regenerate the PNG figure gallery")
+    sp.add_argument("-o", "--output", default="gallery")
+    sp.add_argument("--waveforms", default=None,
+                    help="comma-separated subset (default: all)")
+    sp.add_argument("-s", "--sample-rate", type=float, default=48000.0)
+    sp.set_defaults(fn=cmd_gallery)
 
     sp = sub.add_parser("mesh", help="mesh networking tools")
     ms = sp.add_subparsers(dest="mesh_cmd", required=True)

@@ -81,20 +81,25 @@ def linear_modulate(bits: jax.Array, constellation: jax.Array,
                     value_to_index: jax.Array, bits_per_symbol: int,
                     sps: int) -> jax.Array:
     """bits (..., B) -> IQ (..., (B/bps)*sps). B must divide bps (pre-pad)."""
+    from r4w_tpu.core.hostio import to_device
+
     values = bits_to_symbols(bits, bits_per_symbol)
     idx = jnp.asarray(value_to_index)[values]
-    points = jnp.asarray(constellation, IQ_DTYPE)[idx]  # (..., S)
+    # complex-safe host->device transfer (axon lacks complex copies)
+    points = to_device(constellation).astype(IQ_DTYPE)[idx]  # (..., S)
     return jnp.repeat(points, sps, axis=-1)
 
 
 def linear_demodulate_symbols(samples: jax.Array, constellation: jax.Array,
                               sps: int):
     """IQ (..., S*sps) -> (constellation indices (..., S), evm_rms, snr_db)."""
-    samples = jnp.asarray(samples, IQ_DTYPE)
+    from r4w_tpu.core.hostio import to_device
+
+    samples = to_device(samples).astype(IQ_DTYPE)
     s = samples.shape[-1] // sps
     chunks = samples[..., : s * sps].reshape(*samples.shape[:-1], s, sps)
     avg = jnp.mean(chunks, axis=-1)  # (..., S)
-    const = jnp.asarray(constellation, IQ_DTYPE)
+    const = to_device(constellation).astype(IQ_DTYPE)
     d = avg[..., None] - const  # (..., S, M)
     dist = d.real**2 + d.imag**2
     idx = jnp.argmin(dist, axis=-1).astype(SYMBOL_DTYPE)

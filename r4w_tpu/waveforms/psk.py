@@ -68,14 +68,14 @@ class PSK(Waveform):
             bits = np.pad(bits, (0, bps - rem))
         const = lm.psk_constellation(self.num_phases, self.common.amplitude)
         v2i = lm.psk_value_to_index(self.num_phases)
-        return lm.linear_modulate(jnp.asarray(bits), jnp.asarray(const),
+        return lm.linear_modulate(jnp.asarray(bits), const,
                                   jnp.asarray(v2i), bps,
                                   self.samples_per_symbol())
 
     def demodulate(self, samples) -> DemodResult:
         const = lm.psk_constellation(self.num_phases, self.common.amplitude)
         idx, evm, snr = lm.linear_demodulate_symbols(
-            jnp.asarray(samples), jnp.asarray(const), self.samples_per_symbol()
+            samples, const, self.samples_per_symbol()
         )
         i2v = lm.index_to_value(lm.psk_value_to_index(self.num_phases))
         bits = lm.indices_to_bits(idx, jnp.asarray(i2v), self.bits_per_symbol)

@@ -60,14 +60,14 @@ class QAM(Waveform):
             bits = np.pad(bits, (0, bps - rem))
         const = lm.qam_constellation(self.order, self.common.amplitude)
         v2i = lm.qam_value_to_index(self.order)
-        return lm.linear_modulate(jnp.asarray(bits), jnp.asarray(const),
+        return lm.linear_modulate(jnp.asarray(bits), const,
                                   jnp.asarray(v2i), bps,
                                   self.samples_per_symbol())
 
     def demodulate(self, samples) -> DemodResult:
         const = lm.qam_constellation(self.order, self.common.amplitude)
         idx, evm, snr = lm.linear_demodulate_symbols(
-            jnp.asarray(samples), jnp.asarray(const), self.samples_per_symbol()
+            samples, const, self.samples_per_symbol()
         )
         i2v = lm.index_to_value(lm.qam_value_to_index(self.order))
         bits = lm.indices_to_bits(idx, jnp.asarray(i2v), self.bits_per_symbol)
