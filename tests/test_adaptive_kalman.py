@@ -187,3 +187,35 @@ def test_fft_filter_matches_direct():
     y_dir = np.asarray(filters.fir_apply(taps, x.real)) + \
         1j * np.asarray(filters.fir_apply(taps, x.imag))
     assert np.max(np.abs(y_fft - y_dir)) < 1e-3
+
+
+def test_lora_mxu_chirp_synthesis_matches_gather():
+    import jax.numpy as jnp
+
+    from r4w_tpu.waveforms import lora
+    from r4w_tpu.waveforms.lora import chirp as chirp_mod
+
+    p = lora.LoRaParams(sf=7)
+    syms = np.arange(128, dtype=np.int32).reshape(2, 64)
+    a = np.asarray(jnp.asarray(
+        chirp_mod.symbol_chirps(p, syms, method="mxu")))
+    b = np.asarray(jnp.asarray(
+        chirp_mod.symbol_chirps(p, syms, method="gather")))
+    assert np.max(np.abs(a - b)) < 5e-3
+    # demod decisions identical
+    out_a, _, _ = lora.demodulate_symbols(p, jnp.asarray(a))
+    out_b, _, _ = lora.demodulate_symbols(p, jnp.asarray(b))
+    assert np.array_equal(np.asarray(out_a), np.asarray(out_b))
+    assert np.array_equal(np.asarray(out_a).reshape(-1), np.arange(128))
+
+
+def test_lora_mxu_rejects_oversample():
+    import pytest
+
+    from r4w_tpu.waveforms import lora
+    from r4w_tpu.waveforms.lora import chirp as chirp_mod
+
+    p = lora.LoRaParams(sf=7, oversample=2)
+    with pytest.raises(ValueError):
+        chirp_mod.symbol_chirps(p, np.zeros((1, 4), np.int32),
+                                method="mxu")
