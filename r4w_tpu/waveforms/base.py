@@ -109,6 +109,21 @@ class Waveform(abc.ABC):
             "description": f"{self.info().name} modulated signal",
         }
 
+    def get_modulation_stages(self, data) -> list[tuple[str, object]]:
+        """Named intermediate signals for the educational pipeline view
+        (mod.rs get_modulation_stages default). Waveforms with richer
+        chains override to expose coding/shaping steps."""
+        bits = data_to_bits(data)
+        return [("input bits", bits),
+                ("modulated IQ", self.modulate(data))]
+
+    def get_demodulation_steps(self, samples) -> list[tuple[str, object]]:
+        """Named receiver steps (mod.rs get_demodulation_steps default)."""
+        res = self.demodulate(samples)
+        return [("received IQ", samples),
+                ("decisions", res.symbols),
+                ("bits", res.bits)]
+
 
 # --------------------------------------------------------------------------
 # Registry / factory (mod.rs:459-600)
