@@ -494,6 +494,84 @@ def cmd_adsb(args):
     sys.exit(f"unknown adsb subcommand {args.adsb_cmd}")
 
 
+def cmd_udp_send(args):
+    """Stream an IQ file or generated waveform over UDP (cmd_udp_send,
+    main.rs:2040)."""
+    from r4w_tpu.net import UdpSink
+
+    if args.input:
+        samples = _read_iq(args.input, args.format)
+    else:
+        wf = _load_waveform(args.waveform, args.sample_rate)
+        samples = to_host(wf.modulate(_parse_payload(args)))
+    sink = UdpSink(args.host, args.port)
+    reps = max(1, args.repeat)
+    total = 0
+    for _ in range(reps):
+        total += sink.send(samples)
+        if args.interval > 0:
+            time.sleep(args.interval)
+    print(f"sent {len(samples) * reps} samples in {total} packets to "
+          f"{args.host}:{args.port}")
+
+
+def cmd_agent(args):
+    """Run the remote-control agent daemon (cmd_agent, main.rs:2201)."""
+    from r4w_tpu.agent import AgentServer
+
+    server = AgentServer(args.bind, args.port)
+    print(f"agent listening on {args.bind}:{server.port} "
+          "(ping/status/start_tx/stop_tx/list_waveforms/shutdown)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("agent stopped")
+
+
+def cmd_remote(args):
+    """Drive a remote agent (cmd_remote start-tx/start-rx, main.rs:4536)."""
+    from r4w_tpu.agent import AgentClient
+
+    client = AgentClient(args.host, args.port)
+    try:
+        if args.remote_cmd == "ping":
+            t0 = time.perf_counter()
+            client.ping()
+            print(f"pong in {1e3 * (time.perf_counter() - t0):.1f} ms")
+        elif args.remote_cmd == "status":
+            print(json.dumps(client.status(), indent=2))
+        elif args.remote_cmd == "start-tx":
+            r = client.start_tx(
+                f"{args.target_host}:{args.target_port}",
+                waveform=args.waveform, message=args.message,
+                sample_rate=args.sample_rate)
+            print(json.dumps(r))
+        elif args.remote_cmd == "stop-tx":
+            print(json.dumps(client.stop_tx()))
+        elif args.remote_cmd == "shutdown":
+            print(json.dumps(client.shutdown()))
+        else:
+            sys.exit(f"unknown remote subcommand {args.remote_cmd}")
+    finally:
+        client.close()
+
+
+def cmd_completions(args):
+    """Emit a bash completion script (cmd_completions role)."""
+    p = build_parser()
+    subs = sorted(
+        a.choices for a in p._subparsers._group_actions)[0]
+    names = " ".join(subs)
+    print(f"""_r4w_tpu() {{
+  local cur=${{COMP_WORDS[COMP_CWORD]}}
+  if [ $COMP_CWORD -eq 1 ]; then
+    COMPREPLY=( $(compgen -W "{names}" -- "$cur") )
+  fi
+}}
+complete -F _r4w_tpu r4w-tpu
+complete -F _r4w_tpu "python -m r4w_tpu.cli" 2>/dev/null || true""")
+
+
 def cmd_gallery(args):
     """Regenerate the PNG gallery (reference gallery/ directory)."""
     from r4w_tpu import viz
@@ -702,6 +780,44 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--hex-frame", default=None)
     a.add_argument("-s", "--sample-rate", type=float, default=8e6)
     a.set_defaults(fn=cmd_adsb)
+
+    sp = sub.add_parser("udp-send", help="stream IQ samples over UDP")
+    sp.add_argument("-i", "--input", default=None)
+    sp.add_argument("-f", "--format", default="cf32")
+    sp.add_argument("-w", "--waveform", default="BPSK")
+    sp.add_argument("-m", "--message", default="hello")
+    sp.add_argument("--hex", default=None)
+    sp.add_argument("-s", "--sample-rate", type=float, default=125e3)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("-p", "--port", type=int, default=5000)
+    sp.add_argument("-r", "--repeat", type=int, default=1)
+    sp.add_argument("--interval", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_udp_send)
+
+    sp = sub.add_parser("agent", help="run the remote-control agent")
+    sp.add_argument("--bind", default="0.0.0.0")
+    sp.add_argument("-p", "--port", type=int, default=6000)
+    sp.set_defaults(fn=cmd_agent)
+
+    sp = sub.add_parser("remote", help="control a remote agent")
+    rc = sp.add_subparsers(dest="remote_cmd", required=True)
+    for name in ("ping", "status", "stop-tx", "shutdown"):
+        r = rc.add_parser(name)
+        r.add_argument("--host", default="127.0.0.1")
+        r.add_argument("-p", "--port", type=int, default=6000)
+        r.set_defaults(fn=cmd_remote)
+    r = rc.add_parser("start-tx")
+    r.add_argument("--host", default="127.0.0.1")
+    r.add_argument("-p", "--port", type=int, default=6000)
+    r.add_argument("-w", "--waveform", default="BPSK")
+    r.add_argument("-m", "--message", default="hello")
+    r.add_argument("--target-host", default="127.0.0.1")
+    r.add_argument("--target-port", type=int, default=5000)
+    r.add_argument("-s", "--sample-rate", type=float, default=125e3)
+    r.set_defaults(fn=cmd_remote)
+
+    sp = sub.add_parser("completions", help="emit bash completions")
+    sp.set_defaults(fn=cmd_completions)
 
     sp = sub.add_parser("gallery", help="regenerate the PNG figure gallery")
     sp.add_argument("-o", "--output", default="gallery")
