@@ -18,6 +18,8 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
+from r4w_tpu.core.hostio import cis
+
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 
@@ -26,7 +28,7 @@ def _complex_normal(key, shape, std):
     re_key, im_key = jax.random.split(key)
     re = jax.random.normal(re_key, shape, REAL_DTYPE) * std
     im = jax.random.normal(im_key, shape, REAL_DTYPE) * std
-    return (re + 1j * im).astype(IQ_DTYPE)
+    return jax.lax.complex(re, im).astype(IQ_DTYPE)
 
 
 def awgn(key, samples, snr_db, path_loss_db=0.0, measured_power=None):
@@ -57,7 +59,7 @@ def cfo(samples, cfo_hz, sample_rate, initial_phase=0.0):
     # float64 index math avoids phase drift on long blocks; rotate in c64
     t = jnp.arange(n, dtype=jnp.float32)
     phase = initial_phase + 2.0 * jnp.pi * (cfo_hz / sample_rate) * t
-    return samples * jnp.exp(1j * phase.astype(jnp.float32)).astype(IQ_DTYPE)
+    return samples * cis(phase.astype(jnp.float32)).astype(IQ_DTYPE)
 
 
 def multipath_2ray(samples, delay_samples: int, amplitude: float):

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from r4w_tpu.core.hostio import cis
+
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 LIGHT_SPEED = 299_792_458.0
@@ -43,14 +45,14 @@ def jakes_fading(key, n_samples: int, doppler_hz, sample_rate,
     arg = w[:, None] * t[None, :]  # (M, N)
     i = jnp.sum(jnp.cos(arg + phi_i[:, None]), axis=0)
     q = jnp.sum(jnp.cos(arg + phi_q[:, None]), axis=0)
-    h = (i + 1j * q) / jnp.sqrt(m)
+    h = jax.lax.complex(i, q) / jnp.sqrt(m)
     return h.astype(IQ_DTYPE)
 
 
 def flat_doppler_shift(n_samples: int, doppler_hz, sample_rate):
     """Pure frequency shift e^{j2π f_d t} (doppler.rs:244-320 Flat)."""
     t = jnp.arange(n_samples, dtype=REAL_DTYPE) / sample_rate
-    return jnp.exp(1j * (2.0 * jnp.pi * doppler_hz * t).astype(REAL_DTYPE)).astype(
+    return cis((2.0 * jnp.pi * doppler_hz * t).astype(REAL_DTYPE)).astype(
         IQ_DTYPE
     )
 
@@ -68,4 +70,4 @@ def gaussian_doppler_fading(key, n_samples: int, doppler_std_hz, sample_rate,
     arg = 2.0 * jnp.pi * freqs[:, None] * t[None, :]
     i = jnp.sum(jnp.cos(arg + phi_i[:, None]), axis=0)
     q = jnp.sum(jnp.cos(arg + phi_q[:, None]), axis=0)
-    return ((i + 1j * q) / jnp.sqrt(m)).astype(IQ_DTYPE)
+    return (jax.lax.complex(i, q) / jnp.sqrt(m)).astype(IQ_DTYPE)

@@ -49,3 +49,15 @@ def to_device(x) -> jax.Array:
     r = jnp.asarray(np.ascontiguousarray(x.real, np.float32))
     i = jnp.asarray(np.ascontiguousarray(x.imag, np.float32))
     return _combine(r, i)
+
+
+def cis(phase) -> jax.Array:
+    """exp(j*phase) via lax.complex(cos, sin).
+
+    Equivalent to jnp.exp(1j*phase) but avoids the f32->c64
+    convert_element_type that eager complex promotion emits — that
+    conversion is unimplemented on some TPU runtimes (the same gap as
+    the host-copy one above). Compiles to the same HLO under jit.
+    """
+    p = jnp.asarray(phase, jnp.float32)
+    return jax.lax.complex(jnp.cos(p), jnp.sin(p))

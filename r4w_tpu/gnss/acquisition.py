@@ -19,6 +19,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, next_pow2
@@ -95,8 +97,8 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
     # carrier wipeoff for every Doppler bin at once: (D, L). Per-slice
     # carrier start phases differ but only add a constant rotation per
     # slice, which |·|² discards.
-    carriers = jnp.exp(
-        (-2j * jnp.pi) * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
+    carriers = cis(
+        -2 * jnp.pi * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
     ).astype(IQ_DTYPE)
     mixed = x[:, None, :] * carriers[None, :, :]  # (K, D, L)
     mixed_fft = jnp.fft.fft(mixed, n=nfft, axis=-1)  # (K, D, F)

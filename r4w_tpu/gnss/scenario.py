@@ -22,6 +22,8 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -178,12 +180,12 @@ class GnssScenario:
             phase = 2.0 * jnp.pi * (
                 theta0[:, None] + dop_eff[:, None] * tau[None, :]
             )
-            carrier = jnp.exp(1j * phase.astype(REAL_DTYPE))
+            carrier = cis(phase.astype(REAL_DTYPE))
             composite = jnp.sum(amps[:, None] * chipsig * carrier, axis=0)
             k1, k2 = jax.random.split(key)
             noise = (
-                jax.random.normal(k1, (n,), REAL_DTYPE)
-                + 1j * jax.random.normal(k2, (n,), REAL_DTYPE)
+                jax.lax.complex(jax.random.normal(k1, (n,), REAL_DTYPE),
+                                jax.random.normal(k2, (n,), REAL_DTYPE))
             ) * jnp.sqrt(0.5)
             return (composite + noise).astype(IQ_DTYPE)
 

@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -108,7 +110,7 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
         spc = cfg.sample_rate / st.code_freq  # samples per chip
         # carrier strip (tracking.rs:186-194)
         ph = st.carrier_freq * t_in_block + st.carrier_phase
-        carrier = jnp.exp((-2j * jnp.pi) * ph.astype(REAL_DTYPE))
+        carrier = cis(-2 * jnp.pi * ph.astype(REAL_DTYPE))
         stripped = block * carrier.astype(IQ_DTYPE)
         # E/P/L code replicas via gathers
         chip = st.code_phase + i_idx / spc

@@ -241,4 +241,4 @@ def nco_mix(x: jax.Array, freq_hz: float, sample_rate: float,
         ),
         interpret=interpret,
     )(params, xr, xi)
-    return (orr[0, :n] + 1j * oii[0, :n]).astype(jnp.complex64)
+    return jax.lax.complex(orr[0, :n], oii[0, :n]).astype(jnp.complex64)

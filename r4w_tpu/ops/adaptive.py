@@ -71,7 +71,8 @@ def savgol_smooth(x, window: int = 11, polyorder: int = 3):
     x = jnp.asarray(x)
     half = window // 2
     if jnp.iscomplexobj(x):
-        y = fir_apply(taps, x.real) + 1j * fir_apply(taps, x.imag)
+        y = jax.lax.complex(fir_apply(taps, x.real),
+                            fir_apply(taps, x.imag))
     else:
         y = fir_apply(taps, x)
     # streaming FIR alignment: centered output for x[n] sits at y[n+half]

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -131,8 +133,8 @@ def cyclostationary_detector(x, alpha_hz, sample_rate, nfft: int = 256):
     x = jnp.asarray(x, IQ_DTYPE)
     n = x.shape[-1]
     t = jnp.arange(n, dtype=REAL_DTYPE) / sample_rate
-    up = x * jnp.exp(1j * (jnp.pi * alpha_hz * t).astype(REAL_DTYPE))
-    dn = x * jnp.exp(-1j * (jnp.pi * alpha_hz * t).astype(REAL_DTYPE))
+    up = x * cis((jnp.pi * alpha_hz * t).astype(REAL_DTYPE))
+    dn = x * cis(-(jnp.pi * alpha_hz * t).astype(REAL_DTYPE))
     from r4w_tpu.ops.measure import stft
 
     s_up = stft(up, nfft)

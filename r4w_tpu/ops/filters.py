@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -56,7 +58,7 @@ def fir_filter(taps, x, state=None):
     if jnp.iscomplexobj(x):
         yr = _conv_valid(ext.real, taps)
         yi = _conv_valid(ext.imag, taps)
-        y = (yr + 1j * yi).astype(IQ_DTYPE)
+        y = jax.lax.complex(yr, yi).astype(IQ_DTYPE)
     else:
         y = _conv_valid(ext, taps)
     new_state = ext[..., ext.shape[-1] - (k - 1):] if k > 1 else state
@@ -90,7 +92,7 @@ def freq_xlating_fir(taps, x, center_freq, sample_rate, state=None,
     n = x.shape[-1]
     w = -2.0 * jnp.pi * center_freq / sample_rate
     ph = phase0 + w * jnp.arange(n, dtype=REAL_DTYPE)
-    shifted = x * jnp.exp(1j * ph.astype(REAL_DTYPE))
+    shifted = x * cis(ph.astype(REAL_DTYPE))
     y, state = fir_filter(taps, shifted, state)
     return y, state, phase0 + w * n
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from r4w_tpu.core.hostio import cis
+
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 
@@ -21,7 +23,7 @@ def phase_noise(key, x, linewidth_hz, sample_rate):
     std = jnp.sqrt(2.0 * jnp.pi * linewidth_hz / sample_rate)
     steps = jax.random.normal(key, x.shape[:-1] + (n,), REAL_DTYPE) * std
     phi = jnp.cumsum(steps, axis=-1)
-    return x * jnp.exp(1j * phi.astype(REAL_DTYPE))
+    return x * cis(phi.astype(REAL_DTYPE))
 
 
 def iq_imbalance(x, gain_db=0.5, phase_deg=2.0):
@@ -32,7 +34,7 @@ def iq_imbalance(x, gain_db=0.5, phase_deg=2.0):
     phi = jnp.deg2rad(jnp.asarray(phase_deg, REAL_DTYPE))
     i = g * x.real
     q = x.imag * jnp.cos(phi) + x.real * jnp.sin(phi)
-    return (i + 1j * q).astype(IQ_DTYPE)
+    return jax.lax.complex(i, q).astype(IQ_DTYPE)
 
 
 def iq_imbalance_estimate(x):
@@ -53,12 +55,14 @@ def iq_imbalance_correct(x, gain, phase):
     x = jnp.asarray(x, IQ_DTYPE)
     i = x.real / gain
     q = (x.imag - i * jnp.sin(phase)) / jnp.cos(phase)
-    return (i + 1j * q).astype(IQ_DTYPE)
+    return jax.lax.complex(i, q).astype(IQ_DTYPE)
 
 
 def dc_offset(x, offset_i=0.0, offset_q=0.0):
     """Additive DC (hw_impairments.rs DcOffset:166)."""
-    return jnp.asarray(x, IQ_DTYPE) + (offset_i + 1j * offset_q)
+    off = jax.lax.complex(jnp.asarray(offset_i, REAL_DTYPE),
+                          jnp.asarray(offset_q, REAL_DTYPE))
+    return jnp.asarray(x, IQ_DTYPE) + off
 
 
 def saleh_pa(x, alpha_a=2.1587, beta_a=1.1517, alpha_p=4.0033, beta_p=9.1040):
@@ -69,7 +73,7 @@ def saleh_pa(x, alpha_a=2.1587, beta_a=1.1517, alpha_p=4.0033, beta_p=9.1040):
     r2 = r * r
     gain = alpha_a / (1.0 + beta_a * r2)
     pm = alpha_p * r2 / (1.0 + beta_p * r2)
-    return (x * gain * jnp.exp(1j * pm.astype(REAL_DTYPE))).astype(IQ_DTYPE)
+    return (x * gain * cis(pm.astype(REAL_DTYPE))).astype(IQ_DTYPE)
 
 
 def rapp_pa(x, saturation=1.0, smoothness=2.0):
@@ -88,4 +92,4 @@ def quantize_dac(x, bits: int = 12, full_scale: float = 1.0):
     levels = 2 ** (bits - 1)
     step = full_scale / levels
     q = lambda v: jnp.clip(jnp.round(v / step), -levels, levels - 1) * step
-    return (q(x.real) + 1j * q(x.imag)).astype(IQ_DTYPE)
+    return jax.lax.complex(q(x.real), q(x.imag)).astype(IQ_DTYPE)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -162,7 +164,7 @@ def goertzel_power(x, freq_bin: int, n: int | None = None):
     x = jnp.asarray(x, IQ_DTYPE)
     n = n or x.shape[-1]
     k = jnp.arange(n, dtype=REAL_DTYPE)
-    basis = jnp.exp(-2j * jnp.pi * freq_bin * k / n).astype(IQ_DTYPE)
+    basis = cis(-2 * jnp.pi * freq_bin * k / n).astype(IQ_DTYPE)
     v = jnp.einsum("...n,n->...", x[..., :n], basis)
     return v.real**2 + v.imag**2
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE
@@ -66,12 +68,12 @@ def frequency_modulate(msg, sensitivity: float):
     """VCO: exp(j * sensitivity * cumsum(msg)) (frequency_modulator.rs)."""
     m = jnp.asarray(msg, REAL_DTYPE)
     phase = jnp.cumsum(m, axis=-1) * sensitivity
-    return jnp.exp(1j * phase).astype(IQ_DTYPE)
+    return cis(phase).astype(IQ_DTYPE)
 
 
 def phase_modulate(msg, sensitivity: float):
     """exp(j * sensitivity * msg) (phase_modulator.rs)."""
-    return jnp.exp(1j * sensitivity * jnp.asarray(msg, REAL_DTYPE)
+    return cis(sensitivity * jnp.asarray(msg, REAL_DTYPE)
                    ).astype(IQ_DTYPE)
 
 
@@ -140,7 +142,7 @@ def cpm_modulate(symbols, sps: int, h: float = 0.5, pulse: str = "rect",
     incr = np.apply_along_axis(
         lambda v: np.convolve(v, g)[: n_sym * sps], -1, up)
     phase = 2 * np.pi * h * np.cumsum(incr, axis=-1)
-    return jnp.exp(1j * jnp.asarray(phase)).astype(IQ_DTYPE)
+    return cis(jnp.asarray(phase)).astype(IQ_DTYPE)
 
 
 def msk_modulate(bits, sps: int):

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -102,7 +104,7 @@ def steering_vector(n_elements: int, spacing_wavelengths: float,
     k = 2.0 * jnp.pi * spacing_wavelengths
     n = jnp.arange(n_elements, dtype=REAL_DTYPE)
     phase = k * jnp.sin(ang)[..., None] * n
-    return jnp.exp(1j * phase.astype(REAL_DTYPE)).astype(IQ_DTYPE)
+    return cis(phase.astype(REAL_DTYPE)).astype(IQ_DTYPE)
 
 
 def music_spectrum(snapshots, n_sources: int, spacing_wavelengths: float = 0.5,
@@ -152,8 +154,8 @@ def ambiguity_function(pulse, max_doppler_bins: int = 64,
     n = p.shape[-1]
     dops = jnp.arange(-max_doppler_bins // 2, max_doppler_bins // 2)
     t = jnp.arange(n, dtype=REAL_DTYPE) / n
-    shifted = p[None, :] * jnp.exp(
-        2j * jnp.pi * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
+    shifted = p[None, :] * cis(
+        2 * jnp.pi * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
     )  # (D, N)
     nfft = 1 << (2 * n - 2).bit_length() if n > 1 else 1
     pf = jnp.fft.fft(p, n=nfft)

@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -60,7 +62,7 @@ def cfo_correct(x, cfo_hz, sample_rate, phase0=0.0):
     ph = phase0 - 2.0 * jnp.pi * cfo_hz / sample_rate * jnp.arange(
         n, dtype=REAL_DTYPE
     )
-    return x * jnp.exp(1j * ph.astype(REAL_DTYPE))
+    return x * cis(ph.astype(REAL_DTYPE))
 
 
 # --------------------------------------------------------------------------
@@ -95,7 +97,7 @@ def costas_loop(x, loop_bw: float = 0.01, order: int = 2,
 
     def step(carry, xn):
         phase, freq = carry
-        v = xn * jnp.exp(-1j * phase.astype(REAL_DTYPE))
+        v = xn * cis(-phase.astype(REAL_DTYPE))
         e = err(v)
         freq = freq + beta * e
         phase = phase + freq + alpha * e
@@ -121,7 +123,7 @@ def pll_track_tone(x, loop_bw: float = 0.02, phase0=0.0, freq0=0.0) -> LoopOut:
 
     def step(carry, xn):
         phase, freq = carry
-        v = xn * jnp.exp(-1j * phase.astype(REAL_DTYPE))
+        v = xn * cis(-phase.astype(REAL_DTYPE))
         e = jnp.angle(v)
         freq = freq + beta * e
         phase = phase + freq + alpha * e
@@ -163,7 +165,7 @@ def mueller_muller_ted(x, sps: int):
     x = jnp.asarray(x, IQ_DTYPE)
     s = x.shape[-1] // sps
     y = x[..., : s * sps : sps]
-    a = jnp.sign(y.real) + 1j * jnp.sign(y.imag)
+    a = jax.lax.complex(jnp.sign(y.real), jnp.sign(y.imag))
     e = (a[..., :-1] * jnp.conj(y[..., 1:])).real - (
         a[..., 1:] * jnp.conj(y[..., :-1])
     ).real
@@ -310,7 +312,7 @@ def fll_band_edge(x, sps: float, rolloff: float = 0.35,
 
     def step(carry, xn):
         phase, freq, buf = carry
-        xr = xn * jnp.exp(-1j * phase)
+        xr = xn * cis(-phase)
         buf = jnp.concatenate([buf[1:], xr[None]])
         e_up = jnp.abs(jnp.sum(buf * up)) ** 2
         e_lo = jnp.abs(jnp.sum(buf * lo)) ** 2

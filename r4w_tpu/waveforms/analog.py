@@ -11,6 +11,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -67,7 +69,7 @@ class AM(Waveform):
             env = self.common.amplitude * (1.0 + self.modulation_index * audio)
         else:  # dsb_sc
             env = self.common.amplitude * self.modulation_index * audio
-        return (env * jnp.exp(1j * phase)).astype(IQ_DTYPE)
+        return (env * cis(phase)).astype(IQ_DTYPE)
 
     def demodulate_audio(self, samples) -> jax.Array:
         samples = jnp.asarray(samples, IQ_DTYPE)
@@ -128,7 +130,7 @@ class FM(Waveform):
         phase = omega_c * jnp.arange(n, dtype=REAL_DTYPE) + k_f * jnp.cumsum(
             audio, axis=-1
         )
-        return (self.common.amplitude * jnp.exp(1j * phase)).astype(IQ_DTYPE)
+        return (self.common.amplitude * cis(phase)).astype(IQ_DTYPE)
 
     def demodulate_audio(self, samples) -> jax.Array:
         samples = jnp.asarray(samples, IQ_DTYPE)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from r4w_tpu.core.hostio import to_device
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
 from r4w_tpu.ops import spreading
 from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
@@ -89,7 +90,7 @@ class DSSS(Waveform):
         if rem:
             bits = np.pad(bits, (0, bps - rem))
         values = bits_to_symbols(jnp.asarray(bits), bps)
-        const = jnp.asarray(subcarrier_constellation(self.modulation))
+        const = to_device(subcarrier_constellation(self.modulation))
         symbols = const[values]  # (S,)
         chips = jnp.asarray(self.pn_sequence().astype(np.float32))
         spread = symbols[..., None] * chips  # (S, C)
@@ -111,7 +112,7 @@ class DSSS(Waveform):
 
     def demodulate(self, samples) -> DemodResult:
         est = self.despread(samples) / self.common.amplitude
-        const = jnp.asarray(subcarrier_constellation(self.modulation))
+        const = to_device(subcarrier_constellation(self.modulation))
         d = est[..., None] - const
         values = jnp.argmin(d.real**2 + d.imag**2, axis=-1).astype(SYMBOL_DTYPE)
         bits = symbols_to_bits(values, self.bits_per_symbol)

@@ -14,6 +14,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -119,7 +121,7 @@ class FHSS(Waveform):
         used = f_sample.shape[-1]
         t = jnp.arange(used, dtype=REAL_DTYPE) / self.common.sample_rate
         phase = 2.0 * jnp.pi * f_sample * t[None, :]
-        burst = self.common.amplitude * jnp.exp(1j * phase)
+        burst = self.common.amplitude * cis(phase)
         # silence-pad symbols beyond the data (fhss.rs:608-612) and pad the
         # dwell to samples_per_hop
         sym_idx = jnp.arange(bph * sps) // sps + jnp.arange(n_hops)[:, None] * bph
@@ -145,8 +147,8 @@ class FHSS(Waveform):
             self._channel_freq(self._channels_for(n_hops)), REAL_DTYPE
         )
         t = jnp.arange(used, dtype=REAL_DTYPE) / self.common.sample_rate
-        carrier = jnp.exp(
-            -1j * (2.0 * jnp.pi * offsets[:, None] * t[None, :])
+        carrier = cis(
+            -2.0 * jnp.pi * offsets[:, None] * t[None, :]
         ).astype(IQ_DTYPE)
         base = hops[..., :used] * carrier
         chunks = base.reshape(*hops.shape[:-1], self.bits_per_hop, sps)

@@ -15,8 +15,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
+from r4w_tpu.core.hostio import to_device
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
 from r4w_tpu.fec.block import golay_decode, golay_encode
 from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
@@ -32,7 +35,7 @@ from r4w_tpu.waveforms.linear_mod import pack_demod_bits
 
 def _carrier(n: int, freq: float, fs: float) -> jax.Array:
     ph = 2.0 * jnp.pi * freq / fs * jnp.arange(n, dtype=REAL_DTYPE)
-    return jnp.exp(1j * ph.astype(REAL_DTYPE)).astype(IQ_DTYPE)
+    return cis(ph.astype(REAL_DTYPE)).astype(IQ_DTYPE)
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,7 +91,7 @@ class _SerialToneModem(Waveform):
     def _psk_points(self) -> jax.Array:
         m = self.psk_order
         ang = 2.0 * np.pi * np.arange(m) / m
-        return jnp.asarray(np.exp(1j * ang).astype(np.complex64))
+        return to_device(np.exp(1j * ang).astype(np.complex64))
 
     def _symbols_to_iq(self, symbols: jax.Array) -> jax.Array:
         pts = self._psk_points()[symbols]
@@ -209,7 +212,7 @@ class Ale(Waveform):
         f_samp = jnp.repeat(freqs, sps)
         phase = 2.0 * jnp.pi * jnp.cumsum(f_samp) / self.common.sample_rate
         return (self.common.amplitude
-                * jnp.exp(1j * phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
+                * cis(phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
 
     def demodulate(self, samples) -> DemodResult:
         samples = jnp.asarray(samples, IQ_DTYPE)
@@ -220,8 +223,8 @@ class Ale(Waveform):
             return DemodResult(bits=empty, symbols=empty)
         chunks = samples[..., : s * sps].reshape(*samples.shape[:-1], s, sps)
         t = jnp.arange(sps, dtype=REAL_DTYPE) / self.common.sample_rate
-        basis = jnp.exp(
-            (-2j * jnp.pi) * jnp.asarray(ALE_TONES, REAL_DTYPE)[:, None]
+        basis = cis(
+            -2 * jnp.pi * jnp.asarray(ALE_TONES, REAL_DTYPE)[:, None]
             * t[None, :]
         ).astype(IQ_DTYPE)  # (8, sps)
         corr = jnp.abs(jnp.einsum("...sn,kn->...sk", chunks, basis))

@@ -11,6 +11,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -97,7 +99,7 @@ class Zigbee(Waveform):
         i = lay(even, 0)
         q = lay(odd, spc)
         m = min(i.shape[-1], q.shape[-1])
-        return (i[..., :m] + 1j * q[..., :m]).astype(IQ_DTYPE)
+        return jax.lax.complex(i[..., :m], q[..., :m]).astype(IQ_DTYPE)
 
     def modulate(self, data) -> jax.Array:
         bits = data_to_bits(data)
@@ -241,7 +243,7 @@ class Fmcw(Waveform):
         phase = 2.0 * jnp.pi * (
             -self.sweep_bandwidth / 2.0 * t + 0.5 * k * t * t
         )
-        return jnp.exp(1j * phase.astype(REAL_DTYPE)).astype(IQ_DTYPE)
+        return cis(phase.astype(REAL_DTYPE)).astype(IQ_DTYPE)
 
     def modulate(self, data=None) -> jax.Array:
         s = self.sweep()

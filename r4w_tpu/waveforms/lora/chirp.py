@@ -38,13 +38,17 @@ def _base_chirps_np(sf: int, bw_hz: int, oversample: int):
 
 
 def base_upchirp(params: LoRaParams) -> jax.Array:
+    from r4w_tpu.core.hostio import to_device
+
     up, _ = _base_chirps_np(params.sf, params.bw_hz, params.oversample)
-    return jnp.asarray(up)
+    return to_device(up)
 
 
 def base_downchirp(params: LoRaParams) -> jax.Array:
+    from r4w_tpu.core.hostio import to_device
+
     _, down = _base_chirps_np(params.sf, params.bw_hz, params.oversample)
-    return jnp.asarray(down)
+    return to_device(down)
 
 
 def symbol_chirps(params: LoRaParams, symbols: jax.Array,

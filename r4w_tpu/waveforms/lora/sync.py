@@ -15,6 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from r4w_tpu.core.hostio import cis
+
 from r4w_tpu.core.fftops import find_peak_interpolated
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 from r4w_tpu.waveforms.lora import chirp as chirp_mod
@@ -144,8 +146,8 @@ def synchronize(params: LoRaParams, samples: jax.Array):
     if n0 >= x.shape[-1]:
         return None, res
     t = jnp.arange(x.shape[-1] - n0, dtype=REAL_DTYPE) / params.sample_rate
-    corrected = x[n0:] * jnp.exp(
-        (-2j * jnp.pi) * (float(res.cfo_hz) * t).astype(REAL_DTYPE)
+    corrected = x[n0:] * cis(
+        -2 * jnp.pi * (float(res.cfo_hz) * t).astype(REAL_DTYPE)
     )
     # trim to whole symbols
     n = params.samples_per_symbol

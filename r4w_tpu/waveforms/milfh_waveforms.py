@@ -17,6 +17,8 @@ from typing import Protocol
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -175,13 +177,13 @@ class Link16(Waveform):
         dphi = jnp.repeat(chips, spc, axis=-1) * (np.pi / 2 / spc)
         phase = jnp.cumsum(dphi, axis=-1)
         t = jnp.arange(burst_len, dtype=REAL_DTYPE) / self.common.sample_rate
-        carrier = jnp.exp(
-            2j * jnp.pi
+        carrier = cis(
+            2 * jnp.pi
             * (jnp.asarray(freqs, REAL_DTYPE)[:, None] * t[None, :]).astype(
                 REAL_DTYPE
             )
         )
-        burst = jnp.exp(1j * phase.astype(REAL_DTYPE)) * carrier
+        burst = cis(phase.astype(REAL_DTYPE)) * carrier
         out = jnp.zeros((n, win), IQ_DTYPE)
         out = out.at[:, :burst_len].set(burst.astype(IQ_DTYPE))
         return (self.common.amplitude * out.reshape(-1)).astype(IQ_DTYPE)
@@ -198,8 +200,8 @@ class Link16(Waveform):
         pulses = samples[..., : n * win].reshape(*samples.shape[:-1], n, win)
         freqs = self._hop_freqs(n)
         t = jnp.arange(burst_len, dtype=REAL_DTYPE) / self.common.sample_rate
-        carrier = jnp.exp(
-            -2j * jnp.pi
+        carrier = cis(
+            -2 * jnp.pi
             * (jnp.asarray(freqs, REAL_DTYPE)[:, None] * t[None, :]).astype(
                 REAL_DTYPE
             )

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from r4w_tpu.core.hostio import to_device
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
 from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
 from r4w_tpu.waveforms.base import (
@@ -122,7 +123,7 @@ class OFDM(Waveform):
                                       self.bits_per_subcarrier).reshape(n_sym, -1),
             self.bits_per_subcarrier,
         )  # (n_sym, n_sc)
-        const = jnp.asarray(subcarrier_constellation(self.subcarrier_mod))
+        const = to_device(subcarrier_constellation(self.subcarrier_mod))
         points = const[values]
         freq = jnp.zeros((n_sym, self.fft_size), IQ_DTYPE)
         freq = freq.at[:, jnp.asarray(self._fft_bins())].set(points)
@@ -143,7 +144,7 @@ class OFDM(Waveform):
 
     def demodulate(self, samples) -> DemodResult:
         points = self.demodulate_subcarriers(samples)  # (S, n_sc)
-        const = jnp.asarray(subcarrier_constellation(self.subcarrier_mod))
+        const = to_device(subcarrier_constellation(self.subcarrier_mod))
         d = points[..., None] - const
         values = jnp.argmin(d.real**2 + d.imag**2, axis=-1).astype(SYMBOL_DTYPE)
         bits = symbols_to_bits(values.reshape(*values.shape[:-2], -1),

@@ -12,6 +12,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -70,7 +72,7 @@ class FourLevelFsk(Waveform):
         omega = 2.0 * jnp.pi * freq / self.common.sample_rate
         phase = jnp.cumsum(omega) - omega
         return (self.common.amplitude
-                * jnp.exp(1j * phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
+                * cis(phase.astype(REAL_DTYPE))).astype(IQ_DTYPE)
 
     def demodulate(self, samples) -> DemodResult:
         samples = jnp.asarray(samples, IQ_DTYPE)
@@ -128,7 +130,7 @@ class Pi4Dqpsk(Waveform):
         # differential reference symbol at phase 0 leads the burst
         phase = jnp.concatenate([jnp.zeros(1, REAL_DTYPE),
                                  jnp.cumsum(steps)])
-        pts = jnp.exp(1j * phase.astype(REAL_DTYPE))
+        pts = cis(phase.astype(REAL_DTYPE))
         sps = self.samples_per_symbol()
         return (self.common.amplitude
                 * jnp.repeat(pts, sps, axis=-1)).astype(IQ_DTYPE)

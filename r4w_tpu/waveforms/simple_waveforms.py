@@ -11,6 +11,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import cis
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -65,7 +67,7 @@ class CW(Waveform):
         n = int(self.common.sample_rate * duration_s)
         t = jnp.arange(n, dtype=REAL_DTYPE) / self.common.sample_rate
         ph = (2.0 * jnp.pi * self.frequency * t).astype(REAL_DTYPE)
-        return (self.common.amplitude * jnp.exp(1j * ph)).astype(IQ_DTYPE)
+        return (self.common.amplitude * cis(ph)).astype(IQ_DTYPE)
 
     def modulate(self, data=None) -> jax.Array:
         # CW carries no data; 1 ms of tone (cw.rs modulate)
@@ -122,7 +124,7 @@ class OOK(Waveform):
         # phase only advances while the carrier is ON (ook.rs:91-110 keeps
         # the stored phase frozen across OFF symbols)
         phase = _phase_accumulate(on * omega)
-        return (self.common.amplitude * on * jnp.exp(1j * phase)).astype(
+        return (self.common.amplitude * on * cis(phase)).astype(
             IQ_DTYPE
         )
 
@@ -212,7 +214,7 @@ class ASK(Waveform):
         n = env_s.shape[-1]
         omega = 2.0 * jnp.pi * self.carrier_freq / self.common.sample_rate
         phase = (omega * jnp.arange(n, dtype=REAL_DTYPE)).astype(REAL_DTYPE)
-        return (self.common.amplitude * env_s * jnp.exp(1j * phase)).astype(
+        return (self.common.amplitude * env_s * cis(phase)).astype(
             IQ_DTYPE
         )
 
@@ -298,7 +300,7 @@ class FSK(Waveform):
             # phase resets each symbol (fsk.rs:148-152)
             k = jnp.arange(omega.shape[-1]) % sps
             phase = omega * k
-        return (self.common.amplitude * jnp.exp(1j * phase)).astype(IQ_DTYPE)
+        return (self.common.amplitude * cis(phase)).astype(IQ_DTYPE)
 
     def demodulate(self, samples) -> DemodResult:
         samples = jnp.asarray(samples, IQ_DTYPE)
