@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import zeros_like_safe
 import numpy as np
 
 from r4w_tpu.channel.doppler import jakes_fading
@@ -65,7 +67,7 @@ def tdl_channel(key, samples, profile: str, sample_rate, doppler_hz,
     n = samples.shape[-1]
     delays, amps = profile_taps(profile, float(sample_rate))
     keys = jax.random.split(key, len(delays))
-    out = jnp.zeros_like(samples)
+    out = zeros_like_safe(samples)
     for d, a, k in zip(delays, amps, keys):
         h = jakes_fading(k, n, doppler_hz, sample_rate, n_oscillators)
         if d > 0:

@@ -61,3 +61,23 @@ def cis(phase) -> jax.Array:
     """
     p = jnp.asarray(phase, jnp.float32)
     return jax.lax.complex(jnp.cos(p), jnp.sin(p))
+
+
+def zeros_iq(shape) -> jax.Array:
+    """complex64 zeros without a complex fill-value upload.
+
+    jnp.zeros(shape, complex64) broadcasts a host complex scalar to the
+    device, which is unimplemented on some TPU runtimes; building the
+    planes as f32 and combining with lax.complex is eager-safe.
+    """
+    if isinstance(shape, int):
+        shape = (shape,)
+    z = jnp.zeros(shape, jnp.float32)
+    return jax.lax.complex(z, z)
+
+
+def zeros_like_safe(x) -> jax.Array:
+    """zeros_like that avoids complex fill-value uploads (see zeros_iq)."""
+    if jnp.iscomplexobj(x):
+        return zeros_iq(jnp.shape(x))
+    return jnp.zeros_like(x)

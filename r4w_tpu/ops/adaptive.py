@@ -16,6 +16,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import zeros_like_safe
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -153,7 +155,7 @@ def comb_feedback(x, delay: int, alpha: float = 0.8):
         return y, y
 
     lanes_t = jnp.moveaxis(lanes, -2, 0)  # (M, ..., K)
-    _, ys = jax.lax.scan(step, jnp.zeros_like(lanes_t[0]), lanes_t)
+    _, ys = jax.lax.scan(step, zeros_like_safe(lanes_t[0]), lanes_t)
     y = jnp.moveaxis(ys, 0, -2).reshape(*xp.shape)
     return y[..., :n]
 

@@ -14,6 +14,8 @@ from typing import NamedTuple
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -43,7 +45,7 @@ def lms_equalize(x, desired, n_taps: int = 11, mu: float = 0.01,
     u = _windows(x, n_taps)
     d = jnp.asarray(desired, IQ_DTYPE)
     w0 = (jnp.asarray(taps0, IQ_DTYPE) if taps0 is not None
-          else jnp.zeros(n_taps, IQ_DTYPE).at[0].set(1.0))
+          else zeros_iq(n_taps).at[0].set(1.0))
 
     def step(w, ud):
         un, dn = ud
@@ -61,7 +63,7 @@ def rls_equalize(x, desired, n_taps: int = 11, lam: float = 0.99,
     """Recursive least squares (adaptive_filter_rls.rs)."""
     u = _windows(x, n_taps)
     d = jnp.asarray(desired, IQ_DTYPE)
-    w0 = jnp.zeros(n_taps, IQ_DTYPE)
+    w0 = zeros_iq(n_taps)
     p0 = jnp.eye(n_taps, dtype=IQ_DTYPE) / delta
 
     def step(carry, ud):
@@ -85,7 +87,7 @@ def cma_equalize(x, n_taps: int = 11, mu: float = 0.001,
     e = y·(R2 − |y|²), w += μ·e*·u."""
     u = _windows(x, n_taps)
     w0 = (jnp.asarray(taps0, IQ_DTYPE) if taps0 is not None
-          else jnp.zeros(n_taps, IQ_DTYPE).at[n_taps // 2].set(1.0))
+          else zeros_iq(n_taps).at[n_taps // 2].set(1.0))
     r2 = modulus**2
 
     def step(w, un):
@@ -105,9 +107,9 @@ def dfe_equalize(x, n_ff: int = 7, n_fb: int = 3, mu: float = 0.01,
     const = (jnp.asarray(constellation, IQ_DTYPE) if constellation is not None
              else jnp.asarray([1.0 + 0j, -1.0 + 0j]))
     u = _windows(x, n_ff)
-    wf0 = jnp.zeros(n_ff, IQ_DTYPE).at[0].set(1.0)
-    wb0 = jnp.zeros(n_fb, IQ_DTYPE)
-    dec0 = jnp.zeros(n_fb, IQ_DTYPE)
+    wf0 = zeros_iq(n_ff).at[0].set(1.0)
+    wb0 = zeros_iq(n_fb)
+    dec0 = zeros_iq(n_fb)
 
     def slicer(y):
         d = y - const

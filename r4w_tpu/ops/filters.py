@@ -18,7 +18,7 @@ import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.hostio import cis, zeros_like_safe
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -120,7 +120,7 @@ def iir_filter(b, a, x, zi=None):
     def step(z, xn):
         yn = bj[0] * xn + z[0]
         znew = bj[1:] * xn - aj[1:] * yn
-        znew = znew + jnp.concatenate([z[1:], jnp.zeros_like(z[:1])])
+        znew = znew + jnp.concatenate([z[1:], zeros_like_safe(z[:1])])
         return znew, yn
 
     zf, y = lax.scan(step, zi, jnp.moveaxis(x, -1, 0))

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.hostio import cis, zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -152,7 +152,7 @@ def stft(x, nfft: int = 256, hop: int | None = None, window: str = "hann"):
     n = x.shape[-1]
     n_frames = max(0, (n - nfft) // hop + 1)
     if n_frames == 0:
-        return jnp.zeros(x.shape[:-1] + (0, nfft), IQ_DTYPE)
+        return zeros_iq(x.shape[:-1] + (0, nfft))
     starts = jnp.arange(n_frames) * hop
     idx = starts[:, None] + jnp.arange(nfft)[None, :]
     return jnp.fft.fft(x[..., idx] * make_window(window, nfft), axis=-1)
@@ -312,7 +312,7 @@ def moving_autocorrelation(x, length: int, lag: int = 1):
     pwr = x.real**2 + x.imag**2
     m = n - lag - length + 1
     if m <= 0:
-        return jnp.zeros((*x.shape[:-1], 0), IQ_DTYPE)
+        return zeros_iq((*x.shape[:-1], 0))
     idx = jnp.arange(m)[:, None] + jnp.arange(length)[None, :]
     num = jnp.sum(prod[..., idx], axis=-1)
     den = jnp.sum(pwr[..., idx], axis=-1)

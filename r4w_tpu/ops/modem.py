@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.hostio import cis, zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE
@@ -167,7 +167,7 @@ def sc_fdma_modulate(symbols, n_fft: int, n_sc: int, cp_len: int,
     IFFT -> CP. symbols (..., B, n_sc) -> (..., B*(n_fft+cp_len))."""
     s = jnp.asarray(symbols, IQ_DTYPE)
     spread = jnp.fft.fft(s, axis=-1) / np.sqrt(n_sc)
-    grid = jnp.zeros((*s.shape[:-1], n_fft), IQ_DTYPE)
+    grid = zeros_iq((*s.shape[:-1], n_fft))
     grid = grid.at[..., start:start + n_sc].set(spread)
     time = jnp.fft.ifft(grid, axis=-1) * np.sqrt(n_fft)
     with_cp = jnp.concatenate([time[..., -cp_len:], time], axis=-1)

@@ -12,6 +12,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -115,7 +117,7 @@ def pfb_channelizer(x, n_channels: int, taps_per_phase: int = 8):
     n = x.shape[-1]
     n_frames = n // n_channels - taps_per_phase + 1
     if n_frames <= 0:
-        return jnp.zeros(x.shape[:-1] + (0, n_channels), IQ_DTYPE)
+        return zeros_iq(x.shape[:-1] + (0, n_channels))
     # commutator: sample m*C + c feeds phase c (reversed order)
     frames = x[..., : (n // n_channels) * n_channels].reshape(
         *x.shape[:-1], -1, n_channels
@@ -217,7 +219,7 @@ def wola_channelize(x, num_channels: int, taps_per_channel: int = 4,
     n = x.shape[-1]
     n_frames = n // k - p + 1
     if n_frames <= 0:
-        return jnp.zeros(x.shape[:-1] + (0, k), IQ_DTYPE)
+        return zeros_iq(x.shape[:-1] + (0, k))
     idx = jnp.arange(n_frames)[:, None] * k + jnp.arange(k * p)[None, :]
     frames = x[..., idx] * w  # (..., F, K*P)
     folded = frames.reshape(*frames.shape[:-1], p, k).sum(-2)
@@ -251,7 +253,7 @@ def wola_synthesize(channels, taps_per_channel: int = 4, window=None):
     expanded = jnp.tile(frames, (1,) * (frames.ndim - 1) + (p,)) * w_syn
     f = frames.shape[-2]
     n_out = (f + p - 1) * k
-    out = jnp.zeros((*frames.shape[:-2], n_out), IQ_DTYPE)
+    out = zeros_iq((*frames.shape[:-2], n_out))
     idx = jnp.arange(f)[:, None] * k + jnp.arange(k * p)[None, :]
     out = out.at[..., idx].add(expanded)
     return out
@@ -290,7 +292,7 @@ def pfb_clock_sync(x, sps: float, num_filts: int = 32,
     n = x.shape[-1]
     n_sym = int((n - span) // sps) - 2
     if n_sym <= 0:
-        return jnp.zeros(0, IQ_DTYPE), jnp.zeros(0, REAL_DTYPE)
+        return zeros_iq(0), jnp.zeros(0, REAL_DTYPE)
     kp = loop_bw
     ki = 0.25 * loop_bw * loop_bw
 

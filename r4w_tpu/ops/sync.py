@@ -17,7 +17,7 @@ import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.hostio import cis, zeros_iq, zeros_like_safe
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
@@ -239,7 +239,7 @@ def schmidl_cox(x, half_len: int):
     # sliding sums of length l via cumsum
     def sliding(v):
         c = jnp.cumsum(v, axis=-1)
-        zero = jnp.zeros_like(c[..., :1])
+        zero = zeros_like_safe(c[..., :1])
         c = jnp.concatenate([zero, c], axis=-1)
         return c[..., l:] - c[..., :-l]
 
@@ -321,7 +321,7 @@ def fll_band_edge(x, sps: float, rolloff: float = 0.35,
         phase = phase + freq - kp * err
         return (phase, freq, buf), (xr, freq)
 
-    buf0 = jnp.zeros(k, IQ_DTYPE)
+    buf0 = zeros_iq(k)
     init = (jnp.asarray(0.0, REAL_DTYPE), jnp.asarray(0.0, REAL_DTYPE),
             buf0)
     _, (y, track) = jax.lax.scan(step, init, x)

@@ -15,6 +15,8 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+from r4w_tpu.core.hostio import zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import CommonParams, IQ_DTYPE
@@ -105,7 +107,7 @@ class Waveform(abc.ABC):
         samples = self.modulate(data)
         return {
             "samples": samples,
-            "constellation": getattr(self, "constellation_points", lambda: jnp.zeros(0, IQ_DTYPE))(),
+            "constellation": getattr(self, "constellation_points", lambda: zeros_iq(0))(),
             "description": f"{self.info().name} modulated signal",
         }
 

@@ -18,7 +18,7 @@ from typing import Protocol
 import jax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.hostio import cis, zeros_iq
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
@@ -184,7 +184,7 @@ class Link16(Waveform):
             )
         )
         burst = cis(phase.astype(REAL_DTYPE)) * carrier
-        out = jnp.zeros((n, win), IQ_DTYPE)
+        out = zeros_iq((n, win))
         out = out.at[:, :burst_len].set(burst.astype(IQ_DTYPE))
         return (self.common.amplitude * out.reshape(-1)).astype(IQ_DTYPE)
 

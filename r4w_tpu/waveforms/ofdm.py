@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from r4w_tpu.core.hostio import to_device
+from r4w_tpu.core.hostio import to_device, zeros_iq
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE, SYMBOL_DTYPE, CommonParams
 from r4w_tpu.ops.coding import bits_to_symbols, symbols_to_bits
 from r4w_tpu.waveforms.base import (
@@ -125,9 +125,12 @@ class OFDM(Waveform):
         )  # (n_sym, n_sc)
         const = to_device(subcarrier_constellation(self.subcarrier_mod))
         points = const[values]
-        freq = jnp.zeros((n_sym, self.fft_size), IQ_DTYPE)
+        freq = zeros_iq((n_sym, self.fft_size))
         freq = freq.at[:, jnp.asarray(self._fft_bins())].set(points)
-        time = jnp.fft.ifft(freq, axis=-1, norm="ortho") * self.common.amplitude
+        # explicit ortho scale: norm="ortho" computes sqrt(prod(shape)) on
+        # device, which hits an unimplemented reduce on some TPU runtimes
+        scale = self.common.amplitude * float(np.sqrt(self.fft_size))
+        time = jnp.fft.ifft(freq, axis=-1) * scale
         cp = time[:, self.fft_size - self.cp_len :]
         sym = jnp.concatenate([cp, time], axis=-1)  # (n_sym, cp+N)
         return sym.reshape(-1).astype(IQ_DTYPE)
@@ -139,7 +142,8 @@ class OFDM(Waveform):
         s = samples.shape[-1] // n
         sym = samples[..., : s * n].reshape(*samples.shape[:-1], s, n)
         body = sym[..., self.cp_len :]
-        freq = jnp.fft.fft(body, axis=-1, norm="ortho") / self.common.amplitude
+        freq = jnp.fft.fft(body, axis=-1) / (
+            self.common.amplitude * float(np.sqrt(self.fft_size)))
         return freq[..., jnp.asarray(self._fft_bins())]
 
     def demodulate(self, samples) -> DemodResult:
