@@ -54,6 +54,17 @@ class PcpsConfig:
     # effective threshold is threshold + A(K, N) where
     # A = 1 + 2·sqrt(ln N / K) + 2·ln N / K (Gumbel-ish upper bound).
     auto_threshold: bool = True
+    # FFT strategy: "exact" = circular correlation at nfft=L (always
+    # correct); "pow2" = two-period linear correlation at
+    # nfft=next_pow2(2L) — every lag is a full L-term sum (exact, no
+    # wrap) but needs >=2 code periods of input, spends K-1 instead of
+    # K non-coherent sums, and inflates the correlation tensor by
+    # next_pow2(2L)/L (3.3x at E1C's L=20000 — the big-grid memory
+    # limit, not FLOPs, usually binds). Measured on the tunneled v5e
+    # both run ~25 ms per 2-PRN x 21-Doppler E1C-scale grid, so "auto"
+    # resolves to "exact"; opt into "pow2" on compute-bound hardware
+    # with memory headroom and awkward (prime-ish) L.
+    fft_mode: str = "auto"
 
     def noise_max_estimate(self, total_bins: int) -> float:
         """Mean-normalized (1-1/N) quantile of the max of N Gamma(K)
@@ -86,22 +97,39 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
     p, s, l = codes.shape
     x = jnp.asarray(x, IQ_DTYPE)
     k = max(1, min(cfg.coherent_periods, x.shape[-1] // l))
-    x = x[..., : k * l].reshape(k, l)
-    # Exact-length FFT: the code is L-periodic, so circular correlation at
-    # period L is the correct operation. (The reference zero-pads to the
-    # next power of two, acquisition.rs:64 — harmless for L=1023→1024 but
-    # badly aliased for L=20000→32768, killing peaks at lags > nfft-L.)
-    nfft = l
+    mode = cfg.fft_mode
+    if mode == "auto":
+        mode = "exact"  # see PcpsConfig.fft_mode: memory binds first
+    if mode == "pow2" and k >= 2:
+        # Two-period linear correlation: slice i covers samples
+        # [i·L, i·L + 2L); c[tau] = sum_m x[iL+tau+m]·code[m] is a full
+        # L-term sum for every tau in [0, L) with nfft >= 2L (no wrap
+        # because the zero-padded code kills indices >= L). Exact.
+        k_slices = k - 1
+        nfft = 1 << int(np.ceil(np.log2(2 * l)))
+        idx = (jnp.arange(k_slices)[:, None] * l
+               + jnp.arange(2 * l)[None, :])
+        xs = x[..., : k * l][idx]  # (K-1, 2L)
+        t = jnp.arange(2 * l, dtype=REAL_DTYPE) / sample_rate
+    else:
+        # Exact-length FFT: the code is L-periodic, so circular
+        # correlation at period L is the correct operation. (The
+        # reference zero-pads to the next power of two,
+        # acquisition.rs:64 — harmless for L=1023→1024 but badly
+        # aliased for L=20000→32768, killing peaks at lags > nfft-L.)
+        k_slices = k
+        nfft = l
+        xs = x[..., : k * l].reshape(k, l)
+        t = jnp.arange(l, dtype=REAL_DTYPE) / sample_rate
     dops = jnp.asarray(doppler_bins(cfg))
-    t = jnp.arange(l, dtype=REAL_DTYPE) / sample_rate
-    # carrier wipeoff for every Doppler bin at once: (D, L). Per-slice
-    # carrier start phases differ but only add a constant rotation per
-    # slice, which |·|² discards.
+    # carrier wipeoff for every Doppler bin at once. Per-slice carrier
+    # start phases differ but only add a constant rotation per slice,
+    # which |·|² discards.
     carriers = cis(
         -2 * jnp.pi * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
     ).astype(IQ_DTYPE)
-    mixed = x[:, None, :] * carriers[None, :, :]  # (K, D, L)
-    mixed_fft = jnp.fft.fft(mixed, n=nfft, axis=-1)  # (K, D, F)
+    mixed = xs[:, None, :] * carriers[None, :, :]  # (K', D, W)
+    mixed_fft = jnp.fft.fft(mixed, n=nfft, axis=-1)  # (K', D, F)
     code_fft = jnp.conj(
         jnp.fft.fft(codes.astype(IQ_DTYPE), n=nfft, axis=-1)
     )  # (P, S, F)
@@ -109,7 +137,7 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
         mixed_fft[None, None, :, :, :]
         * code_fft[:, :, None, None, :],
         axis=-1,
-    )  # (P, S, K, D, F)
+    )  # (P, S, K', D, F)
     power = jnp.sum(corr.real**2 + corr.imag**2, axis=2)  # (P, S, D, F)
     power = jnp.max(power, axis=1)  # best sub-phase replica: (P, D, F)
     return power[..., :l]

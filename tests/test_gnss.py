@@ -339,3 +339,28 @@ def test_gps_prn_specific_factory():
     tx = wf.modulate(bytes([0xF0]))
     res = wf.demodulate(tx)
     assert np.asarray(res.bits)[0] == 0xF0
+
+
+def test_pcps_pow2_mode_matches_exact():
+    """Two-period pow2 FFT path finds the same phase/Doppler as the
+    exact circular path, with full-sum (untapered) peaks."""
+    import jax
+
+    from r4w_tpu.channel import awgn
+
+    fs = 1_023_000.0
+    code = np.asarray(prn.gps_ca_code(9)).astype(np.float32)
+    true_phase, true_dopp = 417, 1250.0
+    x = np.tile(np.roll(code, true_phase), 4).astype(np.complex64)
+    n = len(x)
+    x = x * np.exp(2j * np.pi * true_dopp * np.arange(n) / fs)
+    rx = awgn(jax.random.key(3), x, -12.0)
+    bank = prn.code_bank([9, 17])
+    for mode in ("exact", "pow2"):
+        cfg = acquisition.PcpsConfig(doppler_step_hz=250.0,
+                                     coherent_periods=4, fft_mode=mode)
+        res = acquisition.acquire(rx, bank, [9, 17], fs, cfg)
+        assert bool(res.detected[0]), mode
+        assert not bool(res.detected[1]), mode  # absent PRN rejected
+        assert abs(float(res.code_phase[0]) - true_phase) <= 1, mode
+        assert abs(float(res.doppler_hz[0]) - true_dopp) <= 250.0, mode
