@@ -26,7 +26,11 @@ DEFAULT_PORT = 6000
 class AgentServer:
     """Single-threaded-per-connection JSON command server."""
 
-    def __init__(self, host: str = "0.0.0.0", port: int = DEFAULT_PORT):
+    def __init__(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT):
+        # Loopback by default: the JSON control plane is unauthenticated
+        # and start_tx streams UDP to a caller-supplied target, so binding
+        # all interfaces must be an explicit operator decision
+        # (CLI: `agent --bind 0.0.0.0`).
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))

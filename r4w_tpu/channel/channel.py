@@ -56,9 +56,19 @@ def cfo(samples, cfo_hz, sample_rate, initial_phase=0.0):
     """Carrier frequency offset rotation (channel.rs:701-721)."""
     samples = jnp.asarray(samples, IQ_DTYPE)
     n = samples.shape[-1]
-    # float64 index math avoids phase drift on long blocks; rotate in c64
-    t = jnp.arange(n, dtype=jnp.float32)
-    phase = initial_phase + 2.0 * jnp.pi * (cfo_hz / sample_rate) * t
+    # Naive f32 `f*t` loses ~f*n*2^-24 cycles of carrier phase on long
+    # blocks. Split t = t_hi*4096 + t_lo: f*4096 is an exact f32 exponent
+    # shift, and its mod-1 fraction is exactly the low mantissa bits, so
+    # both partial products stay small before the final mod — phase error
+    # stays ~1e-4 cycles regardless of block length.
+    idx = jnp.arange(n)
+    t_hi = (idx // 4096).astype(jnp.float32)
+    t_lo = (idx % 4096).astype(jnp.float32)
+    f = (jnp.asarray(cfo_hz, jnp.float32)
+         / jnp.asarray(sample_rate, jnp.float32))
+    c_hi = jnp.mod(f * 4096.0, 1.0)
+    cycles = jnp.mod(jnp.mod(c_hi * t_hi, 1.0) + jnp.mod(f * t_lo, 1.0), 1.0)
+    phase = initial_phase + 2.0 * jnp.pi * cycles
     return samples * cis(phase.astype(jnp.float32)).astype(IQ_DTYPE)
 
 

@@ -795,7 +795,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_udp_send)
 
     sp = sub.add_parser("agent", help="run the remote-control agent")
-    sp.add_argument("--bind", default="0.0.0.0")
+    sp.add_argument(
+        "--bind", default="127.0.0.1",
+        help="interface to bind (0.0.0.0 exposes the unauthenticated "
+        "control plane to the network)")
     sp.add_argument("-p", "--port", type=int, default=6000)
     sp.set_defaults(fn=cmd_agent)
 

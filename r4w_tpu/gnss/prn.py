@@ -129,11 +129,28 @@ def _galileo_synthetic(prn: int, component: str) -> np.ndarray:
     return np.where(chips == 0, 1, -1).astype(np.int8)
 
 
+_warned_synthetic_galileo = False
+
+
 def galileo_e1_code(prn: int, component: str = "C") -> np.ndarray:
     """Galileo E1B/E1C 4092-chip memory code (±1). Uses installed ICD
-    table when available, else the deterministic synthetic bank."""
+    table when available, else the deterministic synthetic bank (which
+    will NOT correlate with real off-air Galileo recordings)."""
     if (prn, component) in _GALILEO_TABLE:
         return _GALILEO_TABLE[(prn, component)]
+    global _warned_synthetic_galileo
+    if not _warned_synthetic_galileo:
+        _warned_synthetic_galileo = True
+        import warnings
+
+        warnings.warn(
+            "galileo_e1_code: no ICD memory-code table installed; using "
+            "deterministic synthetic codes (self-consistent for "
+            "simulation, but acquisition of real Galileo E1 recordings "
+            "will fail). Install real chips via set_galileo_e1_table().",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return _galileo_synthetic(prn, component)
 
 

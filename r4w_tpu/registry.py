@@ -178,7 +178,11 @@ def default_registry() -> BlockRegistry:
 # --------------------------------------------------------------------------
 
 PLUGIN_API_VERSION = 1
-PLUGIN_SEARCH_PATHS = ("./plugins", "~/.local/share/r4w_tpu/plugins")
+# No CWD-relative default: load_all() executes plugin .py files, so an
+# implicit "./plugins" would run arbitrary code from whatever directory
+# the process happens to start in. Opt in with an explicit path via
+# PluginManager(search_paths=...) or the R4W_TPU_PLUGIN_PATH env var.
+PLUGIN_SEARCH_PATHS = ("~/.local/share/r4w_tpu/plugins",)
 
 
 @dataclasses.dataclass
@@ -200,7 +204,12 @@ class PluginManager:
     waveforms to the factory.
     """
 
-    def __init__(self, search_paths=PLUGIN_SEARCH_PATHS):
+    def __init__(self, search_paths=None):
+        if search_paths is None:
+            search_paths = list(PLUGIN_SEARCH_PATHS)
+            env = os.environ.get("R4W_TPU_PLUGIN_PATH")
+            if env:
+                search_paths += env.split(os.pathsep)
         self.search_paths = [os.path.expanduser(p) for p in search_paths]
         self.loaded: dict[str, PluginInfo] = {}
         self.errors: dict[str, str] = {}
