@@ -76,6 +76,12 @@ class BlockRegistry:
         return out
 
 
+def _ofdm_ops():
+    from r4w_tpu.ops import ofdm as ofdm_ops
+
+    return ofdm_ops
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -144,6 +150,15 @@ def _populate(reg: BlockRegistry):
          lambda **k: radar.range_doppler_map),
         ("gray_code", C.MATH, "Gray encode/decode",
          lambda **k: (coding.gray_encode, coding.gray_decode)),
+        ("ofdm_channel_est", C.SYNC,
+         "pilot LS channel estimate + interpolation (ofdm_channel_est.rs)",
+         lambda **k: _ofdm_ops().estimate_channel, ("pattern",)),
+        ("ofdm_frame_equalizer", C.SYNC,
+         "packet pilot/training equalizer ZF/MMSE (ofdm_frame_equalizer.rs)",
+         lambda **k: _ofdm_ops().equalize_frame, ("pattern", "method")),
+        ("ofdm_pilot_interpolator", C.SYNC,
+         "pilot->full-band linear interpolation (ofdm_pilot_interpolator.rs)",
+         lambda **k: _ofdm_ops().PilotPattern, ("positions", "values")),
     ]
     for e in entries:
         name, cat, desc, fac = e[:4]

@@ -65,15 +65,40 @@ _BITS_PER_SC = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6}
 
 @dataclasses.dataclass(frozen=True)
 class OFDM(Waveform):
+    """With num_pilots > 0 (default), each OFDM symbol carries known
+    pilot subcarriers spread across the occupied band (edges included);
+    the demodulator runs packet-level LS channel estimation +
+    interpolation + MMSE/ZF equalization + per-symbol common-phase
+    tracking (ops/ofdm.py — re-design of ofdm_channel_est.rs /
+    ofdm_frame_equalizer.rs), so demodulation survives
+    frequency-selective and TDL fading channels, not just AWGN.
+    num_pilots=0 reproduces the bare pilotless frame."""
+
     common: CommonParams = CommonParams()
     fft_size: int = 64
-    num_data_subcarriers: int = 52
+    num_data_subcarriers: int = 48
     cyclic_prefix_ratio: float = 0.25
     subcarrier_mod: str = "qpsk"
+    num_pilots: int = 4
+    num_training_symbols: int = 1
+    equalizer: str = "mmse"  # "mmse" | "zf"
 
     @property
     def common_params(self) -> CommonParams:
         return self.common
+
+    @property
+    def num_occupied(self) -> int:
+        return self.num_data_subcarriers + self.num_pilots
+
+    @functools.cached_property
+    def pilot_pattern(self):
+        from r4w_tpu.ops import ofdm as ofdm_ops
+
+        if self.num_pilots == 0:
+            return None
+        return ofdm_ops.PilotPattern.edges_and_uniform(
+            self.num_occupied, self.num_pilots)
 
     @property
     def cp_len(self) -> int:
@@ -106,9 +131,11 @@ class OFDM(Waveform):
         )
 
     def _fft_bins(self) -> np.ndarray:
-        """Data-subcarrier → FFT bin map (ofdm.rs:282-292)."""
-        half = self.num_data_subcarriers // 2
-        idx = np.arange(self.num_data_subcarriers)
+        """Occupied-subcarrier → FFT bin map: centered allocation with
+        DC null (ofdm.rs:282-292), covering data AND pilot positions."""
+        n = self.num_occupied
+        half = n // 2
+        idx = np.arange(n)
         return np.where(idx < half, self.fft_size - half + idx, idx - half + 1)
 
     def modulate(self, data) -> jax.Array:
@@ -125,8 +152,24 @@ class OFDM(Waveform):
         )  # (n_sym, n_sc)
         const = to_device(subcarrier_constellation(self.subcarrier_mod))
         points = const[values]
-        freq = zeros_iq((n_sym, self.fft_size))
-        freq = freq.at[:, jnp.asarray(self._fft_bins())].set(points)
+        occ = zeros_iq((n_sym, self.num_occupied))
+        pat = self.pilot_pattern
+        if pat is None:
+            occ = points
+        else:
+            from r4w_tpu.ops import ofdm as ofdm_ops
+
+            occ = occ.at[:, jnp.asarray(pat.data_positions)].set(points)
+            occ = occ.at[:, jnp.asarray(np.asarray(pat.positions))].set(
+                to_device(np.asarray(pat.values, np.complex64)))
+            if self.num_training_symbols:
+                train = np.tile(
+                    ofdm_ops.training_sequence(self.num_occupied),
+                    (self.num_training_symbols, 1))
+                occ = jnp.concatenate([to_device(train), occ], axis=0)
+        n_total = occ.shape[0]
+        freq = zeros_iq((n_total, self.fft_size))
+        freq = freq.at[:, jnp.asarray(self._fft_bins())].set(occ)
         # explicit ortho scale: norm="ortho" computes sqrt(prod(shape)) on
         # device, which hits an unimplemented reduce on some TPU runtimes
         scale = self.common.amplitude * float(np.sqrt(self.fft_size))
@@ -135,8 +178,8 @@ class OFDM(Waveform):
         sym = jnp.concatenate([cp, time], axis=-1)  # (n_sym, cp+N)
         return sym.reshape(-1).astype(IQ_DTYPE)
 
-    def demodulate_subcarriers(self, samples) -> jax.Array:
-        """(..., S*(cp+N)) -> (..., S, n_sc) equalized-less subcarrier points."""
+    def occupied_subcarriers(self, samples) -> jax.Array:
+        """(..., S*(cp+N)) -> (..., S, n_occupied) raw post-FFT points."""
         samples = jnp.asarray(samples, IQ_DTYPE)
         n = self.samples_per_symbol()
         s = samples.shape[-1] // n
@@ -145,6 +188,24 @@ class OFDM(Waveform):
         freq = jnp.fft.fft(body, axis=-1) / (
             self.common.amplitude * float(np.sqrt(self.fft_size)))
         return freq[..., jnp.asarray(self._fft_bins())]
+
+    def demodulate_subcarriers(self, samples) -> jax.Array:
+        """(..., S*(cp+N)) -> (..., S, n_data) data subcarrier points —
+        pilot-equalized when the frame carries pilots."""
+        occ = self.occupied_subcarriers(samples)
+        pat = self.pilot_pattern
+        if pat is None:
+            return occ
+        from r4w_tpu.ops import ofdm as ofdm_ops
+
+        if self.num_training_symbols:
+            data, _h, _cpe = ofdm_ops.equalize_packet(
+                occ, pat, ofdm_ops.training_sequence(self.num_occupied),
+                self.num_training_symbols, method=self.equalizer)
+        else:
+            data, _h, _cpe = ofdm_ops.equalize_frame(
+                occ, pat, method=self.equalizer)
+        return data
 
     def demodulate(self, samples) -> DemodResult:
         points = self.demodulate_subcarriers(samples)  # (S, n_sc)

