@@ -65,6 +65,20 @@ class PcpsConfig:
     # resolves to "exact"; opt into "pow2" on compute-bound hardware
     # with memory headroom and awkward (prime-ish) L.
     fft_mode: str = "auto"
+    # chunk the (P,S,K,D,F) correlation tensor to fit accelerator HBM;
+    # ~4 GB leaves headroom for XLA temps on a 16 GB v5e
+    memory_budget_bytes: float = 4e9
+    # Alignment verification pass: after the coarse grid peak, re-measure
+    # each PRN with correlation windows aligned to its code-period
+    # boundaries (segments start at the found code phase). Pilot signals
+    # with secondary codes (Galileo E1C CS25) flip sign at period
+    # boundaries; unaligned windows straddle a flip and lose up to the
+    # whole peak, while aligned windows see a constant sign — this
+    # restores the full non-coherent gain. Harmless (same statistic) for
+    # plain codes. Needs >= 2 code periods of input.
+    align_refine: bool = True
+    # carrier frequency for code-Doppler slewing in the refine pass
+    carrier_hz: float = 1_575_420_000.0
 
     def noise_max_estimate(self, total_bins: int) -> float:
         """Mean-normalized (1-1/N) quantile of the max of N Gamma(K)
@@ -90,10 +104,47 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
     N ≥ K·L, K period slices are correlated as one extra batch axis and
     their powers summed (non-coherent integration — robust to residual
     Doppler, unlike coherent summation over long spans).
+
+    The intermediate correlation tensor is (P, S, K, D, F) complex64;
+    at E1C scale with long integration it can exceed HBM, so the PRN
+    and Doppler axes are chunked to cfg.memory_budget_bytes (static
+    shapes — safe under jit, loops unroll).
     """
     codes = jnp.asarray(codes, REAL_DTYPE)
     if codes.ndim == 2:
         codes = codes[:, None, :]  # (P, S=1, L)
+    p, s, l = codes.shape
+    n_dop = len(doppler_bins(cfg))
+    k_eff = max(1, min(cfg.coherent_periods, np.shape(x)[-1] // l))
+    nfft_est = (1 << int(np.ceil(np.log2(2 * l)))
+                if cfg.fft_mode == "pow2" and k_eff >= 2 else l)
+    # per-PRN live bytes per scan step: complex corr + f32 accumulator
+    # (+ slack for XLA fft padding/temps)
+    per_prn = s * n_dop * nfft_est * 8 * 4
+    budget = cfg.memory_budget_bytes
+    if p * per_prn > budget:
+        if per_prn <= budget:
+            chunk = max(1, int(budget // per_prn))
+            return jnp.concatenate(
+                [_pcps_grid_one(x, codes[i: i + chunk], sample_rate, cfg)
+                 for i in range(0, p, chunk)], axis=0)
+        # one PRN alone exceeds the budget: also chunk the Doppler axis
+        d_chunk = max(1, int(budget * n_dop // per_prn))
+        dops = doppler_bins(cfg)
+        outs = []
+        for i in range(0, p):
+            rows = [
+                _pcps_grid_one(x, codes[i: i + 1], sample_rate, cfg,
+                               dop_subset=dops[j: j + d_chunk])
+                for j in range(0, n_dop, d_chunk)
+            ]
+            outs.append(jnp.concatenate(rows, axis=1))
+        return jnp.concatenate(outs, axis=0)
+    return _pcps_grid_one(x, codes, sample_rate, cfg)
+
+
+def _pcps_grid_one(x, codes, sample_rate, cfg: PcpsConfig,
+                   dop_subset=None):
     p, s, l = codes.shape
     x = jnp.asarray(x, IQ_DTYPE)
     k = max(1, min(cfg.coherent_periods, x.shape[-1] // l))
@@ -121,32 +172,81 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
         nfft = l
         xs = x[..., : k * l].reshape(k, l)
         t = jnp.arange(l, dtype=REAL_DTYPE) / sample_rate
-    dops = jnp.asarray(doppler_bins(cfg))
+    dops = jnp.asarray(doppler_bins(cfg) if dop_subset is None
+                       else dop_subset)
     # carrier wipeoff for every Doppler bin at once. Per-slice carrier
     # start phases differ but only add a constant rotation per slice,
     # which |·|² discards.
     carriers = cis(
         -2 * jnp.pi * (dops[:, None] * t[None, :]).astype(REAL_DTYPE)
     ).astype(IQ_DTYPE)
-    mixed = xs[:, None, :] * carriers[None, :, :]  # (K', D, W)
-    mixed_fft = jnp.fft.fft(mixed, n=nfft, axis=-1)  # (K', D, F)
     code_fft = jnp.conj(
         jnp.fft.fft(codes.astype(IQ_DTYPE), n=nfft, axis=-1)
     )  # (P, S, F)
-    corr = jnp.fft.ifft(
-        mixed_fft[None, None, :, :, :]
-        * code_fft[:, :, None, None, :],
-        axis=-1,
-    )  # (P, S, K', D, F)
-    power = jnp.sum(corr.real**2 + corr.imag**2, axis=2)  # (P, S, D, F)
+
+    # Non-coherent sum as a scan over the K' period slices: the live
+    # tensor is (P, S, D, F) per step instead of (P, S, K', D, F) —
+    # long integrations (K=50+) would otherwise blow out HBM.
+    def step(acc, x_slice):
+        mixed = x_slice[None, :] * carriers  # (D, W)
+        mf = jnp.fft.fft(mixed, n=nfft, axis=-1)  # (D, F)
+        corr = jnp.fft.ifft(
+            mf[None, None, :, :] * code_fft[:, :, None, :], axis=-1
+        )  # (P, S, D, F)
+        return acc + (corr.real**2 + corr.imag**2), None
+
+    init = jnp.zeros((p, s, dops.shape[0], nfft), REAL_DTYPE)
+    power, _ = jax.lax.scan(step, init, xs)
     power = jnp.max(power, axis=1)  # best sub-phase replica: (P, D, F)
     return power[..., :l]
+
+
+def _aligned_metric(x, codes, phase, dop, noise_floor, sample_rate,
+                    cfg: PcpsConfig):
+    """Verification statistic with code-period-aligned windows: for each
+    PRN, segments of one code period starting at its found code phase
+    are coherently correlated at the found Doppler and power-summed.
+    Secondary-code sign flips land exactly on window edges, so the full
+    per-period coherent gain survives (|·|² is sign-invariant)."""
+    codes = jnp.asarray(codes, REAL_DTYPE)
+    if codes.ndim == 2:
+        codes = codes[:, None, :]
+    p, s, l = codes.shape
+    n = x.shape[-1]
+    k_ref = max(1, min(cfg.coherent_periods, n // l) - 1)
+    t = jnp.arange(l, dtype=REAL_DTYPE) / sample_rate
+    ks = jnp.arange(k_ref)
+    best = jnp.zeros((p,), REAL_DTYPE)
+    # local search: ±half a Doppler bin and ±1 sample of code phase
+    # around the coarse peak, with code-Doppler-slewed segment starts
+    # (the code period at the receiver is L/(1+fd/fc) samples; over long
+    # integrations the drift exceeds a sample)
+    for ddop in (-0.5, 0.0, 0.5):
+        fd = dop + ddop * cfg.doppler_step_hz  # (P,)
+        period = l * (1.0 - fd / cfg.carrier_hz)  # samples, (P,)
+        starts = jnp.round(
+            ks[None, :] * period[:, None]).astype(jnp.int32)  # (P, K)
+        carrier = cis(
+            (-2 * jnp.pi * fd[:, None] * t[None, :]).astype(REAL_DTYPE)
+        ).astype(IQ_DTYPE)  # (P, L)
+        for dtau in (-1, 0, 1):
+            idx = (phase.astype(jnp.int32)[:, None, None] + dtau
+                   + starts[:, :, None] + jnp.arange(l)[None, None, :])
+            segs = x[jnp.clip(idx, 0, n - 1)]  # (P, K, L)
+            mixed = segs * carrier[:, None, :]
+            corr_r = jnp.einsum("pkl,psl->psk", mixed.real, codes)
+            corr_i = jnp.einsum("pkl,psl->psk", mixed.imag, codes)
+            pw = jnp.max(jnp.sum(corr_r**2 + corr_i**2, axis=-1), axis=1)
+            best = jnp.maximum(best, pw)
+    k_grid = max(1, min(cfg.coherent_periods, n // l))
+    return best / jnp.maximum(noise_floor * k_ref / k_grid, 1e-30)
 
 
 def acquire(x, codes, prns, sample_rate, cfg: PcpsConfig = PcpsConfig()
             ) -> AcquisitionResult:
     """Batched PCPS for all PRNs at once (acquisition.rs:104 `acquire`)."""
     n_subphases = np.shape(codes)[1] if np.ndim(codes) == 3 else 1
+    x = jnp.asarray(x, IQ_DTYPE)
     power = pcps_grid(x, codes, sample_rate, cfg)  # (P, D, L)
     p, d, l = power.shape
     flat = power.reshape(p, -1)
@@ -157,6 +257,11 @@ def acquire(x, codes, prns, sample_rate, cfg: PcpsConfig = PcpsConfig()
     noise_floor = (jnp.sum(flat, axis=-1) - peak) / (d * l - 1)
     k = max(1, cfg.coherent_periods)
     metric = peak / jnp.maximum(noise_floor, 1e-30)
+    if cfg.align_refine and x.shape[-1] >= 2 * l:
+        dops_found = jnp.asarray(doppler_bins(cfg))[dop_idx]
+        refined = _aligned_metric(x, codes, phase, dops_found,
+                                  noise_floor, sample_rate, cfg)
+        metric = jnp.maximum(metric, refined)
     eff_threshold = cfg.threshold + (
         cfg.noise_max_estimate(d * l * n_subphases)
         if cfg.auto_threshold else 0.0

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from r4w_tpu.core.hostio import cis, to_device
+from r4w_tpu.core.hostio import cis
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 from r4w_tpu.gnss import boc, prn
 from r4w_tpu.gnss.coordinates import (
@@ -328,7 +328,10 @@ class GnssScenario:
                 tap_delay[i, j] = d_s * CHIP_RATE * SUBCHIP
                 tap_coef[i, j] = 10.0 ** (p_db / 20.0) * np.exp(1j * ph)
         self._tap_delay = jnp.asarray(tap_delay)
-        self._tap_coef = to_device(tap_coef)
+        # split planes: a captured complex constant forces a complex
+        # host<->device copy at lowering, unimplemented on the axon TPU
+        self._tap_coef_re = jnp.asarray(tap_coef.real.astype(np.float32))
+        self._tap_coef_im = jnp.asarray(tap_coef.imag.astype(np.float32))
 
         # --- geometry state -------------------------------------------------
         self._orbits = [_sat_orbit(s) for s in sats]
@@ -467,7 +470,8 @@ class GnssScenario:
         sec_len = jnp.asarray(self._sec_len.astype(np.int32))
         nav_len = jnp.asarray(self._nav_len.astype(np.int32))
         ppb = jnp.asarray(self._ppb.astype(np.int32))
-        tap_delay, tap_coef = self._tap_delay, self._tap_coef
+        tap_delay = self._tap_delay
+        tap_re, tap_im = self._tap_coef_re, self._tap_coef_im
         noise_std = self._noise_std
 
         def block(chips0, e_sec0, e_nav0, code_rate, dop_s, dop_e,
@@ -495,6 +499,7 @@ class GnssScenario:
                                        ppb[:, None, None])
             nav_idx = jnp.mod(bit_idx, nav_len[:, None, None])
             nav = jnp.take_along_axis(nav_bank[:, None, :], nav_idx, axis=2)
+            tap_coef = jax.lax.complex(tap_re, tap_im)
             sig = jnp.sum(tap_coef[:, :, None] * (chips * sec * nav),
                           axis=1)  # (S, N)
             # carrier: linear Doppler ramp within the block
@@ -561,13 +566,17 @@ class GnssScenario:
 
     def generate(self, duration_s: float | None = None,
                  block_size: int = 1 << 20) -> np.ndarray:
+        from r4w_tpu.core.hostio import to_host
+
         dur = duration_s if duration_s is not None else self.config.duration_s
         total = int(dur * self.config.sample_rate)
         parts = []
         remaining = total
         while remaining > 0:
             n = min(block_size, remaining)
-            parts.append(np.asarray(self.generate_block(n)))
+            # split-plane transfer: complex64 device->host copies are
+            # unimplemented on the axon TPU runtime
+            parts.append(to_host(self.generate_block(n)))
             remaining -= n
         return np.concatenate(parts)
 

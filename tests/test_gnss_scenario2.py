@@ -246,6 +246,42 @@ def test_multipath_changes_composite_power():
     assert p_on < p_off * 2.5
 
 
+# ---------------------------------------------- secondary-safe acquisition
+
+
+def test_acquisition_align_refine_beats_secondary_transitions():
+    """E1C secondary-code sign flips straddle unaligned correlation
+    windows and can erase the peak; the alignment verification pass
+    (PcpsConfig.align_refine) restores the full non-coherent gain."""
+    fs = 4.092e6
+    # range chosen so the code boundary lands mid-window (worst case)
+    rng = 0.5 * 4092 / 1.023e6 * scenario.LIGHT_SPEED
+    sat = scenario.SatelliteConfig(signal="GalileoE1C", prn=3, cn0_dbhz=40.0,
+                                   doppler_hz=700.0, range_m=rng)
+    cfg = scenario.ScenarioConfig(satellites=(sat,), sample_rate=fs,
+                                  duration_s=0.06, seed=21)
+    gen = scenario.GnssScenario(cfg)
+    rx = jnp.asarray(gen.generate(0.06, block_size=1 << 18))
+    waves = [scenario._spread_waveform(
+        scenario.SatelliteConfig(signal="GalileoE1C", prn=p))
+        for p in (3, 7)]
+    L = int(round(fs * 4092 / 1.023e6))
+    codes = acquisition.sampled_code_bank(
+        waves, scenario.CHIP_RATE * scenario.SUBCHIP, fs, L, n_subphases=2)
+    base = dict(doppler_max_hz=1500.0, doppler_step_hz=250.0,
+                threshold=1.0, coherent_periods=14)
+    res = acquisition.acquire(
+        rx, codes, [3, 7], fs, acquisition.PcpsConfig(**base))
+    off = acquisition.acquire(
+        rx, codes, [3, 7], fs,
+        acquisition.PcpsConfig(**base, align_refine=False))
+    assert bool(res.detected[0])
+    assert not bool(res.detected[1])
+    assert abs(float(res.doppler_hz[0]) - 700.0) <= 250.0
+    # the refined metric strictly improves on the unaligned one here
+    assert float(res.peak_metric[0]) > float(off.peak_metric[0])
+
+
 # -------------------------------------------------------- YAML parsing
 
 
