@@ -2,7 +2,7 @@
 codes (repetition/Golay), Reed-Solomon, BCH, LDPC, turbo, polar,
 interleavers, puncturing."""
 
-from r4w_tpu.fec import fountain
+from r4w_tpu.fec import dvb_s2x, fountain
 from r4w_tpu.fec.convolutional import (
     conv_encode,
     depuncture,

@@ -1,10 +1,12 @@
 """LDPC codes: regular Gallager construction + normalized min-sum decode.
 
-Re-design of ldpc_codec.rs (501 LoC) / belief_propagation_decoder.rs /
-dvb_s2x_ldpc_codec.rs: the decoder is fully vectorized — messages live
-on a dense (checks × edges-per-check) gather layout, each iteration is
-a handful of batched gathers/reductions under `lax.fori_loop`, so
-thousands of codewords decode in parallel on the VPU.
+Re-design of ldpc_codec.rs (501 LoC) / belief_propagation_decoder.rs:
+the decoder is fully vectorized — messages live on a dense
+(checks × edges-per-check) gather layout, each iteration is a handful
+of batched gathers/reductions under `lax.fori_loop`, so thousands of
+codewords decode in parallel on the VPU. The DVB-S2X frame structure
+(11 code rates, Normal/Short frames, IRA staircase parity —
+dvb_s2x_ldpc_codec.rs) lives in `r4w_tpu.fec.dvb_s2x`.
 """
 
 from __future__ import annotations
@@ -148,7 +150,12 @@ def ldpc_decode(llr, h_g=None, iters: int = 25, alpha: float = 0.8):
         big = jnp.where(mag == jnp.min(mag, -1, keepdims=True), jnp.inf, mag)
         m2 = jnp.min(big, axis=-1, keepdims=True)
         is_min = mag == m1
-        new_msg = alpha * prod_sign * jnp.where(is_min, m2, m1)
+        # tied minima: "min over the other edges" is m1 everywhere
+        # (m2 would be inf, poisoning the beliefs on e.g. clean inputs)
+        n_min = jnp.sum(is_min, axis=-1, keepdims=True)
+        m2 = jnp.where(n_min > 1, m1, m2)
+        new_msg = alpha * prod_sign * jnp.where(is_min & (n_min == 1),
+                                                m2, m1)
         return (new_msg,)
 
     (msg,) = lax.fori_loop(0, iters, iteration, (msg,))

@@ -161,3 +161,157 @@ def fde_equalize(rx_blocks, channel_freq, snr_db: float = 20.0):
     w = jnp.conj(h) / (h.real**2 + h.imag**2 + 1.0 / gamma)
     spec = jnp.fft.fft(jnp.asarray(rx_blocks, IQ_DTYPE), axis=-1)
     return jnp.fft.ifft(spec * w, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Time-domain adaptive equalizer with train / decision-directed modes
+# (time_domain_equalizer.rs re-design)
+# --------------------------------------------------------------------------
+
+
+def nearest_point(y, constellation):
+    """Slice (...,) symbols to the nearest constellation point
+    (time_domain_equalizer.rs:126 nearest_qam_point)."""
+    c = jnp.asarray(constellation, IQ_DTYPE)
+    d = y[..., None] - c
+    idx = jnp.argmin(d.real**2 + d.imag**2, axis=-1)
+    return c[idx]
+
+
+def time_domain_equalizer(x, n_taps: int = 11, algorithm: str = "lms",
+                          mu: float = 0.01, lam: float = 0.99,
+                          reference=None, constellation=None,
+                          train_len: int | None = None) -> EqOut:
+    """Adaptive FIR equalizer over time samples with an optional training
+    phase followed by decision-directed adaptation
+    (time_domain_equalizer.rs:149 TimeDomainEqualizer: Training /
+    DecisionDirected modes, LMS/NLMS/RLS algorithms).
+
+    x: (N,) received symbols. reference: known symbols for training
+    (length defines the training span unless train_len is given).
+    constellation: slicer points for the decision-directed phase; when
+    None, adaptation stops after training (weights frozen).
+    """
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = x.shape[-1]
+    wins = _windows(x, n_taps)  # (N, K) newest-first
+    center = jnp.zeros(n_taps, IQ_DTYPE).at[n_taps // 2].set(1.0)
+
+    if reference is not None:
+        ref = jnp.asarray(reference, IQ_DTYPE)
+        t_len = int(train_len if train_len is not None else ref.shape[-1])
+        if algorithm == "rls":
+            trained = rls_equalize(x[:t_len], ref[:t_len], n_taps, lam)
+        else:
+            trained = lms_equalize(x[:t_len], ref[:t_len], n_taps, mu)
+        w0 = trained.taps
+        train_y, train_err = trained.y, trained.error
+    else:
+        t_len = 0
+        w0 = center
+        train_y = zeros_iq((0,))
+        train_err = jnp.zeros((0,), REAL_DTYPE)
+
+    rest = wins[t_len:]
+    if constellation is None:
+        y2 = jnp.einsum("nk,k->n", rest, w0)
+        err2 = jnp.zeros(y2.shape, REAL_DTYPE)
+        w_fin = w0
+    else:
+        c = jnp.asarray(constellation, IQ_DTYPE)
+
+        def dd_step(w, u):
+            y = jnp.sum(w * u)
+            d = nearest_point(y, c)
+            e = d - y
+            if algorithm == "nlms":
+                norm = jnp.sum(u.real**2 + u.imag**2) + 1e-12
+                w = w + mu / norm * e * jnp.conj(u)
+            else:
+                w = w + mu * e * jnp.conj(u)
+            return w, (y, jnp.abs(e))
+
+        w_fin, (y2, err2) = lax.scan(dd_step, w0, rest)
+
+    return EqOut(
+        y=jnp.concatenate([train_y, y2]),
+        error=jnp.concatenate([train_err, err2]),
+        taps=w_fin,
+    )
+
+
+# --------------------------------------------------------------------------
+# Turbo equalizer: frequency-domain soft-IC MMSE + max-log BCJR
+# (turbo_equalizer.rs re-design)
+# --------------------------------------------------------------------------
+
+
+def turbo_equalizer_tx(bits, interleaver=None):
+    """Encode info bits for the turbo-equalized link: rate-1/2 RSC
+    (systematic + parity multiplexed), interleaved, BPSK-mapped.
+
+    Returns (x (2N,) complex BPSK, coded (2N,) bits, pi (2N,)).
+    """
+    from r4w_tpu.fec.turbo import default_interleaver, rsc_encode
+
+    bits = np.asarray(bits, np.int32)
+    par, _ = rsc_encode(bits)
+    coded = np.empty(2 * len(bits), np.int32)
+    coded[0::2] = bits
+    coded[1::2] = par
+    pi = (np.asarray(interleaver, np.int64) if interleaver is not None
+          else default_interleaver(len(coded), seed=11))
+    x = (1.0 - 2.0 * coded[pi]).astype(np.complex64)
+    return jnp.asarray(x), coded, pi
+
+
+def turbo_equalize(rx, channel_taps, interleaver, noise_var,
+                   n_iters: int = 4):
+    """Iterative (turbo) equalization of a BPSK RSC-coded burst over a
+    known ISI channel (turbo_equalizer.rs:103 TurboEqualizer with
+    EqualizerType::MmseLinear + convolutional decoder).
+
+    Per iteration: frequency-domain soft-interference-cancellation MMSE
+    (priors → symbol means/variances → extrinsic symbol LLRs), then a
+    max-log BCJR over the RSC trellis whose systematic extrinsic feeds
+    the next equalization pass. Parity positions re-enter with zero
+    prior — the standard simplification.
+
+    rx: (M,) received burst (M = 2·n_info, circular-prefix-free block:
+    the FD model is circular, so pass a burst with a cyclic prefix
+    stripped, or accept edge leakage for M >> len(h)).
+    Returns (hard_info_bits, iteration_ber_proxy list).
+    """
+    from r4w_tpu.fec.turbo import _bcjr_maxlog
+
+    rx = jnp.asarray(rx, IQ_DTYPE)
+    m = rx.shape[-1]
+    pi = jnp.asarray(np.asarray(interleaver, np.int64))
+    inv = jnp.zeros_like(pi).at[pi].set(jnp.arange(m))
+    h_f = jnp.fft.fft(jnp.asarray(channel_taps, IQ_DTYPE), n=m)
+    h2 = h_f.real**2 + h_f.imag**2
+    rx_f = jnp.fft.fft(rx)
+    sigma2 = jnp.asarray(noise_var, REAL_DTYPE)
+
+    la = jnp.zeros((m,), REAL_DTYPE)  # prior LLRs on interleaved coded bits
+    ext_sys = None
+    llr_sys = llr_par = None
+    for _ in range(n_iters):
+        # prior symbol statistics (BPSK: mean = tanh(La/2), var = 1-mean²)
+        xbar = jnp.tanh(jnp.clip(la, -30.0, 30.0) / 2.0).astype(IQ_DTYPE)
+        vbar = jnp.mean(1.0 - (xbar.real**2))
+        # FD soft-IC MMSE: x̂ = x̄ + F⁻¹[ H*/(|H|²v̄+σ²) · (RX − H·X̄) ]
+        denom = h2 * vbar + sigma2
+        resid_f = rx_f - h_f * jnp.fft.fft(xbar)
+        xhat = xbar + jnp.fft.ifft(jnp.conj(h_f) / denom * resid_f)
+        mu_eq = jnp.mean(h2 / denom)
+        # extrinsic symbol LLR (bit 0 ↔ +1): Le = 2·Re{x̂}/(1−μ·v̄)
+        le = 2.0 * xhat.real / jnp.maximum(1.0 - mu_eq * vbar, 1e-6)
+        le_coded = le[inv]  # deinterleave to coded order
+        llr_sys = le_coded[0::2]
+        llr_par = le_coded[1::2]
+        ext_sys = _bcjr_maxlog(llr_sys, llr_par, jnp.zeros_like(llr_sys))
+        la_coded = jnp.zeros((m,), REAL_DTYPE).at[0::2].set(ext_sys)
+        la = la_coded[pi]
+    post = llr_sys + ext_sys
+    return (post < 0).astype(jnp.int32), post

@@ -11,6 +11,9 @@ CPM is a cumulative phase integral; SC-FDMA is two FFTs and a mask.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -298,3 +301,207 @@ def _combinations_table(n: int, k: int) -> np.ndarray:
     from itertools import combinations
 
     return np.asarray(list(combinations(range(n), k)), np.int32)
+
+
+# --------------------------------------------------------------------------
+# FBMC/OQAM polyphase mapper (fbmc_polyphase_mapper.rs re-design)
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def phydyas_filter(n_subcarriers: int, overlap: int = 4) -> np.ndarray:
+    """PHYDYAS prototype filter, length K·M, unit energy
+    (fbmc_polyphase_mapper.rs:78)."""
+    m, k = n_subcarriers, overlap
+    length = k * m
+    if k == 2:
+        coeffs = [1.0, 1.0 / np.sqrt(2.0)]
+    elif k == 3:
+        coeffs = [1.0, 0.911438, 0.411438]
+    elif k == 4:
+        coeffs = [1.0, 0.971960, 0.707107, 0.235147]
+    else:
+        coeffs = [1.0] + [np.sinc(i / k) for i in range(1, k)]
+    n = np.arange(length) - (length - 1) / 2.0
+    h = np.full(length, coeffs[0])
+    for i in range(1, len(coeffs)):
+        h = h + 2.0 * coeffs[i] * np.cos(2.0 * np.pi * i * n / length)
+    return (h / np.sqrt(np.sum(h * h))).astype(np.float32)
+
+
+def oqam_stagger(qam):
+    """QAM (..., T, M) → OQAM real half-symbols (..., 2T, M): real parts
+    then imaginary parts per symbol period
+    (fbmc_polyphase_mapper.rs:138)."""
+    qam = jnp.asarray(qam, IQ_DTYPE)
+    re, im = qam.real, qam.imag
+    return jnp.stack([re, im], axis=-2).reshape(
+        *qam.shape[:-2], 2 * qam.shape[-2], qam.shape[-1])
+
+
+def oqam_destagger(oqam):
+    """Inverse of oqam_stagger: (..., 2T, M) → (..., T, M) complex."""
+    x = jnp.asarray(oqam, REAL_DTYPE)
+    t2, m = x.shape[-2], x.shape[-1]
+    pairs = x.reshape(*x.shape[:-2], t2 // 2, 2, m)
+    return (pairs[..., 0, :] + 1j * pairs[..., 1, :]).astype(IQ_DTYPE)
+
+
+def _fbmc_theta(t_half: int, m: int) -> np.ndarray:
+    """OQAM phase map θ[t, n] = j^(n+t) keeping adjacent REs in
+    quadrature."""
+    n = np.arange(m)
+    t = np.arange(t_half)[:, None]
+    return np.power(1j, (n[None, :] + t) % 4).astype(np.complex64)
+
+
+def fbmc_modulate(oqam, overlap: int = 4):
+    """FBMC/OQAM synthesis: per half-symbol IFFT × PHYDYAS prototype,
+    overlap-added at M/2 spacing (fbmc_polyphase_mapper.rs:330
+    FbmcModulator::modulate).
+
+    oqam: (T2, M) real half-symbols. Returns ((T2-1)·M/2 + K·M,) IQ.
+    """
+    oqam = jnp.asarray(oqam, REAL_DTYPE)
+    t2, m = oqam.shape
+    k = overlap
+    proto = jnp.asarray(phydyas_filter(m, k))
+    theta = jnp.asarray(_fbmc_theta(t2, m))
+    freq = oqam.astype(IQ_DTYPE) * theta  # (T2, M)
+    base = jnp.fft.ifft(freq, axis=-1) * m  # (T2, M)
+    ext = jnp.tile(base, (1, k)) * proto[None, :]  # (T2, K·M)
+    out_len = (t2 - 1) * (m // 2) + k * m
+    # overlap-add via scatter
+    idx = (jnp.arange(t2)[:, None] * (m // 2)
+           + jnp.arange(k * m)[None, :]).reshape(-1)
+    out = jnp.zeros(out_len, IQ_DTYPE).at[idx].add(ext.reshape(-1))
+    return out
+
+
+def fbmc_demodulate(x, n_subcarriers: int, n_half_symbols: int,
+                    overlap: int = 4):
+    """FBMC/OQAM analysis: matched prototype filtering + FFT + phase
+    derotation, real part (FbmcDemodulator::demodulate). Perfect-
+    reconstruction up to the PHYDYAS intrinsic interference on the
+    imaginary axis, which OQAM discards."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    m, k, t2 = n_subcarriers, overlap, n_half_symbols
+    proto = jnp.asarray(phydyas_filter(m, k))
+    idx = (jnp.arange(t2)[:, None] * (m // 2)
+           + jnp.arange(k * m)[None, :])
+    segs = x[jnp.minimum(idx, x.shape[-1] - 1)] * proto[None, :]  # (T2, KM)
+    folded = segs.reshape(t2, k, m).sum(axis=1)  # alias-fold to M
+    freq = jnp.fft.fft(folded, axis=-1) / m
+    theta = jnp.asarray(_fbmc_theta(t2, m))
+    return (freq * jnp.conj(theta)).real
+
+
+def fbmc_spectral_efficiency(n_subcarriers: int, overlap: int) -> float:
+    """OQAM carries one real symbol per subcarrier per half period — same
+    asymptotic efficiency as CP-free OFDM (fbmc_polyphase_mapper.rs:194)."""
+    del n_subcarriers, overlap
+    return 1.0
+
+
+# --------------------------------------------------------------------------
+# 5G NR resource grid mapper (nr_resource_grid_mapper.rs re-design)
+# --------------------------------------------------------------------------
+
+NR_RE_GUARD, NR_RE_DATA, NR_RE_DMRS, NR_RE_PTRS = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class NrGridConfig:
+    """5G NR slot grid (nr_resource_grid_mapper.rs:119 NrConfig +
+    SlotConfig). numerology μ∈0..4 → SCS 15·2^μ kHz; normal CP = 14
+    symbols/slot, extended (μ=2 only) = 12."""
+
+    numerology: int = 0
+    num_prbs: int = 6
+    num_symbols: int = 14
+    slot_number: int = 0
+    frame_number: int = 0
+    dmrs_symbols: tuple[int, ...] = (2, 3)  # Type A, additional pos 1
+    ptrs_density: int = 0  # 0 = off; else every Nth subcarrier
+
+    @property
+    def num_subcarriers(self) -> int:
+        return 12 * self.num_prbs
+
+    @property
+    def subcarrier_spacing_khz(self) -> float:
+        return 15.0 * (2 ** self.numerology)
+
+    @property
+    def slot_duration_ms(self) -> float:
+        return 1.0 / (2 ** self.numerology)
+
+
+@functools.lru_cache(maxsize=None)
+def nr_re_types(cfg: NrGridConfig) -> np.ndarray:
+    """(num_symbols, num_subcarriers) int8 resource-type map: DMRS comb-2
+    on the configured symbols, optional PTRS columns, DATA elsewhere."""
+    grid = np.full((cfg.num_symbols, cfg.num_subcarriers), NR_RE_DATA,
+                   np.int8)
+    for sym in cfg.dmrs_symbols:
+        if sym < cfg.num_symbols:
+            grid[sym, 0::2] = NR_RE_DMRS
+            grid[sym, 1::2] = NR_RE_GUARD  # comb-2 companion REs unused
+    if cfg.ptrs_density > 0:
+        for sym in range(cfg.num_symbols):
+            if sym in cfg.dmrs_symbols:
+                continue
+            grid[sym, 0::cfg.ptrs_density] = NR_RE_PTRS
+    return grid
+
+
+@functools.lru_cache(maxsize=None)
+def nr_dmrs_values(cfg: NrGridConfig) -> np.ndarray:
+    """Deterministic QPSK DMRS sequence seeded by slot/frame
+    (nr_resource_grid_mapper.rs:255 dmrs_sequence_value)."""
+    types = nr_re_types(cfg)
+    vals = np.zeros(types.shape, np.complex64)
+    sym_idx, sc_idx = np.nonzero(types == NR_RE_DMRS)
+    seed = ((cfg.frame_number * 131 + cfg.slot_number) * 97
+            + sc_idx) * 53 + sym_idx
+    phase = (seed % 4) * np.pi / 2.0 + np.pi / 4.0
+    vals[sym_idx, sc_idx] = (np.cos(phase) + 1j * np.sin(phase)) / np.sqrt(2)
+    return vals
+
+
+def nr_data_capacity(cfg: NrGridConfig) -> int:
+    return int((nr_re_types(cfg) == NR_RE_DATA).sum())
+
+
+def nr_map(data_symbols, cfg: NrGridConfig = NrGridConfig()):
+    """Map data symbols onto the slot grid around DMRS/PTRS
+    (insert_dmrs + map_pdsch_data roles). data_symbols: (..., D) with
+    D = nr_data_capacity(cfg); zero-pad shorter bursts. Returns
+    (..., num_symbols, num_subcarriers) complex grid."""
+    types = nr_re_types(cfg)
+    data_pos = np.nonzero(types.reshape(-1) == NR_RE_DATA)[0]
+    ptrs_pos = np.nonzero(types.reshape(-1) == NR_RE_PTRS)[0]
+    d = jnp.asarray(data_symbols, IQ_DTYPE)
+    cap = len(data_pos)
+    assert d.shape[-1] <= cap, (d.shape, cap)
+    if d.shape[-1] < cap:
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, cap - d.shape[-1])]
+        d = jnp.pad(d, pad)
+    flat = jnp.zeros(d.shape[:-1] + (types.size,), IQ_DTYPE)
+    flat = flat.at[..., jnp.asarray(data_pos)].set(d)
+    dmrs_pos = np.nonzero(types.reshape(-1) == NR_RE_DMRS)[0]
+    dmrs_vals = nr_dmrs_values(cfg).reshape(-1)[dmrs_pos]
+    flat = flat.at[..., jnp.asarray(dmrs_pos)].set(jnp.asarray(dmrs_vals))
+    if len(ptrs_pos):
+        flat = flat.at[..., jnp.asarray(ptrs_pos)].set(
+            (1.0 + 1.0j) / np.sqrt(2.0))
+    return flat.reshape(d.shape[:-1] + types.shape)
+
+
+def nr_demap(grid, cfg: NrGridConfig = NrGridConfig()):
+    """Extract the data REs in mapping order (extract_data role)."""
+    types = nr_re_types(cfg)
+    data_pos = np.nonzero(types.reshape(-1) == NR_RE_DATA)[0]
+    g = jnp.asarray(grid, IQ_DTYPE)
+    flat = g.reshape(*g.shape[:-2], -1)
+    return flat[..., jnp.asarray(data_pos)]

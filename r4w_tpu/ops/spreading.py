@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 # Preferred m-sequence polynomial pairs for Gold codes (lfsr.rs:157-165)
@@ -122,3 +124,85 @@ def pn_autocorrelation(chips: np.ndarray) -> np.ndarray:
     n = len(chips)
     f = np.fft.fft(chips.astype(np.float64))
     return np.round(np.real(np.fft.ifft(f * np.conj(f)))).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# RAKE receiver (rake_receiver.rs re-design)
+# --------------------------------------------------------------------------
+
+
+def rake_search(rx, code, max_fingers: int = 4, window: int | None = None,
+                threshold: float = 0.2):
+    """Find multipath fingers by correlating one code period over a
+    delay window (rake_receiver.rs:89 search_fingers).
+
+    rx: (N,) complex; code: (L,) ±1 chips at the same rate.
+    Returns (delays (F,) int32, gains (F,) complex64, valid (F,) bool):
+    up to max_fingers delays whose correlation magnitude exceeds
+    threshold × the strongest peak; gains are the normalized complex
+    correlations (used as MRC weights).
+    """
+    rx = jnp.asarray(rx)
+    code = jnp.asarray(code, jnp.float32)
+    l = code.shape[-1]
+    w = int(window) if window is not None else l
+    # (W, L) delayed windows of rx against the code
+    idx = jnp.arange(w)[:, None] + jnp.arange(l)[None, :]
+    idx = jnp.minimum(idx, rx.shape[-1] - 1)
+    segs = rx[idx]
+    corr = segs @ code.astype(segs.dtype) / l  # (W,) complex
+    mag = jnp.abs(corr)
+    # greedy peak pick with ±1-chip exclusion around chosen fingers
+    def pick(carry, _):
+        m, chosen = carry
+        d = jnp.argmax(m)
+        g = mag[d]
+        excl = jnp.abs(jnp.arange(w) - d) <= 1
+        m = jnp.where(excl, -jnp.inf, m)
+        return (m, chosen), (d, g)
+
+    (_, _), (delays, mags) = jax.lax.scan(
+        pick, (mag, jnp.zeros((), jnp.int32)), None, length=max_fingers)
+    valid = mags >= threshold * mags[0]
+    gains = corr[delays]
+    return delays.astype(jnp.int32), gains, valid
+
+
+def rake_despread(rx, code, delay):
+    """Despread at one finger delay: per-symbol correlation
+    (rake_receiver.rs:145 despread_at). rx (N,), code (L,) → (N//L,)."""
+    rx = jnp.asarray(rx)
+    code = jnp.asarray(code, jnp.float32)
+    l = code.shape[-1]
+    n_sym = (rx.shape[-1]) // l
+    idx = (delay + jnp.arange(n_sym)[:, None] * l
+           + jnp.arange(l)[None, :])
+    segs = rx[jnp.minimum(idx, rx.shape[-1] - 1)]
+    return segs @ code.astype(segs.dtype) / l
+
+
+def rake_combine(rx, code, delays, gains, valid=None, mode: str = "mrc"):
+    """Multi-finger despread + diversity combining
+    (rake_receiver.rs:171 combine; CombiningMode MRC/EGC/Selection).
+
+    Returns (n_sym,) combined soft symbols.
+    """
+    rx = jnp.asarray(rx)
+    gains = jnp.asarray(gains)
+    delays = jnp.asarray(delays, jnp.int32)
+    if valid is None:
+        valid = jnp.ones(delays.shape, bool)
+    fingers = jax.vmap(lambda d: rake_despread(rx, code, d))(delays)  # (F, S)
+    if mode == "mrc":
+        w = jnp.conj(gains)
+    elif mode == "egc":
+        mag = jnp.maximum(jnp.abs(gains), 1e-12)
+        w = jnp.conj(gains) / mag
+    elif mode == "selection":
+        best = jnp.argmax(jnp.where(valid, jnp.abs(gains), -1.0))
+        w = jnp.zeros_like(gains).at[best].set(
+            jnp.conj(gains[best]) / jnp.maximum(jnp.abs(gains[best]), 1e-12))
+    else:
+        raise ValueError(f"unknown combining mode {mode}")
+    w = jnp.where(valid, w, 0.0)
+    return jnp.einsum("f,fs->s", w, fingers)

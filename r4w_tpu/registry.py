@@ -82,6 +82,24 @@ def _ofdm_ops():
     return ofdm_ops
 
 
+def _eq_ops():
+    from r4w_tpu.ops import equalizers
+
+    return equalizers
+
+
+def _modem_ops():
+    from r4w_tpu.ops import modem
+
+    return modem
+
+
+def _dvb():
+    from r4w_tpu.fec import dvb_s2x
+
+    return dvb_s2x
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -159,6 +177,27 @@ def _populate(reg: BlockRegistry):
         ("ofdm_pilot_interpolator", C.SYNC,
          "pilot->full-band linear interpolation (ofdm_pilot_interpolator.rs)",
          lambda **k: _ofdm_ops().PilotPattern, ("positions", "values")),
+        ("rake_receiver", C.SYNC,
+         "multipath finger search + MRC/EGC/selection (rake_receiver.rs)",
+         lambda **k: (spreading.rake_search, spreading.rake_combine),
+         ("max_fingers", "mode")),
+        ("turbo_equalizer", C.SYNC,
+         "iterative FD soft-IC MMSE + BCJR (turbo_equalizer.rs)",
+         lambda **k: _eq_ops().turbo_equalize,
+         ("channel_taps", "n_iters")),
+        ("time_domain_equalizer", C.SYNC,
+         "train + decision-directed adaptive FIR (time_domain_equalizer.rs)",
+         lambda **k: _eq_ops().time_domain_equalizer,
+         ("n_taps", "algorithm")),
+        ("fbmc_polyphase_mapper", C.MODULATOR,
+         "FBMC/OQAM PHYDYAS synthesis/analysis (fbmc_polyphase_mapper.rs)",
+         lambda **k: _modem_ops().fbmc_modulate, ("overlap",)),
+        ("nr_resource_grid_mapper", C.MODULATOR,
+         "5G NR slot grid with DMRS/PTRS (nr_resource_grid_mapper.rs)",
+         lambda **k: _modem_ops().nr_map, ("numerology", "num_prbs")),
+        ("dvb_s2x_ldpc", C.MATH,
+         "DVB-S2X LDPC 11 rates, Normal/Short frames (dvb_s2x_ldpc_codec.rs)",
+         lambda **k: _dvb(), ("rate", "frame")),
     ]
     for e in entries:
         name, cat, desc, fac = e[:4]
