@@ -196,6 +196,13 @@ def _pcps_grid_one(x, codes, sample_rate, cfg: PcpsConfig,
         return acc + (corr.real**2 + corr.imag**2), None
 
     init = jnp.zeros((p, s, dops.shape[0], nfft), REAL_DTYPE)
+    # under shard_map the body output varies over the mesh axes of
+    # codes/x; the init carry must carry the same varying-manual-axes
+    # marking or scan rejects the carry type (no-op outside shard_map)
+    vma = (frozenset(getattr(jax.typeof(codes), "vma", ()))
+           | frozenset(getattr(jax.typeof(x), "vma", ())))
+    if vma:
+        init = jax.lax.pvary(init, tuple(vma))
     power, _ = jax.lax.scan(step, init, xs)
     power = jnp.max(power, axis=1)  # best sub-phase replica: (P, D, F)
     return power[..., :l]

@@ -25,7 +25,9 @@ from r4w_tpu.waveforms import qam  # noqa: F401
 from r4w_tpu.waveforms import ofdm  # noqa: F401
 from r4w_tpu.waveforms import dsss  # noqa: F401
 from r4w_tpu.waveforms import iot_waveforms  # noqa: F401  Zigbee/UWB/FMCW
-from r4w_tpu.waveforms import hf_waveforms  # noqa: F401  STANAG/ALE/188-110
+from r4w_tpu.waveforms import hf_waveforms  # noqa: F401  ALE/3G-ALE
+from r4w_tpu.waveforms import stanag4285  # noqa: F401  STANAG 4285 frames
+from r4w_tpu.waveforms import milstd188110  # noqa: F401  110A + autobaud
 from r4w_tpu.waveforms import pmr_waveforms  # noqa: F401  P25/TETRA/DMR
 from r4w_tpu.waveforms import milfh_waveforms  # noqa: F401  SINCGARS/HQ/L16
 from r4w_tpu.waveforms import beacon  # noqa: F401  emergency beacons

@@ -1,11 +1,9 @@
-"""HF modem waveforms: STANAG 4285, MIL-STD-188-110, ALE, 3G-ALE.
+"""HF link-establishment waveforms: ALE and 3G-ALE.
 
-Re-designs of waveform/{stanag4285,milstd188110,ale,ale3g}.rs: serial-
-tone PSK modems with known preambles on an audio-band carrier, and the
-8-FSK ALE tone alphabet with Golay-coded words. Framing follows the
-reference's structure; the heavy standard internals (full interleaver
-schedules, scrambler polynomials) use simplified-but-documented
-equivalents behind the same API.
+Re-designs of waveform/{ale,ale3g}.rs: the 8-FSK ALE tone alphabet with
+Golay-coded triple-redundant words, and the 3G-ALE burst PSK waveform.
+The serial-tone data modems live in their own standard-conformant
+modules: waveforms/stanag4285.py and waveforms/milstd188110.py.
 """
 
 from __future__ import annotations
@@ -141,28 +139,6 @@ class _SerialToneModem(Waveform):
                            snr_estimate=snr)
 
 
-@dataclasses.dataclass(frozen=True)
-class Stanag4285(_SerialToneModem):
-    """STANAG 4285 HF modem (stanag4285.rs:844 LoC): 2400 Bd 8PSK serial
-    tone with an 80-symbol sync preamble."""
-
-    common: CommonParams = CommonParams(sample_rate=9600.0)
-    name = "STANAG-4285"
-    full_name = "NATO STANAG 4285 HF modem"
-    desc = "Serial-tone PSK on 1800 Hz with 80-symbol preamble"
-
-
-@dataclasses.dataclass(frozen=True)
-class MilStd188110(_SerialToneModem):
-    """MIL-STD-188-110 serial-tone HF modem (milstd188110.rs)."""
-
-    common: CommonParams = CommonParams(sample_rate=9600.0)
-    preamble_len = 96
-    name = "MIL-STD-188-110"
-    full_name = "MIL-STD-188-110 serial tone modem"
-    desc = "2400 Bd serial PSK; autobaud preamble"
-
-
 # --------------------------------------------------------------------- ALE
 
 ALE_TONES = np.array([750.0 + 250.0 * i for i in range(8)])  # 750..2500 Hz
@@ -259,11 +235,6 @@ class Ale3g(_SerialToneModem):
     amd_message: str = ""
 
 
-@register_waveform("STANAG-4285", aliases=("STANAG",))
-def _stanag(sample_rate: float) -> Stanag4285:
-    return Stanag4285(common=CommonParams(sample_rate=max(sample_rate, 9600.0)))
-
-
 @register_waveform("ALE")
 def _ale(sample_rate: float) -> Ale:
     return Ale(common=CommonParams(sample_rate=max(sample_rate, 8000.0)))
@@ -272,10 +243,3 @@ def _ale(sample_rate: float) -> Ale:
 @register_waveform("3G-ALE", aliases=("ALE3G", "MILSTD188141B"))
 def _ale3g(sample_rate: float) -> Ale3g:
     return Ale3g(common=CommonParams(sample_rate=max(sample_rate, 9600.0)))
-
-
-@register_waveform("MIL-STD-188-110", aliases=("188110", "MIL188110"))
-def _milstd(sample_rate: float) -> MilStd188110:
-    return MilStd188110(
-        common=CommonParams(sample_rate=max(sample_rate, 9600.0))
-    )
