@@ -29,7 +29,8 @@ from r4w_tpu.waveforms import hf_waveforms  # noqa: F401  ALE/3G-ALE
 from r4w_tpu.waveforms import stanag4285  # noqa: F401  STANAG 4285 frames
 from r4w_tpu.waveforms import milstd188110  # noqa: F401  110A + autobaud
 from r4w_tpu.waveforms import pmr_waveforms  # noqa: F401  P25/TETRA/DMR
-from r4w_tpu.waveforms import milfh_waveforms  # noqa: F401  SINCGARS/HQ/L16
+from r4w_tpu.waveforms import milfh_waveforms  # noqa: F401  SINCGARS/HQ
+from r4w_tpu.waveforms import link16  # noqa: F401  Link-16 TDMA/CCSK/RS
 from r4w_tpu.waveforms import beacon  # noqa: F401  emergency beacons
 from r4w_tpu.waveforms import fhss  # noqa: F401
 from r4w_tpu.waveforms import lora_waveform  # noqa: F401
