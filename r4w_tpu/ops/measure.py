@@ -102,6 +102,53 @@ def theoretical_ber_qpsk(ebn0_db):
     return theoretical_ber_bpsk(ebn0_db)
 
 
+def theoretical_ber_mpsk(ebn0_db, m: int):
+    """Gray-coded M-PSK bit error rate (ber_tool.rs theory curves).
+
+    Exact for M=2,4; the standard nearest-neighbour approximation
+    Pb ≈ (2/k)·Q(√(2k·γb)·sin(π/M)) for M≥8 (tight for Pb ≲ 1e-2).
+    """
+    if m in (2, 4):
+        return theoretical_ber_bpsk(ebn0_db)
+    k = np.log2(m)
+    e = 10.0 ** (jnp.asarray(ebn0_db, REAL_DTYPE) / 10.0) * k
+    arg = jnp.sqrt(2.0 * e) * np.sin(np.pi / m)
+    ser = 2.0 * 0.5 * jax.scipy.special.erfc(arg / jnp.sqrt(2.0))
+    return ser / k
+
+
+def theoretical_ber_fsk_noncoherent(ebn0_db):
+    """Noncoherent orthogonal BFSK: Pb = ½·exp(−γb/2) (ber_tool.rs)."""
+    e = 10.0 ** (jnp.asarray(ebn0_db, REAL_DTYPE) / 10.0)
+    return 0.5 * jnp.exp(-e / 2.0)
+
+
+def theoretical_ber_mqam_exact(ebn0_db, m: int):
+    """EXACT Gray-coded square M-QAM bit error rate (Cho & Yoon 2002,
+    "On the general BER expression of one- and two-dimensional amplitude
+    modulations"). Both I/Q dimensions are √M-PAM; averaging the exact
+    per-bit-position error probabilities gives Pb with no
+    nearest-neighbour approximation."""
+    gamma = 10.0 ** (jnp.asarray(ebn0_db, REAL_DTYPE) / 10.0)
+    k_tot = int(np.log2(m))
+    sqrt_m = int(round(np.sqrt(m)))
+    k_dim = int(np.log2(sqrt_m))
+    base = jnp.sqrt(3.0 * k_tot * gamma / (m - 1.0))
+
+    total = 0.0
+    for k in range(1, k_dim + 1):
+        n_terms = int((1 - 2.0 ** (-k)) * sqrt_m)
+        for i in range(n_terms):
+            f = int(np.floor(i * 2.0 ** (k - 1) / sqrt_m))
+            w = ((-1.0) ** f) * (2.0 ** (k - 1)
+                                 - np.floor(i * 2.0 ** (k - 1) / sqrt_m
+                                            + 0.5))
+            q = 0.5 * jax.scipy.special.erfc(
+                (2 * i + 1) * base / jnp.sqrt(2.0))
+            total = total + (2.0 / sqrt_m) * w * q
+    return total / k_dim
+
+
 def theoretical_ber_mqam(ebn0_db, m: int):
     """Gray-coded square M-QAM approximation."""
     k = np.log2(m)

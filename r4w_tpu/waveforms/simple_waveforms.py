@@ -75,13 +75,20 @@ class CW(Waveform):
 
     def demodulate(self, samples) -> DemodResult:
         samples = jnp.asarray(samples, IQ_DTYPE)
-        # frequency estimate from mean phase increment
-        d = samples[..., 1:] * jnp.conj(samples[..., :-1])
-        freq = (
-            jnp.angle(jnp.sum(d, axis=-1))
-            * self.common.sample_rate
-            / (2.0 * jnp.pi)
+        # coarse: interpolated FFT peak (noise-robust, unlike the mean
+        # phase-increment estimator whose bias grows as 1/SNR); the
+        # 8x zero-pad keeps the quadratic interpolation in its accurate
+        # regime (fft_utils.rs:145 find_peak_interpolated role)
+        from r4w_tpu.core import fftops
+
+        n = samples.shape[-1]
+        nfft = 8 * n
+        spec = fftops.power_spectrum(
+            jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, nfft - n)])
         )
+        idx, _ = fftops.find_peak_interpolated(spec)
+        freq = jnp.where(idx > nfft / 2, idx - nfft, idx) * (
+            self.common.sample_rate / nfft)
         power = jnp.mean(jnp.abs(samples) ** 2, axis=-1)
         return DemodResult(
             bits=jnp.zeros(0, SYMBOL_DTYPE),
