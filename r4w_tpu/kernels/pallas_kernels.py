@@ -131,45 +131,42 @@ def dechirp_power_mxu(samples: jax.Array, downchirp: jax.Array,
 # --------------------------------------------------------------------------
 
 
-def _fir_decim_kernel(x_ref, taps_ref, out_ref, *, block_out: int,
-                      n_taps: int, factor: int):
-    """Grid step i computes outputs [i·B, (i+1)·B): overlapping input
-    windows are sliced with pl.ds from the full VMEM-resident input
-    (overlap can't be expressed with blocked index maps)."""
+def _fir_kernel(x_ref, taps_ref, out_ref, *, block_out: int, n_taps: int):
+    """Grid step i computes outputs [i·B, (i+1)·B) of a factor-1 FIR.
+
+    Mosaic requires lane-dimension load offsets to be provable multiples
+    of 128, so overlapping windows cannot be sliced tap-by-tap from the
+    ref. Instead one ALIGNED extended block (B + pad) is loaded per 128
+    taps and each tap's shift happens on the loaded VALUE with
+    `pltpu.roll` (tpu.dynamic_rotate) + an offset-0 static slice."""
+    from jax.experimental.pallas import tpu as pltpu
+
     i = pl.program_id(0)
-    start = i * block_out * factor
-    x = x_ref[0, pl.ds(start, block_out * factor + n_taps - 1)]
-    taps = taps_ref[:]  # (1, n_taps)
-    # (block_out, n_taps) window matrix: shift-and-stack over tap index,
-    # then one VPU reduction — no per-output scalar loop
-    cols = [x[t : t + block_out * factor : factor] for t in range(n_taps)]
-    windows = jnp.stack(cols, axis=-1)  # (block_out, n_taps)
-    out_ref[:] = jnp.sum(windows * taps[0], axis=-1)[None, :]
+    start = i * block_out
+    ext = block_out + _round_up(n_taps, 128)
+    w = x_ref[pl.ds(0, 1), pl.ds(start, ext)]  # (1, ext) aligned load
+    acc = taps_ref[0, 0] * w[:, :block_out]
+    for t in range(1, n_taps):
+        # left-shift by t == circular right-shift by ext - t
+        shifted = pltpu.roll(w, shift=ext - t, axis=1)
+        acc = acc + taps_ref[0, t] * shifted[:, :block_out]
+    out_ref[:, :] = acc
 
 
-def fir_decimate(x: jax.Array, taps: jax.Array, factor: int = 1,
-                 block_out: int = 128,
-                 interpret: bool | None = None) -> jax.Array:
-    """Real FIR with decimation: y[j] = Σ taps[t]·x[j·factor + t].
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
 
-    (Correlation form; flip taps for convolution.) Returns
-    floor((N - n_taps)/factor) + 1 outputs. Input stays whole in VMEM;
-    sized for blocks ≤ a few MB.
-    """
-    if interpret is None:
-        interpret = not _on_tpu()
-    x = jnp.asarray(x, REAL_DTYPE)
-    taps = jnp.asarray(taps, REAL_DTYPE)
-    n = x.shape[-1]
-    n_taps = taps.shape[-1]
-    n_out = max((n - n_taps) // factor + 1, 0)
+
+def _fir_pallas_1x(x: jax.Array, taps: jax.Array, n_out: int,
+                   block_out: int, interpret: bool) -> jax.Array:
+    """factor-1 Pallas FIR core: y[j] = Σ_t taps[t]·x[j+t], j < n_out."""
+    n_taps = int(taps.shape[-1])
     n_blocks = max(-(-n_out // block_out), 1)
-    need = (n_blocks * block_out) * factor + n_taps - 1
-    if need > n:
-        x = jnp.pad(x, (0, need - n))
-
-    kernel = functools.partial(_fir_decim_kernel, block_out=block_out,
-                               n_taps=n_taps, factor=factor)
+    need = n_blocks * block_out + _round_up(n_taps, 128)
+    if need > x.shape[-1]:
+        x = jnp.pad(x, (0, need - x.shape[-1]))
+    kernel = functools.partial(_fir_kernel, block_out=block_out,
+                               n_taps=n_taps)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, n_blocks * block_out), REAL_DTYPE),
@@ -182,6 +179,40 @@ def fir_decimate(x: jax.Array, taps: jax.Array, factor: int = 1,
         interpret=interpret,
     )(x[None, :], taps[None, :])
     return out[0, :n_out]
+
+
+def fir_decimate(x: jax.Array, taps: jax.Array, factor: int = 1,
+                 block_out: int = 512,
+                 interpret: bool | None = None) -> jax.Array:
+    """Real FIR with decimation: y[j] = Σ taps[t]·x[j·factor + t].
+
+    (Correlation form; flip taps for convolution.) Returns
+    floor((N - n_taps)/factor) + 1 outputs. factor > 1 decomposes into
+    the classic polyphase sum of factor-1 FIRs over downsampled planes
+    (each an aligned Pallas call):
+    y[j] = Σ_p Σ_m taps[m·f+p] · x[(j+m)·f + p].
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    x = jnp.asarray(x, REAL_DTYPE)
+    taps = jnp.asarray(taps, REAL_DTYPE)
+    n = x.shape[-1]
+    n_taps = taps.shape[-1]
+    n_out = max((n - n_taps) // factor + 1, 0)
+    if factor == 1:
+        return _fir_pallas_1x(x, taps, n_out, block_out, interpret)
+
+    plane_len = -(-n // factor)
+    xp = jnp.pad(x, (0, plane_len * factor - n))
+    planes = xp.reshape(plane_len, factor).T  # planes[p, j] = x[j·f+p]
+    y = None
+    for p in range(factor):
+        taps_p = taps[p::factor]
+        if taps_p.shape[-1] == 0:
+            continue
+        yp = _fir_pallas_1x(planes[p], taps_p, n_out, block_out, interpret)
+        y = yp if y is None else y + yp
+    return y
 
 
 # --------------------------------------------------------------------------
@@ -212,7 +243,14 @@ def _nco_kernel(params_ref, xr_ref, xi_ref, or_ref, oi_ref):
 def nco_mix(x: jax.Array, freq_hz: float, sample_rate: float,
             phase0: float = 0.0, gain: float = 1.0, block: int = 2048,
             interpret: bool | None = None) -> jax.Array:
-    """Fused oscillator mix: x·gain·e^{j2πf t} (complex in/out)."""
+    """Fused oscillator mix: x·gain·e^{j2πf t} (complex in/out).
+
+    Measured on v5e (r2 chained-loop bench): 748 Msps vs 975 Msps for
+    the plain XLA iota+cis+multiply form — XLA's fusion already wins
+    here, so production paths (freq_xlating_fir, cfo correction) keep
+    the XLA carrier and this kernel stays as the Pallas reference
+    implementation of the rotator (gnuradio_comparison.rs:45 baseline
+    100 Msamples/s)."""
     if interpret is None:
         interpret = not _on_tpu()
     x = jnp.asarray(x)

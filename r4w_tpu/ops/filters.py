@@ -18,18 +18,41 @@ import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
-from r4w_tpu.core.hostio import cis, zeros_like_safe
+from r4w_tpu.core.hostio import cis, zeros_iq, zeros_like_safe
 import numpy as np
 
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 
+def _pallas_fir_eligible(x: jax.Array, k: int) -> bool:
+    """Route single-stream FIRs through the Pallas kernel on TPU.
+
+    Measured on v5e (r2, chained-loop bench): Pallas roll-MAC FIR
+    sustains 219 Msps @ K=32 / 137 Msps @ K=128 vs 86 / 29 Msps for the
+    lax.conv path — 2.5-4.7x. Batched inputs stay on lax.conv, which
+    tiles well once there are rows to tile over.
+    """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return (on_tpu and x.ndim == 1 and 4 <= k <= 512
+            and x.shape[-1] >= 4096)
+
+
 def _conv_valid(x: jax.Array, taps: jax.Array) -> jax.Array:
     """'valid' correlation of real (..., N) with taps (K,): out (..., N-K+1).
 
-    Implemented as conv_general_dilated over a flattened batch.
+    conv_general_dilated over a flattened batch; long single streams on
+    TPU take the Pallas roll-MAC kernel instead (see _pallas_fir_eligible).
     """
     k = taps.shape[0]
+    if _pallas_fir_eligible(x, int(k)):
+        from r4w_tpu.kernels.pallas_kernels import fir_decimate
+
+        # _conv_valid correlates with REVERSED taps (convolution); the
+        # kernel computes straight correlation, so pre-reverse.
+        return fir_decimate(x, taps[::-1].astype(REAL_DTYPE), factor=1)
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     lhs = x.reshape(-1, 1, n).astype(REAL_DTYPE)  # (B, C=1, N)
@@ -39,6 +62,9 @@ def _conv_valid(x: jax.Array, taps: jax.Array) -> jax.Array:
     out = lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # DEFAULT precision lowers f32 convs to bf16 passes on TPU
+        # (measured ~1e-2 relative error at K=63); filters need f32
+        precision=lax.Precision.HIGHEST,
     )
     return out.reshape(*batch_shape, n - k + 1)
 
@@ -53,7 +79,11 @@ def fir_filter(taps, x, state=None):
     k = taps.shape[0]
     x = jnp.asarray(x)
     if state is None:
-        state = jnp.zeros(x.shape[:-1] + (k - 1,), x.dtype)
+        # eager complex jnp.zeros is UNIMPLEMENTED on the axon TPU
+        # runtime (complex constant creation) -> build via zeros_iq
+        shape = x.shape[:-1] + (k - 1,)
+        state = (zeros_iq(shape) if jnp.iscomplexobj(x)
+                 else jnp.zeros(shape, x.dtype))
     ext = jnp.concatenate([state, x], axis=-1)
     if jnp.iscomplexobj(x):
         yr = _conv_valid(ext.real, taps)
@@ -72,7 +102,32 @@ def fir_apply(taps, x):
 
 
 def decimating_fir(taps, x, factor: int, state=None):
-    """FIR + keep every factor-th output (decimating_fir.rs)."""
+    """FIR + keep every factor-th output (decimating_fir.rs).
+
+    On TPU, single streams run the Pallas polyphase kernel, which does
+    1/factor of the multiply work instead of filtering then discarding.
+    """
+    taps_j = jnp.asarray(taps, REAL_DTYPE)
+    k = int(taps_j.shape[0])
+    x = jnp.asarray(x)
+    if factor > 1 and _pallas_fir_eligible(
+            x.real if jnp.iscomplexobj(x) else x, k):
+        from r4w_tpu.kernels.pallas_kernels import fir_decimate
+
+        if state is None:
+            shape = x.shape[:-1] + (k - 1,)
+            state = (zeros_iq(shape) if jnp.iscomplexobj(x)
+                     else jnp.zeros(shape, x.dtype))
+        ext = jnp.concatenate([state, x], axis=-1)
+        rev = taps_j[::-1]
+        if jnp.iscomplexobj(x):
+            y = jax.lax.complex(
+                fir_decimate(ext.real, rev, factor=factor),
+                fir_decimate(ext.imag, rev, factor=factor)).astype(IQ_DTYPE)
+        else:
+            y = fir_decimate(ext, rev, factor=factor)
+        new_state = ext[..., ext.shape[-1] - (k - 1):] if k > 1 else state
+        return y, new_state
     y, state = fir_filter(taps, x, state)
     return y[..., ::factor], state
 
