@@ -13,7 +13,10 @@ exact-by-construction instead of jitter-bounded.
 from __future__ import annotations
 
 import dataclasses
+import enum
 import heapq
+import itertools
+import time
 from typing import Callable
 
 import numpy as np
@@ -170,3 +173,249 @@ class SampleSchedule:
                     and a.kind == b.kind):
                 out.append((a, b))
         return out
+
+
+# ----------------------------------------------------- RT scheduler
+#
+# Re-design of rt_scheduler.rs:814 RealTimeScheduler: the event model
+# (deadline + priority + guard + repeat + source), the radio state
+# machine with TX/RX turnaround states, pluggable clock sources, and
+# missed-deadline accounting. Deadlines are nanoseconds on the chosen
+# clock; the MockClock makes every behavior deterministic under test
+# (rt_scheduler.rs:148 MockClock).
+
+
+class ClockSource(enum.Enum):
+    """rt_scheduler.rs:66 ClockSource ladder. SYSTEM and MOCK are live;
+    HPET/TSC collapse to SYSTEM on this host (time.monotonic_ns is the
+    best monotonic source Python exposes); GPS adds a configured offset
+    (a disciplined-oscillator stand-in)."""
+
+    SYSTEM = "system"
+    HPET = "hpet"
+    TSC = "tsc"
+    GPS = "gps"
+    MOCK = "mock"
+
+
+class SystemClock:
+    def now_ns(self) -> int:
+        return time.monotonic_ns()
+
+
+class GpsClock:
+    """System clock + fixed GPS offset (disciplined-clock stand-in)."""
+
+    def __init__(self, offset_ns: int = 0):
+        self.offset_ns = offset_ns
+
+    def now_ns(self) -> int:
+        return time.monotonic_ns() + self.offset_ns
+
+
+class MockClock:
+    """Manually advanced clock for deterministic tests
+    (rt_scheduler.rs:148)."""
+
+    def __init__(self, start_ns: int = 0):
+        self._ns = start_ns
+
+    def now_ns(self) -> int:
+        return self._ns
+
+    def advance_ns(self, delta: int):
+        self._ns += delta
+
+    def set_ns(self, ns: int):
+        self._ns = ns
+
+
+class RadioState(enum.Enum):
+    """rt_scheduler.rs:185-237 radio state machine."""
+
+    IDLE = "idle"
+    TRANSMITTING = "transmitting"
+    TX_TURNAROUND = "tx_turnaround"
+    RECEIVING = "receiving"
+    RX_TURNAROUND = "rx_turnaround"
+    HOPPING = "hopping"
+    CALIBRATING = "calibrating"
+    ERROR = "error"
+
+    def can_transmit(self) -> bool:
+        return self in (RadioState.IDLE, RadioState.RX_TURNAROUND)
+
+    def can_receive(self) -> bool:
+        return self in (RadioState.IDLE, RadioState.TX_TURNAROUND)
+
+    def can_hop(self) -> bool:
+        return self in (RadioState.IDLE, RadioState.TX_TURNAROUND,
+                        RadioState.RX_TURNAROUND)
+
+
+_VALID_TRANSITIONS: dict[RadioState, tuple[RadioState, ...]] = {
+    RadioState.IDLE: (RadioState.TRANSMITTING, RadioState.RECEIVING,
+                      RadioState.HOPPING, RadioState.CALIBRATING,
+                      RadioState.ERROR),
+    RadioState.TRANSMITTING: (RadioState.TX_TURNAROUND, RadioState.ERROR),
+    RadioState.TX_TURNAROUND: (RadioState.IDLE, RadioState.RECEIVING,
+                               RadioState.HOPPING, RadioState.ERROR),
+    RadioState.RECEIVING: (RadioState.RX_TURNAROUND, RadioState.ERROR),
+    RadioState.RX_TURNAROUND: (RadioState.IDLE, RadioState.TRANSMITTING,
+                               RadioState.HOPPING, RadioState.ERROR),
+    RadioState.HOPPING: (RadioState.IDLE, RadioState.ERROR),
+    RadioState.CALIBRATING: (RadioState.IDLE, RadioState.ERROR),
+    RadioState.ERROR: (RadioState.IDLE,),
+}
+
+
+class RadioStateError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class RtEvent:
+    """Deadline event (rt_scheduler.rs:432 ScheduledEvent): priority 0
+    is highest; guard is a predicate over the current RadioState."""
+
+    deadline_ns: int
+    action: Callable[[], None]
+    priority: int = 128
+    guard: Callable[[RadioState], bool] | None = None
+    repeat_interval_ns: int | None = None
+    source: str = ""
+    id: int = dataclasses.field(default_factory=itertools.count().__next__)
+
+    def check_guard(self, state: RadioState) -> bool:
+        return self.guard is None or bool(self.guard(state))
+
+
+@dataclasses.dataclass
+class RtSchedulerStats:
+    """rt_scheduler.rs:625 SchedulerStats."""
+
+    executed: int = 0
+    missed_deadlines: int = 0
+    guard_blocked: int = 0
+    cancelled: int = 0
+    max_lateness_ns: int = 0
+
+
+class RealTimeScheduler:
+    """Wall-clock deadline scheduler with guards, priorities, radio
+    state machine, and turnaround enforcement (rt_scheduler.rs:814)."""
+
+    def __init__(self, clock_source: ClockSource = ClockSource.SYSTEM,
+                 clock=None,
+                 tx_rx_turnaround_ns: int = 100_000,
+                 rx_tx_turnaround_ns: int = 100_000,
+                 deadline_tolerance_ns: int = 1_000_000):
+        if clock is None:
+            if clock_source == ClockSource.MOCK:
+                clock = MockClock()
+            elif clock_source == ClockSource.GPS:
+                clock = GpsClock()
+            else:  # SYSTEM / HPET / TSC -> best monotonic source
+                clock = SystemClock()
+        self.clock = clock
+        self.clock_source = clock_source
+        self.tx_rx_turnaround_ns = tx_rx_turnaround_ns
+        self.rx_tx_turnaround_ns = rx_tx_turnaround_ns
+        self.deadline_tolerance_ns = deadline_tolerance_ns
+        self.state = RadioState.IDLE
+        self.stats = RtSchedulerStats()
+        self._heap: list[tuple[int, int, int, RtEvent]] = []
+        self._cancelled: set[int] = set()
+        self._seq = itertools.count()
+        self._state_changed_ns = self.now_ns()
+
+    # ------------------------------------------------------- clock
+
+    def now_ns(self) -> int:
+        return self.clock.now_ns()
+
+    # ------------------------------------------------------- state
+
+    def transition(self, target: RadioState):
+        """Validated state transition; turnaround states auto-enter on
+        TX/RX completion (rt_scheduler.rs:308)."""
+        if target not in _VALID_TRANSITIONS[self.state]:
+            raise RadioStateError(
+                f"invalid transition {self.state.value} -> {target.value}")
+        # turnaround timing: leaving a turnaround state requires the
+        # configured settle time to have elapsed
+        now = self.now_ns()
+        if self.state == RadioState.TX_TURNAROUND and \
+                target == RadioState.RECEIVING:
+            if now - self._state_changed_ns < self.tx_rx_turnaround_ns:
+                raise RadioStateError("tx->rx turnaround not elapsed")
+        if self.state == RadioState.RX_TURNAROUND and \
+                target == RadioState.TRANSMITTING:
+            if now - self._state_changed_ns < self.rx_tx_turnaround_ns:
+                raise RadioStateError("rx->tx turnaround not elapsed")
+        self.state = target
+        self._state_changed_ns = now
+
+    # --------------------------------------------------- scheduling
+
+    def schedule(self, event: RtEvent) -> int:
+        heapq.heappush(self._heap, (event.deadline_ns, event.priority,
+                                    next(self._seq), event))
+        return event.id
+
+    def schedule_in(self, delay_ns: int, action: Callable, **kw) -> int:
+        return self.schedule(RtEvent(self.now_ns() + delay_ns, action, **kw))
+
+    def cancel(self, event_id: int) -> bool:
+        known = any(ev.id == event_id for _, _, _, ev in self._heap)
+        if known:
+            self._cancelled.add(event_id)
+            self.stats.cancelled += 1
+        return known
+
+    def cancel_from_source(self, source: str) -> int:
+        ids = [ev.id for _, _, _, ev in self._heap
+               if ev.source == source and ev.id not in self._cancelled]
+        self._cancelled.update(ids)
+        self.stats.cancelled += len(ids)
+        return len(ids)
+
+    @property
+    def pending(self) -> int:
+        return sum(1 for _, _, _, ev in self._heap
+                   if ev.id not in self._cancelled)
+
+    # ---------------------------------------------------- execution
+
+    def run_pending(self) -> int:
+        """Execute all due events in (deadline, priority) order; guarded
+        events whose guard fails are dropped and counted. Returns the
+        number executed."""
+        executed = 0
+        now = self.now_ns()
+        while self._heap and self._heap[0][0] <= now:
+            _, _, _, ev = heapq.heappop(self._heap)
+            if ev.id in self._cancelled:
+                self._cancelled.discard(ev.id)
+                continue
+            lateness = now - ev.deadline_ns
+            if lateness > self.deadline_tolerance_ns:
+                self.stats.missed_deadlines += 1
+                self.stats.max_lateness_ns = max(
+                    self.stats.max_lateness_ns, lateness)
+            if not ev.check_guard(self.state):
+                self.stats.guard_blocked += 1
+            else:
+                ev.action()
+                self.stats.executed += 1
+                executed += 1
+            if ev.repeat_interval_ns:
+                heapq.heappush(
+                    self._heap,
+                    (ev.deadline_ns + ev.repeat_interval_ns, ev.priority,
+                     next(self._seq),
+                     dataclasses.replace(
+                         ev, deadline_ns=ev.deadline_ns
+                         + ev.repeat_interval_ns)))
+            now = self.now_ns()
+        return executed

@@ -118,6 +118,96 @@ def test_l3_timeout():
     assert not res.ok and res.error == "timeout"
 
 
-def test_l4_plus_unavailable():
-    with pytest.raises(sb.SandboxUnavailable):
-        sb.Sandbox(sb.IsolationLevel.L6_CONTAINER)
+def _try_socket():
+    import socket
+
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.close()
+        return "socket-allowed"
+    except OSError as e:
+        return f"socket-denied:{e.errno}"
+
+
+def _my_affinity():
+    import os as _os
+
+    return sorted(_os.sched_getaffinity(0))
+
+
+def test_l3_seccomp_denies_network():
+    """L3 installs a real seccomp-BPF denylist: socket() must fail with
+    EPERM inside the sandbox but still work in this process."""
+    import errno
+    import platform
+
+    if platform.machine() != "x86_64":
+        pytest.skip("seccomp denylist table is x86_64")
+    assert _try_socket() == "socket-allowed"  # control
+    box = sb.Sandbox(sb.IsolationLevel.L3_SECCOMP, timeout_s=15)
+    res = box.run(_try_socket)
+    assert res.ok
+    assert "seccomp-bpf" in res.isolation
+    assert res.value == f"socket-denied:{errno.EPERM}"
+
+
+def test_l2_namespace_attempt_recorded():
+    box = sb.Sandbox(sb.IsolationLevel.L2_NAMESPACES, timeout_s=15)
+    res = box.run(lambda: 1)
+    assert res.ok and "process" in res.isolation
+    # namespaces may or may not be grantable on this kernel; if granted
+    # the tags record it — either way the probe ran without error
+
+
+def test_l7_cpu_pinning():
+    if len(os.sched_getaffinity(0)) < 2:
+        pytest.skip("needs >=2 CPUs")
+    box = sb.Sandbox(sb.IsolationLevel.L7_HARDWARE, timeout_s=15)
+    res = box.run(_my_affinity)
+    assert res.ok
+    assert "cpu-pinned" in res.isolation
+    assert len(res.value) == 1  # dedicated CPU
+
+
+def test_l8_air_gap_policy():
+    if sb._has_default_route():
+        with pytest.raises(sb.SandboxUnavailable, match="default route"):
+            sb.Sandbox(sb.IsolationLevel.L8_AIR_GAP)
+    else:
+        box = sb.Sandbox(sb.IsolationLevel.L8_AIR_GAP)
+        assert box.run(lambda: "offline").value == "offline"
+
+
+def test_container_level_availability_matches_probe():
+    if sb._container_runtime() is None:
+        with pytest.raises(sb.SandboxUnavailable):
+            sb.Sandbox(sb.IsolationLevel.L4_CONTAINER)
+    else:
+        box = sb.Sandbox(sb.IsolationLevel.L4_CONTAINER)
+        with pytest.raises(sb.SandboxUnavailable, match="run_command"):
+            box.run(lambda: 1)
+
+
+def test_vm_levels_probe():
+    # no microVM/VM runtimes in this image: constructor must refuse
+    for level in (sb.IsolationLevel.L5_MICROVM, sb.IsolationLevel.L6_FULL_VM):
+        runtime = (sb._microvm_runtime()
+                   if level == sb.IsolationLevel.L5_MICROVM
+                   else sb._vm_runtime())
+        if runtime is None:
+            with pytest.raises(sb.SandboxUnavailable):
+                sb.Sandbox(level)
+
+
+def test_describe_ladder():
+    for level in range(1, 9):
+        text = sb.Sandbox.describe(sb.IsolationLevel(level))
+        assert text
+    assert "seccomp" in sb.Sandbox.describe(sb.IsolationLevel.L3_SECCOMP)
+    assert "air gap" in sb.Sandbox.describe(sb.IsolationLevel.L8_AIR_GAP)
+
+
+def test_run_command_process_level():
+    box = sb.Sandbox(sb.IsolationLevel.L2_NAMESPACES, timeout_s=15)
+    res = box.run_command(["echo", "hello"])
+    assert res.ok and res.value.strip() == "hello"
