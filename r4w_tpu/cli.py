@@ -572,6 +572,13 @@ complete -F _r4w_tpu r4w-tpu
 complete -F _r4w_tpu "python -m r4w_tpu.cli" 2>/dev/null || true""")
 
 
+def cmd_explore(args):
+    """Serve the interactive waveform explorer (GUI role, app.rs:231)."""
+    from r4w_tpu.explorer import serve
+
+    serve(args.host, args.port)
+
+
 def cmd_gallery(args):
     """Regenerate the PNG gallery (reference gallery/ directory)."""
     from r4w_tpu import viz
@@ -828,6 +835,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated subset (default: all)")
     sp.add_argument("-s", "--sample-rate", type=float, default=48000.0)
     sp.set_defaults(fn=cmd_gallery)
+
+    sp = sub.add_parser("explore",
+                        help="interactive web waveform explorer")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_explore)
 
     sp = sub.add_parser("mesh", help="mesh networking tools")
     ms = sp.add_subparsers(dest="mesh_cmd", required=True)
