@@ -51,7 +51,7 @@ def test_ale_roundtrip_with_golay_protection():
     assert np.asarray(res.bits)[:3].tolist() == list(data)
 
 
-@pytest.mark.parametrize("name,snr", [("P25", 12.0), ("TETRA", 15.0),
+@pytest.mark.parametrize("name,snr", [("P25", 14.0), ("TETRA", 15.0),
                                       ("DMR", 12.0), ("Zigbee", 2.0)])
 def test_roundtrip_noisy_extended(name, snr):
     wf = create_waveform(name)
@@ -110,3 +110,51 @@ def test_link16_chip_correlation():
     rx = awgn(jax.random.key(2), tx, 10.0)
     res = wf.demodulate(rx)
     assert np.asarray(res.bits)[:1].tolist() == [0b10110100]
+
+
+# ----------------------------------------------------- P25 framing
+
+
+def test_p25_frame_sync_known_answer():
+    """The real 48-bit frame sync 0x5575F5FF77FF as 24 dibits
+    (p25.rs:117)."""
+    from r4w_tpu.waveforms.pmr_waveforms import p25_sync_dibits
+
+    d = p25_sync_dibits()
+    assert d.shape == (24,)
+    # first 8 dibits of 0x5575F5FF77FF: 55 75 -> 01 01 01 01, 01 11 01 01
+    assert d[:8].tolist() == [1, 1, 1, 1, 1, 3, 1, 1]
+    # reassemble the word
+    word = 0
+    for v in d:
+        word = (word << 2) | int(v)
+    assert word == 0x5575F5FF77FF
+
+
+def test_p25_nid_bch_roundtrip_and_correction():
+    from r4w_tpu.waveforms.pmr_waveforms import (p25_decode_nid,
+                                                p25_encode_nid)
+
+    nid = p25_encode_nid(0x293, 0x7)  # default NAC, TSBK
+    assert nid.shape == (64,)
+    nac, duid, n = p25_decode_nid(nid)
+    assert (nac, duid, n) == (0x293, 0x7, 0)
+    # BCH(63,16) corrects up to 11 bit errors in the NID
+    bad = nid.copy()
+    bad[[0, 7, 13, 21, 29, 35, 41, 47, 53, 59, 62]] ^= 1
+    nac, duid, n = p25_decode_nid(bad)
+    assert (nac, duid, n) == (0x293, 0x7, 11)
+
+
+def test_p25_metadata_through_noise():
+    from r4w_tpu.waveforms.pmr_waveforms import P25
+    from r4w_tpu.core.types import CommonParams
+
+    wf = P25(common=CommonParams(sample_rate=48_000.0),
+             symbol_rate=4800.0, deviation_unit=600.0,
+             nac=0x123, duid="LDU1")
+    rx = awgn(jax.random.key(5), wf.modulate(DATA), 12.0)
+    res = wf.demodulate(rx)
+    assert np.asarray(res.bits)[: len(DATA)].tolist() == list(DATA)
+    assert res.metadata["nac"] == 0x123
+    assert res.metadata["duid"] == "LDU1"
