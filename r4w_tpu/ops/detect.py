@@ -1,0 +1,195 @@
+"""Detection blocks: energy/burst/silence/VAD/squelch/sync-word/
+zero-crossing/Teager-Kaiser/spectral-kurtosis/spectrum-sensing/CUSUM.
+
+Re-designs of the reference's flat detector blocks (signal_detector.rs,
+burst_detector.rs, silence_detector.rs, voice_activity_detector.rs,
+squelch.rs, sync_word_detector.rs, zero_crossing_detector.rs,
+teager_kaiser_energy.rs, spectral_kurtosis_detector.rs,
+blind_spectrum_sensing.rs, spectrum_hole_detector.rs,
+spectral_occupancy_monitor.rs, time_series_changepoint_detector.rs).
+Everything is batched: framing is a reshape, hysteresis/gating is a
+`lax.scan`, and correlation searches are matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+
+
+def _frames(x: jax.Array, frame: int) -> jax.Array:
+    n = x.shape[-1] // frame
+    return x[..., : n * frame].reshape(*x.shape[:-1], n, frame)
+
+
+def frame_energy_db(x, frame: int = 256) -> jax.Array:
+    """Per-frame mean power in dB (building block for the detectors)."""
+    fr = _frames(jnp.asarray(x), frame)
+    p = jnp.mean(jnp.abs(fr) ** 2, axis=-1)
+    return 10.0 * jnp.log10(jnp.maximum(p, 1e-30))
+
+
+def energy_detect(x, frame: int = 256, threshold_db: float = 10.0):
+    """Energy detector vs the median-frame noise floor
+    (signal_detector.rs / blind_spectrum_sensing.rs time-domain mode).
+
+    Returns (mask (..., F) bool, floor_db scalar per batch).
+    """
+    e = frame_energy_db(x, frame)
+    floor = jnp.median(e, axis=-1, keepdims=True)
+    return e > floor + threshold_db, floor[..., 0]
+
+
+def burst_detect(x, frame: int = 64, on_db: float = 10.0,
+                 off_db: float = 6.0):
+    """Hysteresis burst gate (burst_detector.rs): opens at
+    floor+on_db, closes at floor+off_db. Returns per-frame bool mask."""
+    e = frame_energy_db(x, frame)
+    floor = jnp.median(e, axis=-1, keepdims=True)
+    on = e > floor + on_db
+    off = e < floor + off_db
+
+    def step(state, inputs):
+        o, f = inputs
+        new = jnp.where(state, ~f, o)
+        return new, new
+
+    _, mask = lax.scan(step, jnp.zeros(e.shape[:-1], bool),
+                       (jnp.moveaxis(on, -1, 0), jnp.moveaxis(off, -1, 0)))
+    return jnp.moveaxis(mask, 0, -1)
+
+
+def burst_edges(mask: jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, stops) frame indices from a 1-D burst mask (host)."""
+    m = np.asarray(mask).astype(np.int32)
+    d = np.diff(np.concatenate([[0], m, [0]]))
+    return np.where(d == 1)[0], np.where(d == -1)[0]
+
+
+def zero_crossing_rate(x, frame: int = 256) -> jax.Array:
+    """Per-frame zero-crossing fraction (zero_crossing_detector.rs)."""
+    xr = jnp.real(jnp.asarray(x))
+    fr = _frames(xr, frame)
+    sign = jnp.sign(fr)
+    flips = jnp.abs(jnp.diff(sign, axis=-1)) > 1
+    return jnp.mean(flips.astype(REAL_DTYPE), axis=-1)
+
+
+def voice_activity(audio, frame: int = 256, energy_db: float = 6.0,
+                   zcr_max: float = 0.25):
+    """Energy + zero-crossing-rate VAD (voice_activity_detector.rs /
+    silence_detector.rs complement): voiced frames have energy above
+    the floor AND low ZCR (noise is high-ZCR)."""
+    e = frame_energy_db(audio, frame)
+    floor = jnp.median(e, axis=-1, keepdims=True)
+    zcr = zero_crossing_rate(audio, frame)
+    return (e > floor + energy_db) & (zcr < zcr_max)
+
+
+def squelch(x, frame: int = 64, open_db: float = 8.0,
+            close_db: float = 5.0):
+    """Power squelch with hysteresis (squelch.rs): returns the gated
+    signal (closed frames zeroed) and the per-frame gate."""
+    x = jnp.asarray(x)
+    gate = burst_detect(x, frame, open_db, close_db)
+    n = gate.shape[-1] * frame
+    g_samples = jnp.repeat(gate, frame, axis=-1)
+    y = x[..., :n] * g_samples.astype(
+        x.dtype if not jnp.iscomplexobj(x) else REAL_DTYPE)
+    return y, gate
+
+
+def sync_word_correlate(bits, word) -> jax.Array:
+    """±1 correlation of a bit stream against a sync word
+    (sync_word_detector.rs): output[i] = matches at offset i, in
+    [0, len(word)]."""
+    b = 1.0 - 2.0 * jnp.asarray(bits, REAL_DTYPE)
+    w = 1.0 - 2.0 * jnp.asarray(word, REAL_DTYPE)
+    k = w.shape[-1]
+    n = b.shape[-1] - k + 1
+    idx = jnp.arange(n)[:, None] + jnp.arange(k)[None, :]
+    corr = jnp.einsum("nk,k->n", b[idx], w)
+    return (corr + k) / 2.0  # match count
+
+
+def sync_word_detect(bits, word, max_errors: int = 0) -> np.ndarray:
+    """Offsets where the word matches within max_errors (host)."""
+    c = np.asarray(sync_word_correlate(bits, word))
+    k = len(np.asarray(word))
+    return np.where(c >= k - max_errors)[0]
+
+
+def teager_kaiser(x) -> jax.Array:
+    """Teager-Kaiser energy operator ψ[n] = x²[n] − x[n−1]·x[n+1]
+    (teager_kaiser_energy.rs); complex-safe (uses |·|² form)."""
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        core = (jnp.abs(x[..., 1:-1]) ** 2
+                - jnp.real(x[..., :-2] * jnp.conj(x[..., 2:])))
+    else:
+        core = x[..., 1:-1] ** 2 - x[..., :-2] * x[..., 2:]
+    return core
+
+
+def spectral_kurtosis(x, nfft: int = 256) -> jax.Array:
+    """Per-bin kurtosis of the STFT magnitude over frames
+    (spectral_kurtosis_detector.rs): transients/impulsive bins have
+    SK >> 0, stationary Gaussian noise ≈ 0."""
+    fr = _frames(jnp.asarray(x, IQ_DTYPE), nfft)
+    spec = jnp.fft.fft(fr, axis=-1)
+    p = spec.real ** 2 + spec.imag ** 2  # (F, nfft)
+    m2 = jnp.mean(p, axis=-2)
+    m4 = jnp.mean(p ** 2, axis=-2)
+    return m4 / jnp.maximum(m2 ** 2, 1e-30) - 2.0
+
+
+def spectrum_sense(x, nfft: int = 512, threshold_db: float = 8.0):
+    """PSD-based occupancy (blind_spectrum_sensing.rs /
+    spectral_occupancy_monitor.rs): Welch-style averaged periodogram vs
+    median floor. Returns (occupied (nfft,) bool, psd_db)."""
+    fr = _frames(jnp.asarray(x, IQ_DTYPE), nfft)
+    spec = jnp.fft.fft(fr, axis=-1)
+    psd = jnp.mean(spec.real ** 2 + spec.imag ** 2, axis=-2)
+    psd_db = 10.0 * jnp.log10(jnp.maximum(psd, 1e-30))
+    floor = jnp.median(psd_db, axis=-1, keepdims=True)
+    return psd_db > floor + threshold_db, jnp.fft.fftshift(psd_db, axes=-1)
+
+
+def spectrum_holes(occupied: jax.Array, min_width: int = 4) -> list:
+    """Contiguous unoccupied bin ranges (spectrum_hole_detector.rs)."""
+    occ = np.asarray(occupied).astype(np.int32)
+    d = np.diff(np.concatenate([[1], occ, [1]]))
+    starts = np.where(d == -1)[0]
+    stops = np.where(d == 1)[0]
+    return [(int(a), int(b)) for a, b in zip(starts, stops)
+            if b - a >= min_width]
+
+
+def cusum_changepoint(x, drift: float = 0.5, threshold: float = 8.0):
+    """Two-sided CUSUM on a (mean-shifted) series
+    (time_series_changepoint_detector.rs): returns (alarm_index or -1,
+    cusum+ trace, cusum- trace). Scan-based, O(N)."""
+    x = jnp.asarray(x, REAL_DTYPE)
+    mu = jnp.mean(x[..., : max(8, x.shape[-1] // 8)], axis=-1)
+    sigma = jnp.maximum(
+        jnp.std(x[..., : max(8, x.shape[-1] // 8)], axis=-1), 1e-9)
+    z = (x - mu[..., None]) / sigma[..., None]
+
+    def step(carry, zt):
+        gp, gm = carry
+        gp = jnp.maximum(0.0, gp + zt - drift)
+        gm = jnp.maximum(0.0, gm - zt - drift)
+        return (gp, gm), (gp, gm)
+
+    zeros = jnp.zeros(z.shape[:-1], REAL_DTYPE)
+    _, (gp, gm) = lax.scan(step, (zeros, zeros), jnp.moveaxis(z, -1, 0))
+    gp = jnp.moveaxis(gp, 0, -1)
+    gm = jnp.moveaxis(gm, 0, -1)
+    over = (gp > threshold) | (gm > threshold)
+    any_alarm = jnp.any(over, axis=-1)
+    first = jnp.argmax(over, axis=-1)
+    return jnp.where(any_alarm, first, -1), gp, gm
