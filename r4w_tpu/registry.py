@@ -100,6 +100,30 @@ def _dvb():
     return dvb_s2x
 
 
+def _detect():
+    from r4w_tpu.ops import detect
+
+    return detect
+
+
+def _smath():
+    from r4w_tpu.ops import stream_math
+
+    return stream_math
+
+
+def _proto():
+    from r4w_tpu.ops import protocols
+
+    return protocols
+
+
+def _applied():
+    from r4w_tpu.ops import applied
+
+    return applied
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -198,6 +222,92 @@ def _populate(reg: BlockRegistry):
         ("dvb_s2x_ldpc", C.MATH,
          "DVB-S2X LDPC 11 rates, Normal/Short frames (dvb_s2x_ldpc_codec.rs)",
          lambda **k: _dvb(), ("rate", "frame")),
+        # catalog long tail (r2): detectors / stream math / protocols /
+        # applied DSP
+        ("energy_detector", C.MEASUREMENT,
+         "frame energy vs median floor (signal_detector.rs)",
+         lambda **k: _detect().energy_detect, ("frame", "threshold_db")),
+        ("burst_detector", C.MEASUREMENT,
+         "hysteresis burst gate (burst_detector.rs)",
+         lambda **k: _detect().burst_detect, ("frame", "on_db", "off_db")),
+        ("squelch", C.MEASUREMENT, "power squelch (squelch.rs)",
+         lambda **k: _detect().squelch, ("open_db", "close_db")),
+        ("voice_activity", C.MEASUREMENT,
+         "energy+ZCR VAD (voice_activity_detector.rs)",
+         lambda **k: _detect().voice_activity, ("frame",)),
+        ("sync_word_detector", C.SYNC,
+         "bit-stream sync-word search (sync_word_detector.rs)",
+         lambda **k: _detect().sync_word_detect, ("word", "max_errors")),
+        ("spectral_kurtosis", C.MEASUREMENT,
+         "impulsive-bin detector (spectral_kurtosis_detector.rs)",
+         lambda **k: _detect().spectral_kurtosis, ("nfft",)),
+        ("spectrum_sensor", C.MEASUREMENT,
+         "PSD occupancy + holes (blind_spectrum_sensing.rs)",
+         lambda **k: (_detect().spectrum_sense, _detect().spectrum_holes),
+         ("nfft", "threshold_db")),
+        ("cusum_detector", C.MEASUREMENT,
+         "two-sided CUSUM changepoint (time_series_changepoint_detector.rs)",
+         lambda **k: _detect().cusum_changepoint, ("drift", "threshold")),
+        ("teager_kaiser", C.MATH,
+         "Teager-Kaiser energy operator (teager_kaiser_energy.rs)",
+         lambda **k: _detect().teager_kaiser),
+        ("vco", C.SOURCE, "voltage-controlled oscillator (vco.rs)",
+         lambda **k: _smath().vco, ("sensitivity_hz_per_unit",)),
+        ("ddc", C.RESAMPLER,
+         "digital down-converter (digital_down_converter.rs)",
+         lambda **k: _smath().digital_down_convert,
+         ("center_hz", "decimation")),
+        ("quantizer", C.MATH,
+         "uniform scalar quantizer (uniform_scalar_quantizer.rs)",
+         lambda **k: _smath().uniform_quantize, ("n_bits",)),
+        ("sigma_delta", C.MATH,
+         "first-order sigma-delta (sigma_delta_modulator.rs)",
+         lambda **k: _smath().sigma_delta_modulate),
+        ("mu_law", C.MATH, "mu-law companding (companding_codec.rs)",
+         lambda **k: (_smath().mu_law_encode, _smath().mu_law_decode)),
+        ("adpcm", C.MATH, "IMA ADPCM 4-bit codec (adpcm_codec.rs)",
+         lambda **k: (_smath().adpcm_encode, _smath().adpcm_decode)),
+        ("ax25", C.SINK, "AX.25/HDLC framing (ax25.rs)",
+         lambda **k: (_proto().ax25_encode, _proto().ax25_decode)),
+        ("aprs", C.SINK, "APRS packets (aprs_decoder.rs)",
+         lambda **k: (_proto().aprs_encode, _proto().aprs_decode)),
+        ("ais", C.SINK, "AIS NMEA position reports (ais_decoder.rs)",
+         lambda **k: (_proto().ais_encode_position, _proto().ais_decode)),
+        ("acars", C.SINK, "ACARS character blocks (acars_decoder.rs)",
+         lambda **k: (_proto().acars_encode, _proto().acars_decode)),
+        ("slip", C.SINK, "SLIP framing (slip_decoder.rs)",
+         lambda **k: (_proto().slip_encode, _proto().slip_decode)),
+        ("ctcss", C.MEASUREMENT,
+         "38-tone CTCSS detect/generate (ctcss_squelch.rs)",
+         lambda **k: (_proto().ctcss_detect, _proto().ctcss_generate),
+         ("threshold",)),
+        ("wavelet_denoiser", C.FILTER,
+         "Haar soft-threshold denoise (wavelet_denoiser.rs)",
+         lambda **k: _applied().wavelet_denoise, ("level",)),
+        ("spectral_subtraction", C.FILTER,
+         "noise-floor subtraction (spectral_subtraction_denoiser.rs)",
+         lambda **k: _applied().spectral_subtraction, ("nfft",)),
+        ("cepstrum", C.MEASUREMENT,
+         "real cepstrum + pitch (cepstral_analysis.rs)",
+         lambda **k: (_applied().real_cepstrum, _applied().cepstral_pitch)),
+        ("lpc_codec", C.MATH, "LPC vocoder (speech_codec_lpc.rs)",
+         lambda **k: (_applied().lpc_coefficients,
+                      _applied().lpc_analysis_synthesis), ("order",)),
+        ("bearing_fault", C.MEASUREMENT,
+         "envelope-spectrum fault metric "
+         "(vibration_bearing_fault_detector.rs)",
+         lambda **k: _applied().bearing_fault_metric, ("fault_hz",)),
+        ("trilateration", C.MEASUREMENT,
+         "range-based LS position (trilateration_solver.rs)",
+         lambda **k: _applied().trilaterate),
+        ("fastica", C.MATH,
+         "2x2 blind source separation (blind_source_separation.rs)",
+         lambda **k: _applied().fastica_2x2),
+        ("omp", C.MATH, "OMP sparse recovery (compressive_sensing.rs)",
+         lambda **k: _applied().omp, ("sparsity",)),
+        ("modulation_classifier", C.MEASUREMENT,
+         "cumulant-feature AMC (automatic_modulation_classifier.rs)",
+         lambda **k: _applied().classify_modulation),
     ]
     for e in entries:
         name, cat, desc, fac = e[:4]
