@@ -169,3 +169,69 @@ def depuncture(punctured, pattern, total_len: int, fill=0.0) -> jax.Array:
     mask = np.resize(pat, total_len)
     out = jnp.full(punctured.shape[:-1] + (total_len,), fill, REAL_DTYPE)
     return out.at[..., jnp.asarray(np.nonzero(mask)[0])].set(punctured)
+
+
+def map_decode(received, constraint: int = 7,
+               polys: tuple[int, ...] = (0o171, 0o133),
+               terminated: bool = True):
+    """Max-log-MAP (BCJR) soft-output decode (map_decoder.rs,
+    viterbi_sova.rs role): returns per-info-bit LLRs with the library
+    convention LLR > 0 ⇒ bit 0, plus hard decisions.
+
+    received: soft values in ±1 per coded bit (+1 ~ bit 0), the same
+    convention as viterbi_decode(soft=True). Two lax.scans (forward α,
+    backward β) over the trellis — fully batched over leading axes.
+    """
+    outputs_np, next_np = _trellis(constraint, tuple(polys))
+    s, _, r = outputs_np.shape
+    expected = jnp.asarray(1.0 - 2.0 * outputs_np.astype(np.float32))
+    next_state = jnp.asarray(next_np)  # (S, 2)
+
+    rx = jnp.asarray(received, REAL_DTYPE)
+    n_steps = rx.shape[-1] // r
+    rx = rx[..., : n_steps * r].reshape(*rx.shape[:-1], n_steps, r)
+    bm = jnp.einsum("...tr,sbr->...tsb", rx, expected)  # (..., T, S, 2)
+
+    init_a = jnp.full(rx.shape[:-2] + (s,), -1e9, REAL_DTYPE)
+    init_a = init_a.at[..., 0].set(0.0)
+
+    def fwd(alpha, bm_t):
+        # alpha'(s') = max over (s, b) with next(s,b)=s'
+        cand = alpha[..., :, None] + bm_t  # (..., S, 2)
+        new = jnp.full_like(alpha, -1e9)
+        flat_next = next_state.reshape(-1)
+        new = new.at[..., flat_next].max(
+            cand.reshape(*cand.shape[:-2], -1))
+        new = new - jnp.max(new, axis=-1, keepdims=True)
+        return new, alpha
+
+    bm_m = jnp.moveaxis(bm, -3, 0)
+    _, alphas = jax.lax.scan(fwd, init_a, bm_m)  # alphas[t] before step t
+
+    if terminated:
+        init_b = jnp.full(rx.shape[:-2] + (s,), -1e9, REAL_DTYPE)
+        init_b = init_b.at[..., 0].set(0.0)
+    else:
+        init_b = jnp.zeros(rx.shape[:-2] + (s,), REAL_DTYPE)
+
+    def bwd(beta, bm_t):
+        # beta'(s) = max_b bm(s,b) + beta(next(s,b))
+        cand = bm_t + beta[..., next_state]  # (..., S, 2)
+        new = jnp.max(cand, axis=-1)
+        new = new - jnp.max(new, axis=-1, keepdims=True)
+        return new, beta
+
+    _, betas = jax.lax.scan(bwd, init_b, bm_m, reverse=True)
+
+    def llr_t(alpha, beta_next, bm_t):
+        metric = (alpha[..., :, None] + bm_t
+                  + beta_next[..., next_state])  # (..., S, 2)
+        m0 = jnp.max(metric[..., 0], axis=-1)
+        m1 = jnp.max(metric[..., 1], axis=-1)
+        return m0 - m1  # >0 => bit 0
+
+    llr = jax.vmap(llr_t)(alphas, betas, bm_m)  # (T, ...,)
+    llr = jnp.moveaxis(llr, 0, -1)
+    if terminated:
+        llr = llr[..., : n_steps - (constraint - 1)]
+    return llr, (llr < 0).astype(jnp.int32)
