@@ -96,8 +96,13 @@ def doppler_bins(cfg: PcpsConfig) -> np.ndarray:
             + np.arange(n) * cfg.doppler_step_hz).astype(np.float32)
 
 
-def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
+def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig(),
+              dop_subset=None):
     """Full correlation surface |corr|² of shape (P, D, L).
+
+    dop_subset: optional explicit Doppler bins (Hz) instead of the
+    cfg-derived grid — the seam for sharding the Doppler axis across
+    devices (each device evaluates its slice of the search grid).
 
     x: (N,) complex input; codes: (P, L) ±1 sampled replicas (L samples
     per code period, same rate as x). With cfg.coherent_periods=K and
@@ -114,6 +119,9 @@ def pcps_grid(x, codes, sample_rate, cfg: PcpsConfig = PcpsConfig()):
     if codes.ndim == 2:
         codes = codes[:, None, :]  # (P, S=1, L)
     p, s, l = codes.shape
+    if dop_subset is not None:
+        return _pcps_grid_one(x, codes, sample_rate, cfg,
+                              dop_subset=dop_subset)
     n_dop = len(doppler_bins(cfg))
     k_eff = max(1, min(cfg.coherent_periods, np.shape(x)[-1] // l))
     nfft_est = (1 << int(np.ceil(np.log2(2 * l)))
@@ -200,7 +208,8 @@ def _pcps_grid_one(x, codes, sample_rate, cfg: PcpsConfig,
     # codes/x; the init carry must carry the same varying-manual-axes
     # marking or scan rejects the carry type (no-op outside shard_map)
     vma = (frozenset(getattr(jax.typeof(codes), "vma", ()))
-           | frozenset(getattr(jax.typeof(x), "vma", ())))
+           | frozenset(getattr(jax.typeof(x), "vma", ()))
+           | frozenset(getattr(jax.typeof(dops), "vma", ())))
     if vma:
         init = jax.lax.pvary(init, tuple(vma))
     power, _ = jax.lax.scan(step, init, xs)
