@@ -86,29 +86,58 @@ class BenchmarkReceiver:
     (benchmark/receiver.rs:79-95 + cmd_benchmark main.rs:1895)."""
 
     def __init__(self, port: int, waveform_name: str,
-                 sample_rate: float = 125_000.0):
-        self.source = UdpSource(UdpConfig(port=port, timeout_s=0.25))
+                 sample_rate: float = 125_000.0, native: bool = True):
+        """native=True drains the socket with the C++ iqcore receiver
+        thread + lock-free ring (no per-packet interpreter work);
+        falls back to the Python UdpSource when the native library is
+        unavailable."""
+        self.native = None
+        if native:
+            try:
+                from r4w_tpu.native import NativeUdpReceiver
+
+                self.native = NativeUdpReceiver(port=port)
+            except (RuntimeError, ImportError):
+                self.native = None
+        self.source = (None if self.native is not None
+                       else UdpSource(UdpConfig(port=port, timeout_s=0.25)))
         self.runner = WaveformRunner(waveform_name, sample_rate)
 
     @property
     def port(self) -> int:
-        return self.source.port
+        return self.native.port if self.native else self.source.port
+
+    def _recv_batch(self) -> np.ndarray:
+        if self.native is not None:
+            out = self.native.read(1 << 16)
+            if not len(out):
+                time.sleep(0.002)
+            return out
+        return self.source.recv_batch()
 
     def run(self, duration_s: float = 5.0, report_every_s: float = 0.0,
             print_fn=print) -> BenchmarkMetrics:
         t_end = time.perf_counter() + duration_s
         t_report = time.perf_counter() + (report_every_s or 1e9)
         while time.perf_counter() < t_end:
-            batch = self.source.recv_batch()
+            batch = self._recv_batch()
             if len(batch):
                 self.runner.process(batch)
             if time.perf_counter() >= t_report:
                 print_fn(self.runner.metrics.report())
                 t_report += report_every_s
         m = self.runner.metrics
-        m.packets_received = self.source.packets_received
-        m.packets_dropped = self.source.packets_dropped
+        if self.native is not None:
+            stats = self.native.stats
+            m.packets_received = stats["packets"]
+            m.packets_dropped = stats["seq_gaps"]
+        else:
+            m.packets_received = self.source.packets_received
+            m.packets_dropped = self.source.packets_dropped
         return m
 
     def close(self):
-        self.source.close()
+        if self.native is not None:
+            self.native.close()
+        if self.source is not None:
+            self.source.close()

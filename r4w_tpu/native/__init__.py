@@ -74,7 +74,20 @@ def get_lib():
         lib.iq_i16_to_f32.argtypes = [i16p, f32p, i64, ctypes.c_float]
         lib.iq_interleave.argtypes = [f32p, f32p, f32p, i64]
         lib.iq_deinterleave.argtypes = [f32p, f32p, f32p, i64]
-        if lib.iqcore_abi_version() != 1:
+        if hasattr(lib, "udprx_create"):
+            lib.udprx_create.restype = ctypes.c_void_p
+            lib.udprx_create.argtypes = [ctypes.c_int, u64, ctypes.c_int,
+                                         ctypes.c_int]
+            lib.udprx_destroy.argtypes = [ctypes.c_void_p]
+            lib.udprx_port.restype = ctypes.c_int
+            lib.udprx_port.argtypes = [ctypes.c_void_p]
+            lib.udprx_read.restype = u64
+            lib.udprx_read.argtypes = [ctypes.c_void_p, f32p, u64]
+            for fn in ("udprx_available", "udprx_packets",
+                       "udprx_seq_gaps", "udprx_overruns"):
+                getattr(lib, fn).restype = u64
+                getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        if lib.iqcore_abi_version() < 1:
             _build_error = "abi mismatch"
             return None
         _lib = lib
@@ -246,3 +259,75 @@ class NativeRingBuffer:
                 self._lib.ring_destroy(self._h)
             except Exception:  # noqa: BLE001 - interpreter teardown
                 pass
+
+
+# ---------------------------------------------------------------------
+# Native UDP IQ receiver (iqcore.cpp UdpRx): a C++ thread drains the
+# socket into the lock-free ring; Python reads decoded complex64 in
+# bulk. The hot receive path never touches the interpreter
+# (benchmark/receiver.rs role).
+# ---------------------------------------------------------------------
+
+
+class NativeUdpReceiver:
+    """Threaded native UDP IQ receiver (loopback bind by default;
+    bind_any=True exposes it on all interfaces — see ADVICE r1 on
+    open control planes).
+
+    Wire format matches `r4w_tpu.net` ([seq u32 LE][f32 I/Q ...]).
+    Raises RuntimeError when the native library is unavailable.
+    """
+
+    def __init__(self, port: int = 0, ring_samples: int = 1 << 20,
+                 has_header: bool = True, bind_any: bool = False):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "udprx_create"):
+            raise RuntimeError(
+                f"native UDP receiver unavailable: {build_error()}")
+        self._lib = lib
+        self._h = lib.udprx_create(int(port), int(ring_samples) * 2,
+                                   1 if has_header else 0,
+                                   1 if bind_any else 0)
+        if not self._h:
+            raise RuntimeError(f"could not bind UDP port {port}")
+
+    @property
+    def port(self) -> int:
+        return int(self._lib.udprx_port(self._h))
+
+    @property
+    def available_samples(self) -> int:
+        return int(self._lib.udprx_available(self._h)) // 2
+
+    def read(self, max_samples: int) -> np.ndarray:
+        buf = np.empty(max_samples * 2, np.float32)
+        got = int(self._lib.udprx_read(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.size))
+        inter = buf[:got]
+        return (inter[0::2] + 1j * inter[1::2]).astype(np.complex64)
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "packets": int(self._lib.udprx_packets(self._h)),
+            "seq_gaps": int(self._lib.udprx_seq_gaps(self._h)),
+            "overrun_floats": int(self._lib.udprx_overruns(self._h)),
+        }
+
+    def close(self):
+        if self._h:
+            self._lib.udprx_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - belt and braces
+        try:
+            self.close()
+        except Exception:
+            pass

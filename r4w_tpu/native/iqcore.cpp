@@ -14,6 +14,16 @@
 #include <cstdint>
 #include <cstring>
 #include <new>
+#include <thread>
+
+#if defined(__unix__) || defined(__APPLE__)
+#define IQCORE_HAVE_SOCKETS 1
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
+#endif
 
 extern "C" {
 
@@ -173,6 +183,133 @@ int64_t udp_parse_packet(const uint8_t* in, int64_t n_bytes,
     return nf;
 }
 
-int iqcore_abi_version() { return 1; }
+// ---------------------------------------------------------------------
+// Native UDP IQ receiver (benchmark/receiver.rs:79 role): a dedicated
+// thread drains the socket into the SPSC ring; Python reads decoded
+// f32 samples in bulk — no per-packet interpreter work on the hot
+// path. Tracks packets, sequence gaps, and ring overruns.
+// ---------------------------------------------------------------------
+
+#ifdef IQCORE_HAVE_SOCKETS
+
+struct UdpRx {
+    int fd;
+    RingBuffer* ring;
+    std::thread thread;
+    std::atomic<bool> stop;
+    std::atomic<uint64_t> packets;
+    std::atomic<uint64_t> seq_gaps;
+    std::atomic<uint64_t> overrun_floats;
+    uint32_t last_seq;
+    bool have_seq;
+    bool has_header;
+    int port;
+};
+
+static void udprx_loop(UdpRx* rx) {
+    // one MTU-ish buffer; payloads beyond 65507 are impossible for UDP
+    static thread_local uint8_t buf[65536];
+    while (!rx->stop.load(std::memory_order_relaxed)) {
+        ssize_t n = recv(rx->fd, buf, sizeof(buf), 0);
+        if (n <= 0) continue;  // timeout or error: re-check stop
+        const uint8_t* body = buf;
+        int64_t nb = n;
+        if (rx->has_header) {
+            if (nb < 4) continue;
+            uint32_t seq;
+            std::memcpy(&seq, buf, 4);
+            if (rx->have_seq && seq != rx->last_seq + 1)
+                rx->seq_gaps.fetch_add(1, std::memory_order_relaxed);
+            rx->last_seq = seq;
+            rx->have_seq = true;
+            body += 4;
+            nb -= 4;
+        }
+        uint64_t nf = (uint64_t)(nb / 4);
+        uint64_t wrote = ring_write(rx->ring, (const float*)body, nf);
+        if (wrote < nf)
+            rx->overrun_floats.fetch_add(nf - wrote,
+                                         std::memory_order_relaxed);
+        rx->packets.fetch_add(1, std::memory_order_relaxed);
+    }
+}
+
+// returns handle or nullptr; port 0 binds an ephemeral port.
+// bind_any=0 -> 127.0.0.1 (default, no network exposure); 1 -> 0.0.0.0
+void* udprx_create(int port, uint64_t ring_capacity_floats,
+                   int has_header, int bind_any) {
+    int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    int rcvbuf = 4 * 1024 * 1024;
+    setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+    struct timeval tv {0, 100000};  // 100 ms poll for clean shutdown
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(bind_any ? INADDR_ANY
+                                          : INADDR_LOOPBACK);
+    addr.sin_port = htons((uint16_t)port);
+    if (bind(fd, (sockaddr*)&addr, sizeof(addr)) != 0) {
+        close(fd);
+        return nullptr;
+    }
+    socklen_t len = sizeof(addr);
+    getsockname(fd, (sockaddr*)&addr, &len);
+
+    UdpRx* rx = new (std::nothrow) UdpRx;
+    if (!rx) { close(fd); return nullptr; }
+    rx->fd = fd;
+    rx->ring = (RingBuffer*)ring_create(ring_capacity_floats);
+    if (!rx->ring) { close(fd); delete rx; return nullptr; }
+    rx->stop.store(false);
+    rx->packets.store(0);
+    rx->seq_gaps.store(0);
+    rx->overrun_floats.store(0);
+    rx->have_seq = false;
+    rx->last_seq = 0;
+    rx->has_header = has_header != 0;
+    rx->port = (int)ntohs(addr.sin_port);
+    rx->thread = std::thread(udprx_loop, rx);
+    return rx;
+}
+
+int udprx_port(void* p) { return ((UdpRx*)p)->port; }
+
+// bulk read of decoded interleaved f32 samples; returns floats read
+uint64_t udprx_read(void* p, float* dst, uint64_t max_floats) {
+    return ring_read(((UdpRx*)p)->ring, dst, max_floats);
+}
+
+uint64_t udprx_available(void* p) {
+    return ring_available_read(((UdpRx*)p)->ring);
+}
+
+uint64_t udprx_packets(void* p) {
+    return ((UdpRx*)p)->packets.load(std::memory_order_relaxed);
+}
+
+uint64_t udprx_seq_gaps(void* p) {
+    return ((UdpRx*)p)->seq_gaps.load(std::memory_order_relaxed);
+}
+
+uint64_t udprx_overruns(void* p) {
+    return ((UdpRx*)p)->overrun_floats.load(std::memory_order_relaxed);
+}
+
+void udprx_destroy(void* p) {
+    UdpRx* rx = (UdpRx*)p;
+    if (!rx) return;
+    rx->stop.store(true);
+    if (rx->thread.joinable()) rx->thread.join();
+    close(rx->fd);
+    ring_destroy(rx->ring);
+    delete rx;
+}
+
+#endif  // IQCORE_HAVE_SOCKETS
+
+int iqcore_abi_version() { return 2; }
 
 }  // extern "C"

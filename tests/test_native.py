@@ -65,3 +65,77 @@ def test_iqformat_ci16_native_path_matches_fallback():
     back = iqformat.decode_samples(raw, "ci16")
     assert np.max(np.abs(back - np.clip(x.real, -1, 1)
                          - 1j * np.clip(x.imag, -1, 1))) < 2e-4
+
+
+# ------------------------------------------------ native UDP receiver
+
+
+def test_native_udp_receiver_roundtrip():
+    import time
+
+    from r4w_tpu.native import NativeUdpReceiver, native_available
+    from r4w_tpu.net import UdpSink
+
+    if not native_available():
+        pytest.skip("no compiler")
+    with NativeUdpReceiver(port=0) as rx:
+        tx = UdpSink("127.0.0.1", rx.port)
+        x = (np.arange(4096) + 1j * np.arange(4096)).astype(
+            np.complex64) / 4096
+        tx.send(x)
+        deadline = time.time() + 3.0
+        while rx.available_samples < 4096 and time.time() < deadline:
+            time.sleep(0.01)
+        got = rx.read(8192)
+        assert got.shape == (4096,)
+        assert np.abs(got - x).max() == 0.0  # bit-exact through the ring
+        assert rx.stats["seq_gaps"] == 0
+
+
+def test_native_udp_receiver_seq_gap_accounting():
+    import socket
+    import struct
+    import time
+
+    from r4w_tpu.native import NativeUdpReceiver, native_available
+    from r4w_tpu.net import encode_packet
+
+    if not native_available():
+        pytest.skip("no compiler")
+    with NativeUdpReceiver(port=0) as rx:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        x = np.ones(16, np.complex64)
+        for seq in (0, 1, 5):  # gap of 3 packets after seq 1
+            sock.sendto(encode_packet(seq, x), ("127.0.0.1", rx.port))
+        deadline = time.time() + 3.0
+        while rx.stats["packets"] < 3 and time.time() < deadline:
+            time.sleep(0.01)
+        assert rx.stats["packets"] == 3
+        assert rx.stats["seq_gaps"] == 1  # one discontinuity observed
+        sock.close()
+
+
+def test_native_udp_receiver_bulk_throughput():
+    """Many packets drain through the ring without loss."""
+    import time
+
+    from r4w_tpu.native import NativeUdpReceiver, native_available
+    from r4w_tpu.net import UdpSink
+
+    if not native_available():
+        pytest.skip("no compiler")
+    with NativeUdpReceiver(port=0, ring_samples=1 << 18) as rx:
+        tx = UdpSink("127.0.0.1", rx.port)
+        chunk = np.full(2048, 0.5 + 0.5j, np.complex64)
+        n_chunks = 64
+        total = 0
+        for _ in range(n_chunks):
+            tx.send(chunk)
+            total += rx.read(1 << 16).size
+            time.sleep(0.001)
+        deadline = time.time() + 3.0
+        while time.time() < deadline and total < n_chunks * 2048:
+            total += rx.read(1 << 16).size
+            time.sleep(0.01)
+        assert total == n_chunks * 2048
+        assert rx.stats["overrun_floats"] == 0
