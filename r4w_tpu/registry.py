@@ -422,3 +422,79 @@ class PluginManager:
     def load_all(self) -> list[PluginInfo]:
         return [info for p in self.discover_plugins()
                 if (info := self.load_plugin(p)) is not None]
+
+    # ------------------------------------------------- native (C ABI)
+
+    def load_native_plugin(self, path: str) -> PluginInfo | None:
+        """Load a C-ABI waveform plugin shared library
+        (plugin/abi.rs PluginInfo/WaveformDescriptor; header:
+        r4w_tpu/native/r4w_plugin.h). Each exported waveform is
+        registered in the factory behind a NativePluginWaveform
+        adapter."""
+        import ctypes
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            lib = ctypes.CDLL(os.path.abspath(path))
+            lib.r4w_plugin_api_version.restype = ctypes.c_uint32
+            api = int(lib.r4w_plugin_api_version())
+            if api != PLUGIN_API_VERSION:
+                raise ValueError(
+                    f"api_version {api} != {PLUGIN_API_VERSION}")
+
+            class _CInfo(ctypes.Structure):
+                _fields_ = [("name", ctypes.c_char_p),
+                            ("version", ctypes.c_char_p),
+                            ("description", ctypes.c_char_p),
+                            ("author", ctypes.c_char_p),
+                            ("waveform_count", ctypes.c_uint32)]
+
+            class _CDesc(ctypes.Structure):
+                _fields_ = [("id", ctypes.c_char_p),
+                            ("name", ctypes.c_char_p),
+                            ("description", ctypes.c_char_p),
+                            ("min_sample_rate", ctypes.c_double),
+                            ("max_sample_rate", ctypes.c_double),
+                            ("capabilities", ctypes.c_uint32)]
+
+            lib.r4w_plugin_info.restype = ctypes.POINTER(_CInfo)
+            lib.r4w_list_waveforms.restype = ctypes.POINTER(_CDesc)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64 = ctypes.c_int64
+            lib.r4w_modulate.restype = i64
+            lib.r4w_modulate.argtypes = [ctypes.c_char_p, ctypes.c_double,
+                                         u8p, i64, f32p, i64]
+            lib.r4w_demodulate.restype = i64
+            lib.r4w_demodulate.argtypes = [ctypes.c_char_p,
+                                           ctypes.c_double, f32p, i64,
+                                           u8p, i64]
+
+            cinfo = lib.r4w_plugin_info().contents
+            descs = lib.r4w_list_waveforms()
+            from r4w_tpu.waveforms.base import register_waveform
+            from r4w_tpu.waveforms.native_plugin import (
+                NativePluginWaveform)
+
+            ids = []
+            for i in range(cinfo.waveform_count):
+                d = descs[i]
+                wid = d.id.decode()
+                ids.append(wid)
+                min_sr = d.min_sample_rate
+
+                def builder(sample_rate: float, _lib=lib, _wid=wid,
+                            _min=min_sr):
+                    return NativePluginWaveform(
+                        lib=_lib, waveform_id=_wid,
+                        sample_rate=max(sample_rate, _min))
+
+                register_waveform(wid)(builder)
+            info = PluginInfo(name=cinfo.name.decode(),
+                              version=cinfo.version.decode(),
+                              api_version=api, waveforms=tuple(ids))
+            self.loaded[info.name] = info
+            return info
+        except Exception as e:  # noqa: BLE001 - plugin isolation
+            self.errors[name] = str(e)
+            return None

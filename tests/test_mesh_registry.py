@@ -221,3 +221,55 @@ def test_waterfall_shows_sweep():
     assert peaks[-1] > peaks[0]  # rising sweep moves across bins
     art = wf.to_ascii(x)
     assert len(art.splitlines()) > 4
+
+
+# ---------------------------------------------- native C-ABI plugins
+
+
+def test_native_plugin_load_and_roundtrip(tmp_path):
+    """Build the shipped example C plugin, load it through the
+    PluginManager's C-ABI path, and roundtrip through the factory."""
+    import subprocess
+
+    from r4w_tpu.registry import PluginManager
+    from r4w_tpu.waveforms import create_waveform
+
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "r4w_tpu", "native")
+    so = tmp_path / "libr4w_example_plugin.so"
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-I", src_dir,
+         "-o", str(so), os.path.join(src_dir, "example_plugin.cpp")],
+        check=True, capture_output=True, timeout=120)
+
+    pm = PluginManager(search_paths=[str(tmp_path)])
+    info = pm.load_native_plugin(str(so))
+    assert info is not None, pm.errors
+    assert info.name == "example-native"
+    assert info.waveforms == ("manchester-ook",)
+
+    wf = create_waveform("manchester-ook", 125_000.0)
+    assert wf is not None
+    payload = bytes([0xC3, 0x5A, 0x0F])
+    tx = wf.modulate(payload)
+    assert tx.shape[0] == 3 * 8 * 2 * 8  # bits x halves x sps
+    res = wf.demodulate(tx)
+    assert np.asarray(res.bits)[:3].tolist() == list(payload)
+
+
+def test_native_plugin_api_version_rejected(tmp_path):
+    import subprocess
+
+    from r4w_tpu.registry import PluginManager
+
+    bad = tmp_path / "bad.cpp"
+    bad.write_text(
+        '#include <cstdint>\n'
+        'extern "C" uint32_t r4w_plugin_api_version() { return 99; }\n')
+    so = tmp_path / "libbad.so"
+    subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", str(so),
+                    str(bad)], check=True, capture_output=True,
+                   timeout=120)
+    pm = PluginManager(search_paths=[str(tmp_path)])
+    assert pm.load_native_plugin(str(so)) is None
+    assert "api_version" in list(pm.errors.values())[0]
