@@ -138,6 +138,9 @@ def galileo_e1_code(prn: int, component: str = "C") -> np.ndarray:
     will NOT correlate with real off-air Galileo recordings)."""
     if (prn, component) in _GALILEO_TABLE:
         return _GALILEO_TABLE[(prn, component)]
+    icd = _load_galileo_icd(prn, component)
+    if icd is not None:
+        return icd
     global _warned_synthetic_galileo
     if not _warned_synthetic_galileo:
         _warned_synthetic_galileo = True
@@ -152,6 +155,34 @@ def galileo_e1_code(prn: int, component: str = "C") -> np.ndarray:
             stacklevel=2,
         )
     return _galileo_synthetic(prn, component)
+
+
+@functools.lru_cache(maxsize=None)
+def _galileo_icd_arrays():
+    """The shipped ICD memory-code tables (gnss/data/
+    galileo_e1_codes.npz) or None.
+
+    Chip DATA per the Galileo OS SIS ICD v2.1 §5.1.3 (bit-packed, 4092
+    chips/PRN, bit 0 → +1), as published in the public GNSS-matlab
+    tables; this is standards data, not derived code.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "galileo_e1_codes.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return z["e1b_packed"], z["e1c_packed"]
+
+
+def _load_galileo_icd(prn: int, component: str) -> np.ndarray | None:
+    arrays = _galileo_icd_arrays()
+    if arrays is None or not (1 <= prn <= 50):
+        return None
+    packed = arrays[0 if component.upper() == "B" else 1][prn - 1]
+    bits = np.unpackbits(packed)[:4092]
+    return (1 - 2 * bits.astype(np.int32)).astype(np.int8)
 
 
 def sample_code(chips: np.ndarray, sample_rate: float, chip_rate: float,

@@ -364,3 +364,52 @@ def test_pcps_pow2_mode_matches_exact():
         assert not bool(res.detected[1]), mode  # absent PRN rejected
         assert abs(float(res.code_phase[0]) - true_phase) <= 1, mode
         assert abs(float(res.doppler_hz[0]) - true_dopp) <= 250.0, mode
+
+
+# -------------------------------------------- Galileo ICD memory codes
+
+
+def test_galileo_icd_codes_shipped():
+    """Real OS SIS ICD memory codes load from the data table (no
+    synthetic fallback, no warning)."""
+    import warnings
+
+    from r4w_tpu.gnss import prn as prn_mod
+
+    prn_mod._galileo_icd_arrays.cache_clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        c = prn_mod.galileo_e1_code(1, "B")
+    assert c.shape == (4092,)
+    # first packed byte of PRN1 E1B is 0x0A -> chips from bits 00001010
+    assert c[:8].tolist() == [1, 1, 1, 1, -1, 1, -1, 1]
+    assert int(c.sum()) == 0  # ICD codes are balanced
+
+
+def test_galileo_icd_properties():
+    from r4w_tpu.gnss import prn as prn_mod
+
+    b1 = prn_mod.galileo_e1_code(1, "B").astype(float)
+    c1 = prn_mod.galileo_e1_code(1, "C").astype(float)
+    b2 = prn_mod.galileo_e1_code(2, "B").astype(float)
+    # autocorrelation: sharp peak, bounded sidelobes (memory codes)
+    ac = np.abs(np.fft.ifft(np.abs(np.fft.fft(b1)) ** 2).real)
+    assert ac[0] == pytest.approx(4092, rel=1e-6)
+    assert ac[1:].max() < 0.08 * ac[0]
+    # cross-correlation between components and PRNs stays low
+    for other in (c1, b2):
+        xc = np.abs(np.fft.ifft(np.fft.fft(b1)
+                                * np.conj(np.fft.fft(other))).real)
+        assert xc.max() < 0.08 * 4092
+
+
+def test_galileo_icd_all_prns_present():
+    from r4w_tpu.gnss import prn as prn_mod
+
+    for p in (1, 25, 50):
+        for comp in ("B", "C"):
+            c = prn_mod.galileo_e1_code(p, comp)
+            assert c.shape == (4092,)
+    # distinct PRNs differ
+    assert not np.array_equal(prn_mod.galileo_e1_code(1, "C"),
+                              prn_mod.galileo_e1_code(2, "C"))
