@@ -556,6 +556,53 @@ def cmd_remote(args):
         client.close()
 
 
+def cmd_ber_gate(args):
+    """BER-vs-theory acceptance gate (ber_tool.rs role)."""
+    import dataclasses as _dc
+    import json as _json
+
+    from r4w_tpu import ber
+
+    points = (ber.DEFAULT_GATE_POINTS if not args.scheme
+              else {args.scheme: tuple(
+                  float(x) for x in args.points.split(","))})
+    results = ber.ber_acceptance_report(points, n_bits=args.bits)
+    worst = max(r.deviation for r in results)
+    print(_json.dumps({
+        "gates": [_dc.asdict(r) for r in results],
+        "worst_deviation": worst,
+        "pass": worst < 0.10,
+    }, indent=1))
+
+
+def cmd_plugin(args):
+    """Plugin tools (plugin/manager.rs role): list/load Python and
+    C-ABI waveform plugins."""
+    from r4w_tpu.registry import PluginManager
+
+    pm = PluginManager(search_paths=args.path.split(os.pathsep)
+                       if args.path else None)
+    if args.plugin_cmd == "discover":
+        for p in pm.discover_plugins():
+            print(p)
+        return
+    if args.plugin_cmd == "load":
+        if args.file.endswith((".so", ".dylib", ".dll")):
+            info = pm.load_native_plugin(args.file)
+        else:
+            info = pm.load_plugin(args.file)
+        if info is None:
+            print(f"load failed: {pm.errors}")
+            raise SystemExit(1)
+        print(f"loaded {info.name} v{info.version}: "
+              f"waveforms {list(info.waveforms)}")
+        from r4w_tpu.waveforms import create_waveform
+
+        for w in info.waveforms:
+            wf = create_waveform(w)
+            print(f"  {w}: {wf.info().description}")
+
+
 def cmd_completions(args):
     """Emit a bash completion script (cmd_completions role)."""
     p = build_parser()
@@ -853,6 +900,23 @@ def build_parser() -> argparse.ArgumentParser:
     m = ms.add_parser("status")
     m.add_argument("--node-id", type=int, default=1)
     m.set_defaults(fn=cmd_mesh)
+
+    sp = sub.add_parser("ber-gate",
+                        help="BER-vs-theory acceptance sweep")
+    sp.add_argument("--scheme", default=None,
+                    help="single scheme (default: full gate table)")
+    sp.add_argument("--points", default="4.0,6.0",
+                    help="comma-separated Eb/N0 dB points")
+    sp.add_argument("--bits", type=int, default=200_000)
+    sp.set_defaults(fn=cmd_ber_gate)
+
+    sp = sub.add_parser("plugin", help="waveform plugin tools")
+    sp.add_argument("plugin_cmd", choices=["discover", "load"])
+    sp.add_argument("file", nargs="?", default=None,
+                    help="plugin .py or .so for 'load'")
+    sp.add_argument("--path", default=None,
+                    help="plugin search paths (os.pathsep separated)")
+    sp.set_defaults(fn=cmd_plugin)
 
     sp = sub.add_parser("spec", help="waveform-spec YAML tools")
     sp.add_argument("file")

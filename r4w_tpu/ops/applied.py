@@ -37,7 +37,6 @@ def spectral_subtraction(x, noise_frames: int = 8, nfft: int = 256,
     mag = jnp.abs(spec)
     noise = jnp.mean(mag[:noise_frames], axis=0, keepdims=True)
     clean = jnp.maximum(mag - oversubtract * noise, floor * mag)
-    out_spec = clean * jnp.exp(1j * 0)  # magnitude-only reconstruction
     out_spec = clean.astype(jnp.complex64) * (
         spec / jnp.maximum(mag, 1e-12))
     frames_out = jnp.fft.irfft(out_spec, n=nfft, axis=-1) * win

@@ -242,3 +242,31 @@ def test_cli_unknown_waveform_errors():
     r = _run_cli("info", "-w", "NOPE")
     assert r.returncode != 0
     assert "unknown waveform" in r.stderr
+
+
+def test_cli_ber_gate(capsys):
+    import json
+
+    from r4w_tpu.cli import main
+
+    main(["ber-gate", "--scheme", "qpsk", "--points", "5.0",
+          "--bits", "100000"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["pass"] is True
+    assert out["gates"][0]["scheme"] == "qpsk"
+
+
+def test_cli_plugin_load(tmp_path, capsys):
+    import subprocess
+
+    from r4w_tpu.cli import main
+
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "r4w_tpu", "native")
+    so = tmp_path / "libex.so"
+    subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-I", src, "-o",
+                    str(so), os.path.join(src, "example_plugin.cpp")],
+                   check=True, capture_output=True, timeout=120)
+    main(["plugin", "load", str(so)])
+    out = capsys.readouterr().out
+    assert "example-native" in out and "manchester-ook" in out
