@@ -124,6 +124,30 @@ def _applied():
     return applied
 
 
+def _mimo():
+    from r4w_tpu.ops import mimo
+
+    return mimo
+
+
+def _tcm():
+    from r4w_tpu.fec import tcm
+
+    return tcm
+
+
+def _conv():
+    from r4w_tpu.fec import convolutional
+
+    return convolutional
+
+
+def _radv():
+    from r4w_tpu.ops import radar_adv
+
+    return radar_adv
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -308,6 +332,47 @@ def _populate(reg: BlockRegistry):
         ("modulation_classifier", C.MEASUREMENT,
          "cumulant-feature AMC (automatic_modulation_classifier.rs)",
          lambda **k: _applied().classify_modulation),
+        ("alamouti", C.MODULATOR,
+         "2x1 STBC encode/decode (alamouti_codec.rs)",
+         lambda **k: (_mimo().alamouti_encode, _mimo().alamouti_decode)),
+        ("diversity_combiner", C.SYNC,
+         "MRC/EGC/selection combining (antenna_diversity_combiner.rs)",
+         lambda **k: (_mimo().mrc_combine, _mimo().egc_combine,
+                      _mimo().selection_combine)),
+        ("sic", C.SYNC,
+         "two-user successive interference cancellation "
+         "(successive_interference_canceller.rs)",
+         lambda **k: _mimo().sic_decode, ("gains",)),
+        ("waterfilling", C.MATH,
+         "waterfilling power allocation (waterfilling.rs)",
+         lambda **k: _mimo().waterfilling, ("total_power",)),
+        ("adaptive_modcod", C.MATH,
+         "SNR-driven MCS ladder with hysteresis (adaptive_modcod.rs)",
+         lambda **k: _mimo().AdaptiveModcod),
+        ("uwb_ranging", C.MEASUREMENT,
+         "two-way ranging + leading-edge TOA (ultra_wideband_ranging.rs)",
+         lambda **k: (_mimo().twr_range, _mimo().leading_edge_toa)),
+        ("tcm", C.FEC,
+         "pragmatic 8PSK trellis-coded modulation (trellis_coding.rs)",
+         lambda **k: (_tcm().tcm_encode, _tcm().tcm_decode)),
+        ("map_decoder", C.FEC,
+         "max-log-MAP soft-output decode (map_decoder.rs/viterbi_sova.rs)",
+         lambda **k: _conv().map_decode),
+        ("stap", C.RADAR,
+         "space-time adaptive processing "
+         "(space_time_adaptive_processor.rs)",
+         lambda **k: (_radv().stap_weights, _radv().stap_output)),
+        ("clutter_filter", C.RADAR,
+         "Doppler clutter notch (clutter_filter.rs)",
+         lambda **k: _radv().clutter_notch, ("n_zero_bins",)),
+        ("coherent_integrator", C.RADAR,
+         "coherent/noncoherent pulse integration (coherent_integrator.rs)",
+         lambda **k: (_radv().coherent_integrate,
+                      _radv().noncoherent_integrate)),
+        ("radar_tracker", C.RADAR,
+         "gated constant-velocity Kalman tracking "
+         "(automotive_radar_tracker.rs)",
+         lambda **k: _radv().RadarTracker, ("dt", "gate")),
     ]
     for e in entries:
         name, cat, desc, fac = e[:4]
