@@ -243,3 +243,80 @@ def _ale(sample_rate: float) -> Ale:
 @register_waveform("3G-ALE", aliases=("ALE3G", "MILSTD188141B"))
 def _ale3g(sample_rate: float) -> Ale3g:
     return Ale3g(common=CommonParams(sample_rate=max(sample_rate, 9600.0)))
+
+
+# ------------------------------------------------- ALE word structure
+#
+# The real MIL-STD-188-141 24-bit word: 3-bit type preamble + three
+# 7-bit ASCII characters (ale.rs:26-31 type table, ale.rs:149 AleWord).
+# Characters come from the 38-symbol ALE subset (A-Z, 0-9, '@', '?').
+
+ALE_WORD_TYPES = {
+    "TO": 0b001, "TIS": 0b011, "TWAS": 0b010,
+    "DATA": 0b101, "REP": 0b110, "CMD": 0b111,
+}
+ALE_TYPE_NAMES = {v: k for k, v in ALE_WORD_TYPES.items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class AleWord:
+    """One ALE word: type + 3 ASCII chars (ale.rs AleWord)."""
+
+    word_type: str
+    chars: str  # up to 3 characters
+
+    def encode(self) -> int:
+        """-> 24-bit value: type(3) | c0(7) | c1(7) | c2(7)."""
+        v = ALE_WORD_TYPES[self.word_type] << 21
+        padded = self.chars.upper().ljust(3, "@")[:3]
+        for i, ch in enumerate(padded):
+            v |= (ord(ch) & 0x7F) << (14 - 7 * i)
+        return v
+
+    @classmethod
+    def decode(cls, value: int) -> "AleWord":
+        t = (value >> 21) & 0x7
+        if t not in ALE_TYPE_NAMES:
+            raise ValueError(f"invalid ALE word type {t:#b}")
+        chars = "".join(chr((value >> (14 - 7 * i)) & 0x7F)
+                        for i in range(3))
+        return cls(ALE_TYPE_NAMES[t], chars.rstrip("@"))
+
+    def to_bits(self) -> np.ndarray:
+        v = self.encode()
+        return np.asarray([(v >> (23 - i)) & 1 for i in range(24)],
+                          np.int32)
+
+    @classmethod
+    def from_bits(cls, bits24: np.ndarray) -> "AleWord":
+        v = 0
+        for b in np.asarray(bits24, np.int32)[:24]:
+            v = (v << 1) | int(b)
+        return cls.decode(v)
+
+
+def ale_individual_call(to: str, this_is: str) -> list[AleWord]:
+    """The standard individual-call frame: TO(addr) ×2 + TIS(addr)
+    (141A calling cycle, single-channel short form)."""
+    return [AleWord("TO", to[:3]), AleWord("TO", to[:3]),
+            AleWord("TIS", this_is[:3])]
+
+
+def ale_modulate_words(radio: Ale, words: list[AleWord]) -> jax.Array:
+    """Send a word sequence through the 8-FSK PHY (each word
+    Golay-protected + redundant as in Ale.modulate)."""
+    bits = np.concatenate([w.to_bits() for w in words])
+    return radio.modulate(bits.astype(np.int32))
+
+
+def ale_demodulate_words(radio: Ale, samples) -> list[AleWord]:
+    """Recover the word sequence; invalid words are dropped."""
+    res = radio.demodulate(samples)
+    bits = np.unpackbits(np.asarray(res.bits).astype(np.uint8))
+    out = []
+    for i in range(0, len(bits) - 23, 24):
+        try:
+            out.append(AleWord.from_bits(bits[i:i + 24]))
+        except ValueError:
+            continue
+    return out

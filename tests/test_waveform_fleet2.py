@@ -158,3 +158,39 @@ def test_p25_metadata_through_noise():
     assert np.asarray(res.bits)[: len(DATA)].tolist() == list(DATA)
     assert res.metadata["nac"] == 0x123
     assert res.metadata["duid"] == "LDU1"
+
+
+# ------------------------------------------------- ALE word structure
+
+
+def test_ale_word_pack_unpack():
+    from r4w_tpu.waveforms.hf_waveforms import ALE_WORD_TYPES, AleWord
+
+    # reference type table (ale.rs:26-31)
+    assert ALE_WORD_TYPES == {"TO": 0b001, "TIS": 0b011, "TWAS": 0b010,
+                              "DATA": 0b101, "REP": 0b110, "CMD": 0b111}
+    w = AleWord("TIS", "K1A")
+    v = w.encode()
+    assert (v >> 21) == 0b011
+    assert chr((v >> 14) & 0x7F) == "K"
+    assert AleWord.decode(v) == w
+    # bit vector roundtrip
+    assert AleWord.from_bits(w.to_bits()) == w
+    # invalid preamble rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AleWord.decode(0b000 << 21)
+
+
+def test_ale_individual_call_through_noise():
+    from r4w_tpu.waveforms.hf_waveforms import (Ale, ale_demodulate_words,
+                                                ale_individual_call,
+                                                ale_modulate_words)
+
+    radio = Ale()
+    tx = ale_modulate_words(radio, ale_individual_call("BOB", "ANN"))
+    rx = awgn(jax.random.key(0), tx, 5.0)
+    words = ale_demodulate_words(radio, rx)
+    assert [(w.word_type, w.chars) for w in words] == [
+        ("TO", "BOB"), ("TO", "BOB"), ("TIS", "ANN")]
