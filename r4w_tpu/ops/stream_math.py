@@ -289,3 +289,18 @@ def digital_down_convert(x, center_hz: float, sample_rate: float,
                               sample_rate)
     y, _ = decimating_fir(taps, base, decimation)
     return y
+
+
+def burst_shape(x, ramp: int = 32, window: str = "hann"):
+    """Apply raised-cosine amplitude ramps to burst edges
+    (burst_shaper.rs): suppresses keying splatter. ramp = samples of
+    attack/decay; the middle is untouched."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if 2 * ramp >= n:
+        ramp = max(n // 2 - 1, 1)
+    t = jnp.arange(ramp, dtype=REAL_DTYPE) / ramp
+    up = 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+    env = jnp.concatenate([up, jnp.ones(n - 2 * ramp, REAL_DTYPE),
+                           up[::-1]])
+    return x * env

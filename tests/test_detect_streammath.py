@@ -216,3 +216,20 @@ class TestStreamMath:
         assert np.asarray(mn).tolist() == [0, 4, 8]
         assert np.asarray(mx).tolist() == [3, 7, 11]
         assert np.asarray(mean).tolist() == [1.5, 5.5, 9.5]
+
+
+def test_burst_shape_reduces_splatter():
+    from r4w_tpu.ops.stream_math import burst_shape
+
+    n = 2048
+    tone = np.exp(2j * np.pi * 0.1 * np.arange(n)).astype(np.complex64)
+    hard = np.abs(np.fft.fft(tone, 8192))
+    soft = np.abs(np.fft.fft(np.asarray(burst_shape(jnp.asarray(tone),
+                                                    ramp=128)), 8192))
+    # out-of-band splatter (far from the tone) drops by >20 dB
+    far = np.r_[3000:4000]
+    assert soft[far].max() < 0.1 * hard[far].max()
+    # envelope: ends ramp to zero, middle untouched
+    y = np.asarray(burst_shape(jnp.asarray(tone), ramp=64))
+    assert abs(y[0]) < 1e-6 and abs(y[-1]) < 0.05
+    assert abs(abs(y[1024]) - 1.0) < 1e-5
