@@ -116,7 +116,9 @@ class TestResampleVsScipy:
         a = ours[max(lag, 0):m + min(lag, 0)]
         b = ref[max(-lag, 0):m - max(lag, 0)]
         k = min(len(a), len(b))
-        corr = np.corrcoef(a[64:k - 64], b[64:k - 64])[0, 1]
+        # trim the startup transient (zero initial state vs scipy's
+        # group-delay-compensated edges) before comparing steady state
+        corr = np.corrcoef(a[300:k - 300], b[300:k - 300])[0, 1]
         assert corr > 0.9999
 
     def test_decimating_fir_matches_scipy_decimate_shape(self):
