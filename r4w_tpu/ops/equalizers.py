@@ -315,3 +315,90 @@ def turbo_equalize(rx, channel_taps, interleaver, noise_var,
         la = la_coded[pi]
     post = llr_sys + ext_sys
     return (post < 0).astype(jnp.int32), post
+
+
+def mlse_equalize(y, channel_taps, constellation):
+    """Maximum-likelihood sequence estimation over the ISI trellis
+    (sequential_detection_mlse.rs role): Viterbi with M^(L-1) states
+    where L = len(channel_taps), branch metric
+    |y[n] − Σ_k h[k]·s[n−k]|².
+
+    y: (..., N) received symbols (symbol-spaced); channel_taps: (L,)
+    complex (h[0] = cursor); constellation: (M,) points. Returns
+    decided constellation indices (..., N). Optimal for channels where
+    linear/DFE equalizers are noise-enhancing or error-propagating;
+    state count M^(L-1) must stay small (QPSK, L≤5 → ≤256 states).
+
+    One lax.scan add-compare-select over time + a reverse traceback —
+    the same batched trellis pattern as fec.convolutional.
+    """
+    import numpy as _np
+
+    y = jnp.asarray(y, IQ_DTYPE)
+    h = _np.asarray(channel_taps, _np.complex64)
+    con = _np.asarray(constellation, _np.complex64)
+    m = len(con)
+    l = len(h)
+    n_states = m ** (l - 1) if l > 1 else 1
+    if n_states * m > 65536:
+        raise ValueError(f"MLSE trellis too large: {n_states}x{m}")
+
+    # state encodes the last (L-1) symbols, newest in the low digit.
+    # transition (state, new_symbol a) -> emitted = h0·a + Σ h_k·s_k
+    emit = _np.zeros((n_states, m), _np.complex64)
+    next_state = _np.zeros((n_states, m), _np.int32)
+    for s in range(n_states):
+        digits = []
+        tmp = s
+        for _ in range(l - 1):
+            digits.append(tmp % m)  # digits[k] = symbol at delay k+1
+            tmp //= m
+        for a in range(m):
+            acc = h[0] * con[a]
+            for k, d in enumerate(digits):
+                acc += h[k + 1] * con[d]
+            emit[s, a] = acc
+            next_state[s, a] = (s * m + a) % n_states if l > 1 else 0
+
+    emit_j = jnp.asarray(emit)
+    next_j = jnp.asarray(next_state)
+
+    # predecessor table: states whose next is s', and the input symbol
+    prev_state = _np.zeros((n_states, m), _np.int32)
+    prev_sym = _np.zeros((n_states, m), _np.int32)
+    fill: list[list] = [[] for _ in range(n_states)]
+    for s in range(n_states):
+        for a in range(m):
+            fill[next_state[s, a]].append((s, a))
+    for sp in range(n_states):
+        for j, (s, a) in enumerate(fill[sp]):
+            prev_state[sp, j] = s
+            prev_sym[sp, j] = a
+    prev_state_j = jnp.asarray(prev_state)
+    prev_sym_j = jnp.asarray(prev_sym)
+
+    init = jnp.zeros(y.shape[:-1] + (n_states,), REAL_DTYPE)
+
+    def step(metrics, y_t):
+        bm = jnp.abs(y_t[..., None, None] - emit_j) ** 2  # (..., S, M)
+        cand = (metrics[..., prev_state_j]
+                + bm[..., prev_state_j, prev_sym_j])
+        best = jnp.argmin(cand, axis=-1)
+        new = jnp.min(cand, axis=-1)
+        new = new - jnp.min(new, axis=-1, keepdims=True)
+        return new, best.astype(jnp.int8)
+
+    y_m = jnp.moveaxis(y, -1, 0)
+    final, decisions = jax.lax.scan(step, init, y_m)
+
+    start = jnp.argmin(final, axis=-1).astype(jnp.int32)
+
+    def back(state, dec_t):
+        j = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
+        j = j.astype(jnp.int32)
+        sym = prev_sym_j[state, j]
+        prev = prev_state_j[state, j]
+        return prev, sym
+
+    _, syms_rev = jax.lax.scan(back, start, decisions, reverse=True)
+    return jnp.moveaxis(syms_rev, 0, -1).astype(jnp.int32)

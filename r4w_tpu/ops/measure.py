@@ -416,3 +416,23 @@ def signal_quality(symbols, reference):
         "mag_err": jnp.mean(jnp.abs(jnp.abs(s) - jnp.abs(r))),
         "phase_err_rad": jnp.mean(jnp.abs(jnp.angle(s * jnp.conj(r)))),
     }
+
+
+def channel_sound(rx, probe, n_taps: int = 32):
+    """PN-probe channel sounding (channel_sounder.rs /
+    channel_sounding_processor.rs): circular-correlate the received
+    signal with the known probe sequence and normalize to the channel
+    impulse response estimate.
+
+    rx: (..., N) received (probe convolved with the channel + noise);
+    probe: (N,) ±1 or complex sounding sequence (one period). Returns
+    (..., n_taps) complex CIR estimate.
+    """
+    rx = jnp.asarray(rx, IQ_DTYPE)
+    p = jnp.asarray(probe, IQ_DTYPE)
+    n = p.shape[-1]
+    fr = jnp.fft.fft(rx[..., :n], axis=-1)
+    fp = jnp.fft.fft(p)
+    cir = jnp.fft.ifft(fr * jnp.conj(fp), axis=-1)
+    energy = jnp.sum(jnp.abs(p) ** 2)
+    return (cir / energy)[..., :n_taps].astype(IQ_DTYPE)
