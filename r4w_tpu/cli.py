@@ -407,6 +407,24 @@ def cmd_gnss(args):
               f"doppler={float(res.doppler_hz[0]):+.0f} Hz "
               f"metric={float(res.peak_metric[0]):.1f}")
         return
+    if args.gnss_cmd == "fix":
+        from r4w_tpu.gnss import pvt
+
+        rows = np.loadtxt(args.file, delimiter=",", ndmin=2)
+        sol = pvt.solve_position(rows[:, :3], rows[:, 3])
+        lla = sol.lla
+        print(f"position ECEF: {sol.position_ecef[0]:.1f} "
+              f"{sol.position_ecef[1]:.1f} {sol.position_ecef[2]:.1f} m")
+        print(f"lat/lon/alt:   {lla[0]:.6f}°, {lla[1]:.6f}°, "
+              f"{lla[2]:.1f} m")
+        print(f"clock bias:    {sol.clock_bias_m:.1f} m "
+              f"({sol.clock_bias_m / 299792458.0 * 1e6:.3f} µs)")
+        print(f"GDOP {sol.gdop:.2f}  PDOP {sol.pdop:.2f}  "
+              f"HDOP {sol.hdop:.2f}  VDOP {sol.vdop:.2f}")
+        print(f"residual RMS:  "
+              f"{float(np.sqrt(np.mean(sol.residuals_m ** 2))):.2f} m "
+              f"({sol.iterations} iterations)")
+        return
     if args.gnss_cmd == "ephemeris":
         from r4w_tpu.gnss import ephemeris as eph
 
@@ -945,6 +963,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--doppler", type=float, default=1000.0)
     g.add_argument("--code-phase", type=int, default=200)
     g.add_argument("--snr", type=float, default=-15.0)
+    g.set_defaults(fn=cmd_gnss)
+    g = gs.add_parser("fix", help="PVT least-squares from a CSV of "
+                      "sat_x,sat_y,sat_z,pseudorange rows (m)")
+    g.add_argument("file")
     g.set_defaults(fn=cmd_gnss)
     g = gs.add_parser("ephemeris",
                       help="RINEX/SP3/IONEX ephemeris tools")
