@@ -148,6 +148,18 @@ def _radv():
     return radar_adv
 
 
+def _measure():
+    from r4w_tpu.ops import measure
+
+    return measure
+
+
+def _pvt():
+    from r4w_tpu.gnss import pvt
+
+    return pvt
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -373,6 +385,20 @@ def _populate(reg: BlockRegistry):
          "gated constant-velocity Kalman tracking "
          "(automotive_radar_tracker.rs)",
          lambda **k: _radv().RadarTracker, ("dt", "gate")),
+        ("mlse_equalizer", C.SYNC,
+         "ML sequence estimation over the ISI trellis "
+         "(sequential_detection_mlse.rs)",
+         lambda **k: _eq_ops().mlse_equalize,
+         ("channel_taps", "constellation")),
+        ("channel_sounder", C.MEASUREMENT,
+         "PN-probe CIR estimation (channel_sounder.rs)",
+         lambda **k: _measure().channel_sound, ("probe", "n_taps")),
+        ("pvt_solver", C.GNSS,
+         "position/velocity/time least squares + DOP",
+         lambda **k: (_pvt().solve_position, _pvt().solve_velocity)),
+        ("burst_shaper", C.MODULATOR,
+         "raised-cosine burst edge ramps (burst_shaper.rs)",
+         lambda **k: _smath().burst_shape, ("ramp",)),
     ]
     for e in entries:
         name, cat, desc, fac = e[:4]
