@@ -320,3 +320,104 @@ def ale_demodulate_words(radio: Ale, samples) -> list[AleWord]:
         except ValueError:
             continue
     return out
+
+
+# ---------------------------------------------- 3G-ALE word structure
+#
+# ale3g.rs:66-115 extends the 2G table with AMD (0b100) and DTM header
+# (0b000) types; AMD packs three 6-bit ASCII-subset characters per word
+# (ale3g.rs:142-186), DTM fragments binary payloads.
+
+ALE3G_WORD_TYPES = {**ALE_WORD_TYPES, "AMD": 0b100, "DTM": 0b000}
+ALE3G_TYPE_NAMES = {v: k for k, v in ALE3G_WORD_TYPES.items()}
+ALE3G_3G_SPECIFIC = ("AMD", "DTM")
+
+
+def _amd_char_encode(ch: str) -> int:
+    """6-bit ASCII subset: 0x20..0x5F -> 0..63 (ale3g.rs:148-153)."""
+    v = ord(ch)
+    return (v - 0x20) & 0x3F if 0x20 <= v <= 0x5F else 0
+
+
+@dataclasses.dataclass
+class AmdMessage:
+    """Automatic Message Display: short text during linking
+    (ale3g.rs:117)."""
+
+    text: str
+    priority: int = 0
+
+    @classmethod
+    def urgent(cls, text: str) -> "AmdMessage":
+        return cls(text[:90], priority=3)
+
+    def encode_words(self) -> list[int]:
+        """-> list of 24-bit AMD word values (3 chars each)."""
+        text = self.text[:90].upper()
+        out = []
+        for i in range(0, len(text), 3):
+            chunk = text[i:i + 3].ljust(3)
+            data = 0
+            for j, ch in enumerate(chunk):
+                data |= _amd_char_encode(ch) << (12 - 6 * j)
+            out.append((ALE3G_WORD_TYPES["AMD"] << 21) | data)
+        return out
+
+    @classmethod
+    def decode_words(cls, words: list[int]) -> "AmdMessage":
+        text = []
+        for w in words:
+            if (w >> 21) & 0x7 != ALE3G_WORD_TYPES["AMD"]:
+                continue
+            for j in range(3):
+                text.append(chr(((w >> (12 - 6 * j)) & 0x3F) + 0x20))
+        return cls("".join(text).rstrip())
+
+
+@dataclasses.dataclass
+class DtmMessage:
+    """Data Text Message: binary payload fragments (ale3g.rs:188)."""
+
+    data: bytes
+    sequence: int = 0
+    final: bool = True
+
+    @classmethod
+    def fragment(cls, data: bytes, max_block: int = 64
+                 ) -> list["DtmMessage"]:
+        frags = []
+        for i, start in enumerate(range(0, max(len(data), 1), max_block)):
+            chunk = data[start:start + max_block]
+            frags.append(cls(chunk, sequence=i,
+                             final=start + max_block >= len(data)))
+        return frags
+
+
+def ale3g_lqa_score(ber: float, sinad_db: float) -> int:
+    """Link-quality score 0-30 (ale3g.rs:316-348 Ale3gLqa): the better
+    of each axis contributes up to 15."""
+    ber_pts = int(np.clip(15.0 * (1.0 - min(ber, 0.1) / 0.1), 0, 15))
+    snr_pts = int(np.clip(sinad_db / 2.0, 0, 15))
+    return ber_pts + snr_pts
+
+
+def ale3g_send_amd(radio: Ale, msg: AmdMessage) -> jax.Array:
+    """AMD message over the 8-FSK PHY (the 3G tone waveform reuses the
+    2G alphabet, ale3g.rs:38-50)."""
+    words = msg.encode_words()
+    bits = np.concatenate([
+        np.asarray([(w >> (23 - i)) & 1 for i in range(24)], np.int32)
+        for w in words])
+    return radio.modulate(bits)
+
+
+def ale3g_receive_amd(radio: Ale, samples) -> AmdMessage:
+    res = radio.demodulate(samples)
+    bits = np.unpackbits(np.asarray(res.bits).astype(np.uint8))
+    words = []
+    for i in range(0, len(bits) - 23, 24):
+        v = 0
+        for b in bits[i:i + 24]:
+            v = (v << 1) | int(b)
+        words.append(v)
+    return AmdMessage.decode_words(words)

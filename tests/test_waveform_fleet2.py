@@ -194,3 +194,57 @@ def test_ale_individual_call_through_noise():
     words = ale_demodulate_words(radio, rx)
     assert [(w.word_type, w.chars) for w in words] == [
         ("TO", "BOB"), ("TO", "BOB"), ("TIS", "ANN")]
+
+
+# -------------------------------------------- 3G-ALE word structure
+
+
+def test_ale3g_word_table():
+    from r4w_tpu.waveforms.hf_waveforms import (ALE3G_3G_SPECIFIC,
+                                                ALE3G_WORD_TYPES)
+
+    # 2G-compatible plus the 3G-specific types (ale3g.rs:66-115)
+    assert ALE3G_WORD_TYPES["AMD"] == 0b100
+    assert ALE3G_WORD_TYPES["DTM"] == 0b000
+    assert ALE3G_WORD_TYPES["TO"] == 0b001  # 2G compat preserved
+    assert set(ALE3G_3G_SPECIFIC) == {"AMD", "DTM"}
+
+
+def test_ale3g_amd_roundtrip_through_noise():
+    from r4w_tpu.waveforms.hf_waveforms import (Ale, AmdMessage,
+                                                ale3g_receive_amd,
+                                                ale3g_send_amd)
+
+    radio = Ale()
+    tx = ale3g_send_amd(radio, AmdMessage("QSL UR 59 FT WAYNE"))
+    rx = awgn(jax.random.key(2), tx, 6.0)
+    out = ale3g_receive_amd(radio, rx)
+    assert out.text == "QSL UR 59 FT WAYNE"
+
+
+def test_ale3g_amd_char_packing():
+    from r4w_tpu.waveforms.hf_waveforms import AmdMessage
+
+    words = AmdMessage("ABC").encode_words()
+    assert len(words) == 1
+    w = words[0]
+    assert (w >> 21) == 0b100                         # AMD preamble
+    assert ((w >> 12) & 0x3F) == ord("A") - 0x20      # 6-bit subset
+    assert AmdMessage.decode_words(words).text == "ABC"
+
+
+def test_ale3g_dtm_fragmentation():
+    from r4w_tpu.waveforms.hf_waveforms import DtmMessage
+
+    frs = DtmMessage.fragment(bytes(range(150)), 64)
+    assert [f.sequence for f in frs] == [0, 1, 2]
+    assert [f.final for f in frs] == [False, False, True]
+    assert b"".join(f.data for f in frs) == bytes(range(150))
+
+
+def test_ale3g_lqa_score():
+    from r4w_tpu.waveforms.hf_waveforms import ale3g_lqa_score
+
+    assert ale3g_lqa_score(0.0, 30.0) == 30   # perfect link
+    assert ale3g_lqa_score(0.1, 0.0) == 0     # unusable
+    assert 0 < ale3g_lqa_score(0.05, 12.0) < 30
