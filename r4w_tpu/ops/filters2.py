@@ -1,0 +1,586 @@
+"""Filter & rate-conversion fills — second tier of the reference's
+filter tail.
+
+Re-designs of overlap_add.rs / overlap_save.rs (FFT block convolution),
+matched_filter_bank.rs, root_raised_cosine_matched_filter_bank.rs,
+sparse_fir_filter.rs, lagrange_polynomial_interpolator.rs,
+mmse_interpolator.rs, group_delay_equalizer.rs, variable_rate_cic.rs,
+interpolating_resampler.rs, sample_rate_converter.rs,
+digital_up_converter.rs, frequency_xlating_fft_filter.rs,
+frequency_domain_oversampled_dft.rs, log_power_fft.rs,
+welch_periodogram.rs, instantaneous_frequency_estimator.rs,
+noise_blanker.rs, noise_gate.rs, noise_shaper.rs /
+noise_shaping_quantizer.rs, dynamic_range_compressor.rs,
+multiband_compressor.rs, pre_emphasis.rs, fm_emphasis.rs,
+filter_synthesis_engine.rs.
+
+Batch-first: block convolutions use one batched FFT over all blocks at
+once (the MXU/HBM-friendly form of the reference's per-block loops);
+the few truly recursive pieces (noise shaping, compressor envelopes)
+run in ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+from r4w_tpu.ops import filters as _filters
+from r4w_tpu.ops import measure as _measure
+from r4w_tpu.ops import pulse as _pulse
+from r4w_tpu.ops import resample as _resample
+
+# ------------------------------------------------- FFT block convolution
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def overlap_save(x, taps, block: int | None = None):
+    """Overlap-save FFT convolution (overlap_save.rs). Output matches
+    'same-length, causal' direct FIR filtering of ``x``.
+
+    All blocks are transformed in ONE batched FFT — the hot path is a
+    single (n_blocks, nfft) complex multiply.
+    """
+    x = jnp.asarray(x)
+    h = jnp.asarray(taps)
+    m = h.shape[0]
+    if block is None:
+        block = max(_next_pow2(8 * m), 256)
+    nfft = _next_pow2(block + m - 1)
+    step = nfft - (m - 1)
+    n = x.shape[0]
+    n_blocks = -(-n // step)
+    padded = jnp.concatenate([
+        jnp.zeros((m - 1,), x.dtype), x,
+        jnp.zeros((n_blocks * step - n + nfft,), x.dtype)])
+    idx = jnp.arange(n_blocks)[:, None] * step + jnp.arange(nfft)[None, :]
+    frames = padded[idx]                              # (B, nfft)
+    hf = jnp.fft.fft(h, nfft)
+    yf = jnp.fft.fft(frames, axis=-1) * hf[None, :]
+    y = jnp.fft.ifft(yf, axis=-1)[:, m - 1:]          # keep valid part
+    y = y.reshape(-1)[:n]
+    return y if jnp.iscomplexobj(x) or jnp.iscomplexobj(h) \
+        else y.real.astype(REAL_DTYPE)
+
+
+def overlap_add(x, taps, block: int = 1024):
+    """Overlap-add FFT convolution (overlap_add.rs); returns the full
+    length-(N+M-1) linear convolution."""
+    x = jnp.asarray(x)
+    h = jnp.asarray(taps)
+    m = h.shape[0]
+    nfft = _next_pow2(block + m - 1)
+    n = x.shape[0]
+    n_blocks = -(-n // block)
+    xp = jnp.concatenate([x, jnp.zeros((n_blocks * block - n,), x.dtype)])
+    frames = xp.reshape(n_blocks, block)
+    hf = jnp.fft.fft(h, nfft)
+    yf = jnp.fft.fft(frames, nfft, axis=-1) * hf[None, :]
+    yb = jnp.fft.ifft(yf, axis=-1)                    # (B, nfft)
+    out_len = n_blocks * block + nfft - block
+    # scatter-add the overlapping tails
+    out = jnp.zeros((out_len,), yb.dtype)
+    starts = jnp.arange(n_blocks) * block
+    idx = starts[:, None] + jnp.arange(nfft)[None, :]
+    out = out.at[idx.reshape(-1)].add(yb.reshape(-1))
+    out = out[:n + m - 1]
+    return out if jnp.iscomplexobj(x) or jnp.iscomplexobj(h) \
+        else out.real.astype(REAL_DTYPE)
+
+
+def frequency_xlating_fft_filter(x, taps, center_hz: float,
+                                 sample_rate: float, decim: int = 1):
+    """Mix to baseband, FFT-filter, decimate
+    (frequency_xlating_fft_filter.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = x.shape[0]
+    ph = (-2.0 * np.pi * center_hz / sample_rate) \
+        * jnp.arange(n, dtype=REAL_DTYPE)
+    mixed = x * cis(ph)
+    y = overlap_save(mixed, taps)
+    return y[::decim]
+
+
+# ------------------------------------------------------- matched banks
+
+
+def matched_filter_bank(x, templates):
+    """Correlate against a bank of matched filters in one batched FFT
+    (matched_filter_bank.rs). templates: (K, M). Returns (K, N) where
+    out[k, i] = Σ_u x[i+u]·conj(t_k[u]) — the correlation peak lands at
+    the template's START index in x."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    t = jnp.asarray(templates, IQ_DTYPE)
+    n, m = x.shape[0], t.shape[-1]
+    nfft = _next_pow2(n + m - 1)
+    xf = jnp.fft.fft(x, nfft)
+    tf = jnp.fft.fft(jnp.conj(t[:, ::-1]), nfft, axis=-1)
+    y = jnp.fft.ifft(xf[None, :] * tf, axis=-1)
+    return y[:, m - 1:m - 1 + n]
+
+
+def rrc_matched_filter_bank(x, sps: int, rolloffs, span: int = 8):
+    """Bank of RRC matched filters over candidate roll-offs
+    (root_raised_cosine_matched_filter_bank.rs). Returns (K, N) outputs
+    and the roll-off index with the highest peak energy."""
+    banks = jnp.stack([
+        jnp.asarray(_pulse.root_raised_cosine_taps(sps, span, float(r)),
+                    REAL_DTYPE)
+        for r in rolloffs])
+    y = matched_filter_bank(x, banks.astype(IQ_DTYPE))
+    # Decision metric: the matched roll-off yields (near) zero ISI, so
+    # symbol-instant samples have the most constant modulus. For each
+    # candidate take the best symbol-phase offset, score by normalized
+    # variance of |y| at symbol instants, pick the minimum.
+    n_sym = y.shape[-1] // sps
+    frames = jnp.abs(y[:, :n_sym * sps].reshape(y.shape[0], n_sym, sps))
+    mean = jnp.mean(frames, axis=1)
+    var = jnp.var(frames, axis=1)
+    score = jnp.min(var / jnp.maximum(mean ** 2, 1e-12), axis=-1)
+    return y, jnp.argmin(score)
+
+
+def sparse_fir_filter(x, tap_values, tap_positions):
+    """FIR with few nonzero taps (sparse_fir_filter.rs): sum of delayed,
+    scaled copies — O(K·N) instead of O(M·N)."""
+    x = jnp.asarray(x)
+    out = jnp.zeros_like(x)
+    for v, p in zip(np.asarray(tap_values), np.asarray(tap_positions)):
+        out = out + v * jnp.roll(x, int(p)).at[:int(p)].set(0)
+    return out
+
+
+# ------------------------------------------------------- interpolators
+
+
+def lagrange_interpolator_taps(order: int, mu: float):
+    """Lagrange fractional-delay taps
+    (lagrange_polynomial_interpolator.rs): taps h_i = Π_{j≠i}(d-j)/(i-j)
+    for total delay d = mu + center."""
+    d = mu + (order - 1) // 2
+    taps = np.ones(order + 1)
+    for i in range(order + 1):
+        for j in range(order + 1):
+            if i != j:
+                taps[i] *= (d - j) / (i - j)
+    return jnp.asarray(taps, REAL_DTYPE)
+
+
+def lagrange_interpolate(x, mu: float, order: int = 3):
+    """Fractional-delay resample by Lagrange polynomial taps."""
+    taps = lagrange_interpolator_taps(order, mu)
+    return _filters.fir_apply(taps, jnp.asarray(x))
+
+
+def mmse_interpolator_taps(mu: float, n_taps: int = 8,
+                           rolloff: float = 0.25):
+    """MMSE fractional interpolator taps (mmse_interpolator.rs):
+    windowed-sinc evaluated at the fractional offset — the closed-form
+    MMSE solution for a bandlimited process."""
+    n = np.arange(n_taps, dtype=np.float64) - (n_taps - 1) / 2.0 - mu
+    taps = np.sinc(n) * np.hamming(n_taps)
+    taps /= np.sum(taps)
+    return jnp.asarray(taps, REAL_DTYPE)
+
+
+def mmse_interpolate(x, mu: float, n_taps: int = 8):
+    return _filters.fir_apply(mmse_interpolator_taps(mu, n_taps),
+                              jnp.asarray(x))
+
+
+def interpolating_resampler(x, rate: float, n_taps: int = 8):
+    """Arbitrary-rate output-driven resampler
+    (interpolating_resampler.rs): for each output sample pick the
+    nearest input index and apply MMSE fractional taps via a gather —
+    fully vectorized."""
+    x = jnp.asarray(x)
+    n_out = int(np.floor(x.shape[0] / rate))
+    pos = jnp.arange(n_out, dtype=REAL_DTYPE) * rate
+    base = jnp.floor(pos).astype(jnp.int32)
+    mu = pos - base
+    # 8-tap windowed-sinc evaluated per-output at its fractional offset
+    k = jnp.arange(n_taps, dtype=REAL_DTYPE) - (n_taps - 1) / 2.0
+    arg = k[None, :] - mu[:, None]
+    taps = jnp.sinc(arg) * (0.54 + 0.46 * jnp.cos(
+        np.pi * arg / ((n_taps + 1) / 2)))
+    taps = taps / jnp.sum(taps, axis=-1, keepdims=True)
+    pad = n_taps // 2
+    xp = jnp.concatenate([jnp.zeros((pad,), x.dtype), x,
+                          jnp.zeros((n_taps,), x.dtype)])
+    idx = base[:, None] + jnp.arange(n_taps)[None, :]
+    gathered = xp[idx]
+    if jnp.iscomplexobj(x):
+        return jnp.sum(gathered * taps.astype(IQ_DTYPE), axis=-1)
+    return jnp.sum(gathered * taps, axis=-1)
+
+
+def sample_rate_converter(x, in_rate: float, out_rate: float):
+    """Rate converter by ratio (sample_rate_converter.rs); thin wrapper
+    over the polyphase rational / arbitrary resamplers."""
+    from fractions import Fraction
+    fr = Fraction(out_rate / in_rate).limit_denominator(64)
+    if abs(float(fr) - out_rate / in_rate) < 1e-9:
+        return _resample.rational_resample(jnp.asarray(x),
+                                           fr.numerator, fr.denominator)
+    return interpolating_resampler(x, in_rate / out_rate)
+
+
+def digital_up_converter(x, interp: int, center_hz: float,
+                         sample_rate_out: float, n_taps: int = 63):
+    """DUC (digital_up_converter.rs): polyphase interpolate (anti-image
+    lowpass at the output Nyquist/interp) then mix to the carrier."""
+    taps = _filters.design_lowpass(n_taps, sample_rate_out / (2 * interp),
+                                   sample_rate_out)
+    y = _resample.polyphase_interpolate(jnp.asarray(x, IQ_DTYPE), taps,
+                                        interp)
+    ph = (2.0 * np.pi * center_hz / sample_rate_out) \
+        * jnp.arange(y.shape[0], dtype=REAL_DTYPE)
+    return y * cis(ph)
+
+
+def variable_rate_cic(x, rate: int, stages: int = 3, interp: bool = False):
+    """CIC with runtime-selected rate (variable_rate_cic.rs).
+
+    Decimation delegates to the carried-state CIC; interpolation runs
+    combs at the input rate, zero-stuffs, then integrators at the
+    output rate — equivalently a cascade of length-``rate`` boxcars,
+    realized here as one convolution with the boxcar^stages kernel
+    (normalized to unity DC gain)."""
+    x = jnp.asarray(x)
+    if interp:
+        up = jnp.zeros((x.shape[0] * rate,), x.dtype)
+        up = up.at[::rate].set(x)
+        kern = np.ones(rate)
+        for _ in range(stages - 1):
+            kern = np.convolve(kern, np.ones(rate))
+        kern = jnp.asarray(kern / (rate ** (stages - 1)),
+                           REAL_DTYPE)
+        if jnp.iscomplexobj(up):
+            y = (jnp.convolve(up.real, kern)
+                 + 1j * jnp.convolve(up.imag, kern)).astype(IQ_DTYPE)
+        else:
+            y = jnp.convolve(up.astype(REAL_DTYPE), kern)
+        return y[:up.shape[0]]
+    y, _ = _filters.cic_decimator(x, rate, stages)
+    return y / (rate ** stages)
+
+
+# --------------------------------------------------- spectral utilities
+
+
+def group_delay_equalizer_taps(target_delay: np.ndarray | list[float],
+                               n_taps: int = 63, nfft: int = 512):
+    """Design an FIR whose phase compensates a measured group-delay
+    ripple (group_delay_equalizer.rs): build the desired all-pass
+    frequency response exp(-j*phi(w)) from the delay profile and window
+    its IFFT."""
+    gd = np.asarray(target_delay, np.float64)
+    freqs = np.linspace(0.0, 1.0, gd.shape[0])
+    grid = np.interp(np.linspace(0, 1, nfft // 2 + 1), freqs, gd)
+    w = np.pi * np.linspace(0, 1, nfft // 2 + 1)
+    phi = -np.cumsum(grid) * (w[1] - w[0])            # phase = -∫ gd dw
+    h_half = np.exp(1j * phi)
+    full = np.concatenate([h_half, np.conj(h_half[-2:0:-1])])
+    imp = np.real(np.fft.ifft(full))
+    imp = np.roll(imp, n_taps // 2)[:n_taps] * np.hamming(n_taps)
+    return jnp.asarray(imp, REAL_DTYPE)
+
+
+def frequency_domain_oversampled_dft(x, nfft: int, oversample: int = 4):
+    """Zero-padded (oversampled) DFT magnitude grid
+    (frequency_domain_oversampled_dft.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    return jnp.abs(jnp.fft.fft(x, nfft * oversample))
+
+
+def log_power_fft(x, nfft: int = 1024, window: str = "hann",
+                  floor_db: float = -200.0):
+    """Windowed |FFT|^2 in dB, fftshifted (log_power_fft.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    n = (x.shape[0] // nfft) * nfft
+    frames = x[:n].reshape(-1, nfft)
+    win = jnp.asarray(np.hanning(nfft) if window == "hann"
+                      else np.ones(nfft), REAL_DTYPE)
+    spec = jnp.fft.fftshift(jnp.fft.fft(frames * win[None, :], axis=-1),
+                            axes=-1)
+    p = jnp.mean(jnp.abs(spec) ** 2, axis=0)
+    return jnp.maximum(10.0 * jnp.log10(jnp.maximum(p, 1e-30)), floor_db)
+
+
+def welch_periodogram(x, nfft: int = 1024, overlap: float = 0.5):
+    """Named alias of the Welch PSD (welch_periodogram.rs →
+    measure.welch_psd)."""
+    return _measure.welch_psd(x, nperseg=nfft, overlap=overlap)
+
+
+def instantaneous_frequency(x, sample_rate: float = 1.0):
+    """Per-sample instantaneous frequency from the phase derivative
+    (instantaneous_frequency_estimator.rs)."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    d = x[1:] * jnp.conj(x[:-1])
+    f = jnp.angle(d) * (sample_rate / (2.0 * np.pi))
+    return jnp.concatenate([f[:1], f])
+
+
+# ----------------------------------------------------- noise processing
+
+
+def noise_blanker(x, threshold_sigma: float = 4.0):
+    """Impulse-noise blanker (noise_blanker.rs): zero samples whose
+    magnitude exceeds k·RMS."""
+    x = jnp.asarray(x)
+    mag = jnp.abs(x)
+    rms = jnp.sqrt(jnp.mean(mag ** 2))
+    return jnp.where(mag > threshold_sigma * rms,
+                     jnp.zeros_like(x), x)
+
+
+def noise_gate(x, open_db: float, close_db: float | None = None,
+               attack: float = 0.5, release: float = 0.01,
+               state: float = 0.0):
+    """Hysteresis noise gate with smoothed gain (noise_gate.rs)."""
+    if close_db is None:
+        close_db = open_db - 6.0
+    open_lin = 10.0 ** (open_db / 20.0)
+    close_lin = 10.0 ** (close_db / 20.0)
+    mag = jnp.abs(jnp.asarray(x)).astype(REAL_DTYPE)
+
+    def step(carry, m):
+        gate, env = carry
+        gate = jnp.where(m > open_lin, 1.0,
+                         jnp.where(m < close_lin, 0.0, gate))
+        a = jnp.where(gate > env, attack, release)
+        env = env + a * (gate - env)
+        return (gate, env), env
+
+    (_, _), gains = lax.scan(step, (jnp.asarray(0.0), jnp.asarray(state)),
+                             mag)
+    return jnp.asarray(x) * gains.astype(
+        IQ_DTYPE if jnp.iscomplexobj(jnp.asarray(x)) else REAL_DTYPE)
+
+
+def noise_shaping_quantize(x, n_bits: int, order: int = 1):
+    """Error-feedback noise-shaped quantizer (noise_shaper.rs /
+    noise_shaping_quantizer.rs): pushes quantization noise to high
+    frequencies. First- or second-order feedback, lax.scan."""
+    x = jnp.asarray(x, REAL_DTYPE)
+    q = 2.0 ** (1 - n_bits)     # step for full-scale ±1
+
+    def step(err, xt):
+        e1, e2 = err
+        fb = e1 if order == 1 else 2.0 * e1 - e2
+        v = xt + fb
+        yq = jnp.clip(jnp.round(v / q) * q, -1.0, 1.0)
+        return (v - yq, e1), yq
+
+    _, y = lax.scan(step, (jnp.asarray(0.0, REAL_DTYPE),
+                           jnp.asarray(0.0, REAL_DTYPE)), x)
+    return y
+
+
+# -------------------------------------------------------- compressors
+
+
+def dynamic_range_compressor(x, threshold_db: float = -20.0,
+                             ratio: float = 4.0, attack: float = 0.1,
+                             release: float = 0.005,
+                             makeup_db: float = 0.0):
+    """Feed-forward compressor with attack/release envelope
+    (dynamic_range_compressor.rs)."""
+    x = jnp.asarray(x)
+    series, _ = _env_follow(jnp.abs(x).astype(REAL_DTYPE), attack, release)
+    level_db = 20.0 * jnp.log10(jnp.maximum(series, 1e-9))
+    over = jnp.maximum(level_db - threshold_db, 0.0)
+    gain_db = -over * (1.0 - 1.0 / ratio) + makeup_db
+    gain = 10.0 ** (gain_db / 20.0)
+    return x * gain.astype(IQ_DTYPE if jnp.iscomplexobj(x) else REAL_DTYPE)
+
+
+def _env_follow(mag, attack, release, state=0.0):
+    def step(env, m):
+        a = jnp.where(m > env, attack, release)
+        env = env + a * (m - env)
+        return env, env
+    final, series = lax.scan(step, jnp.asarray(state, REAL_DTYPE), mag)
+    return series, final
+
+
+def multiband_compressor(x, sample_rate: float,
+                         bands_hz=(300.0, 3000.0),
+                         thresholds_db=(-25.0, -20.0, -15.0),
+                         ratio: float = 4.0, n_taps: int = 101):
+    """Split into bands with complementary FIRs, compress each, and sum
+    (multiband_compressor.rs)."""
+    x = jnp.asarray(x, REAL_DTYPE)
+    edges = list(bands_hz)
+    lows = _filters.design_lowpass(n_taps, edges[0], sample_rate)
+    mids = _filters.design_bandpass(n_taps, edges[0], edges[1], sample_rate)
+    low_sig = _filters.fir_apply(lows, x)
+    mid_sig = _filters.fir_apply(mids, x)
+    band_signals = [low_sig, mid_sig, x - low_sig - mid_sig]
+    out = jnp.zeros_like(x)
+    for sig, thr in zip(band_signals, thresholds_db):
+        out = out + dynamic_range_compressor(sig, thr, ratio)
+    return out
+
+
+# ------------------------------------------------------- pre-emphasis
+
+
+def pre_emphasis(x, alpha: float = 0.95):
+    """First-difference pre-emphasis y[n]=x[n]-a·x[n-1]
+    (pre_emphasis.rs)."""
+    x = jnp.asarray(x, REAL_DTYPE)
+    return jnp.concatenate([x[:1], x[1:] - alpha * x[:-1]])
+
+
+def de_emphasis(x, alpha: float = 0.95):
+    """Inverse of pre_emphasis: one-pole IIR (fm_emphasis.rs)."""
+    x = jnp.asarray(x, REAL_DTYPE)
+
+    def step(y, xt):
+        y = xt + alpha * y
+        return y, y
+
+    _, y = lax.scan(step, jnp.asarray(0.0, REAL_DTYPE), x)
+    return y
+
+
+def fm_deemphasis(x, sample_rate: float, tau_us: float = 75.0):
+    """Broadcast-FM de-emphasis single-pole IIR with time constant tau
+    (fm_emphasis.rs)."""
+    dt = 1.0 / sample_rate
+    alpha = dt / (tau_us * 1e-6 + dt)
+    y, _ = _filters.single_pole_iir(alpha, jnp.asarray(x, REAL_DTYPE))
+    return y
+
+
+# ----------------------------------------------- filter synthesis engine
+
+
+def filter_synthesis(kind: str, n_taps: int, sample_rate: float,
+                     f1: float, f2: float | None = None,
+                     window: str = "hamming"):
+    """Spec-driven tap synthesis (filter_synthesis_engine.rs): one entry
+    point over the windowed-sinc designers."""
+    if kind == "lowpass":
+        return _filters.design_lowpass(n_taps, f1, sample_rate,
+                                       window=window)
+    if kind == "highpass":
+        return _filters.design_highpass(n_taps, f1, sample_rate,
+                                        window=window)
+    if kind == "bandpass":
+        if f2 is None:
+            raise ValueError("bandpass needs f2")
+        return _filters.design_bandpass(n_taps, f1, f2, sample_rate,
+                                        window=window)
+    if kind == "bandstop":
+        if f2 is None:
+            raise ValueError("bandstop needs f2")
+        bp = _filters.design_bandpass(n_taps, f1, f2, sample_rate,
+                                      window=window)
+        imp = -np.asarray(bp)
+        imp[n_taps // 2] += 1.0
+        return jnp.asarray(imp, REAL_DTYPE)
+    raise ValueError(f"unknown filter kind '{kind}'")
+
+
+BLOCKS = {
+    "overlap_save": ("overlap_save", "filter",
+                     "overlap-save FFT convolution (overlap_save.rs)",
+                     ("block",)),
+    "overlap_add": ("overlap_add", "filter",
+                    "overlap-add FFT convolution (overlap_add.rs)",
+                    ("block",)),
+    "fft_filter": ("overlap_save", "filter",
+                   "FFT-domain FIR (fft_filter.rs -> overlap_save)"),
+    "freq_xlating_fft_filter": (
+        "frequency_xlating_fft_filter", "filter",
+        "mix + FFT filter + decimate (frequency_xlating_fft_filter.rs)",
+        ("center_hz", "sample_rate", "decim")),
+    "matched_filter_bank": ("matched_filter_bank", "filter",
+                            "batched matched-filter bank "
+                            "(matched_filter_bank.rs)"),
+    "rrc_matched_filter_bank": (
+        "rrc_matched_filter_bank", "filter",
+        "RRC bank over roll-offs "
+        "(root_raised_cosine_matched_filter_bank.rs)",
+        ("sps", "rolloffs")),
+    "sparse_fir_filter": ("sparse_fir_filter", "filter",
+                          "few-tap FIR (sparse_fir_filter.rs)"),
+    "lagrange_interpolator": (
+        "lagrange_interpolate", "resampler",
+        "Lagrange fractional delay "
+        "(lagrange_polynomial_interpolator.rs)", ("mu", "order")),
+    "mmse_interpolator": ("mmse_interpolate", "resampler",
+                          "MMSE fractional delay (mmse_interpolator.rs)",
+                          ("mu",)),
+    "interpolating_resampler": (
+        "interpolating_resampler", "resampler",
+        "output-driven arbitrary resampler "
+        "(interpolating_resampler.rs)", ("rate",)),
+    "sample_rate_converter": ("sample_rate_converter", "resampler",
+                              "ratio rate converter "
+                              "(sample_rate_converter.rs)",
+                              ("in_rate", "out_rate")),
+    "digital_up_converter": ("digital_up_converter", "resampler",
+                             "interpolate + mix DUC "
+                             "(digital_up_converter.rs)",
+                             ("interp", "center_hz")),
+    "variable_rate_cic": ("variable_rate_cic", "filter",
+                          "runtime-rate CIC (variable_rate_cic.rs)",
+                          ("rate", "stages")),
+    "group_delay_equalizer": ("group_delay_equalizer_taps", "filter",
+                              "group-delay flattening FIR design "
+                              "(group_delay_equalizer.rs)"),
+    "oversampled_dft": ("frequency_domain_oversampled_dft",
+                        "measurement",
+                        "zero-padded DFT grid "
+                        "(frequency_domain_oversampled_dft.rs)",
+                        ("nfft", "oversample")),
+    "log_power_fft": ("log_power_fft", "measurement",
+                      "averaged log-power spectrum (log_power_fft.rs)",
+                      ("nfft",)),
+    "welch_periodogram": ("welch_periodogram", "measurement",
+                          "Welch PSD (welch_periodogram.rs)", ("nfft",)),
+    "instantaneous_frequency": (
+        "instantaneous_frequency", "measurement",
+        "phase-derivative IF (instantaneous_frequency_estimator.rs)"),
+    "noise_blanker": ("noise_blanker", "filter",
+                      "impulse blanker (noise_blanker.rs)",
+                      ("threshold_sigma",)),
+    "noise_gate": ("noise_gate", "filter",
+                   "hysteresis noise gate (noise_gate.rs)",
+                   ("open_db", "close_db")),
+    "noise_shaping_quantizer": (
+        "noise_shaping_quantize", "math",
+        "error-feedback quantizer (noise_shaping_quantizer.rs)",
+        ("n_bits", "order")),
+    "dynamic_range_compressor": (
+        "dynamic_range_compressor", "filter",
+        "attack/release compressor (dynamic_range_compressor.rs)",
+        ("threshold_db", "ratio")),
+    "multiband_compressor": ("multiband_compressor", "filter",
+                             "3-band compressor "
+                             "(multiband_compressor.rs)",
+                             ("sample_rate", "bands_hz")),
+    "pre_emphasis": ("pre_emphasis", "filter",
+                     "first-difference pre-emphasis (pre_emphasis.rs)",
+                     ("alpha",)),
+    "de_emphasis": ("de_emphasis", "filter",
+                    "one-pole de-emphasis (fm_emphasis.rs)", ("alpha",)),
+    "fm_deemphasis": ("fm_deemphasis", "filter",
+                      "75us FM de-emphasis (fm_emphasis.rs)",
+                      ("sample_rate", "tau_us")),
+    "filter_synthesis": ("filter_synthesis", "filter",
+                         "spec-driven tap synthesis "
+                         "(filter_synthesis_engine.rs)",
+                         ("kind", "n_taps")),
+}

@@ -160,6 +160,13 @@ def _pvt():
     return pvt
 
 
+# Catalog modules registered via their BLOCKS tables (see _populate).
+_CATALOG_MODULES = (
+    "r4w_tpu.ops.stream_blocks",
+    "r4w_tpu.ops.filters2",
+)
+
+
 def _populate(reg: BlockRegistry):
     """Register the built-in catalog (the pipeline-builder surface the
     GUI's pipeline_wizard consumes)."""
@@ -404,6 +411,18 @@ def _populate(reg: BlockRegistry):
         name, cat, desc, fac = e[:4]
         params = e[4] if len(e) > 4 else ()
         reg.register(name, cat, desc, fac, params)
+
+    # Batch-registered catalog modules: each defines a BLOCKS table
+    # name -> (attr, category, description[, params]) next to the code.
+    for modpath in _CATALOG_MODULES:
+        mod = importlib.import_module(modpath)
+        for bname, spec in mod.BLOCKS.items():
+            attr, cat_s, desc = spec[:3]
+            params = tuple(spec[3]) if len(spec) > 3 else ()
+            reg.register(
+                bname, BlockCategory(cat_s), desc,
+                lambda mod=mod, attr=attr, **k: getattr(mod, attr),
+                params)
 
     # waveforms appear as modulator/demodulator pairs
     from r4w_tpu.waveforms import create_waveform, list_waveforms
