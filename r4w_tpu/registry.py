@@ -164,6 +164,7 @@ def _pvt():
 _CATALOG_MODULES = (
     "r4w_tpu.ops.stream_blocks",
     "r4w_tpu.ops.filters2",
+    "r4w_tpu.ops.sync2",
 )
 
 
