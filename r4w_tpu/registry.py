@@ -165,6 +165,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.stream_blocks",
     "r4w_tpu.ops.filters2",
     "r4w_tpu.ops.sync2",
+    "r4w_tpu.ops.mapping",
 )
 
 
