@@ -166,6 +166,8 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.filters2",
     "r4w_tpu.ops.sync2",
     "r4w_tpu.ops.mapping",
+    "r4w_tpu.ops.scramblers",
+    "r4w_tpu.ops.packets",
 )
 
 
