@@ -168,6 +168,8 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.mapping",
     "r4w_tpu.ops.scramblers",
     "r4w_tpu.ops.packets",
+    "r4w_tpu.ops.audio",
+    "r4w_tpu.ops.beamforming",
 )
 
 
