@@ -170,6 +170,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.packets",
     "r4w_tpu.ops.audio",
     "r4w_tpu.ops.beamforming",
+    "r4w_tpu.ops.radar_sonar",
 )
 
 
