@@ -171,6 +171,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.audio",
     "r4w_tpu.ops.beamforming",
     "r4w_tpu.ops.radar_sonar",
+    "r4w_tpu.ops.spectral2",
 )
 
 
