@@ -172,6 +172,8 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.beamforming",
     "r4w_tpu.ops.radar_sonar",
     "r4w_tpu.ops.spectral2",
+    "r4w_tpu.ops.cognitive",
+    "r4w_tpu.ops.propagation",
 )
 
 
