@@ -174,6 +174,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.spectral2",
     "r4w_tpu.ops.cognitive",
     "r4w_tpu.ops.propagation",
+    "r4w_tpu.ops.exotic_modems",
 )
 
 
