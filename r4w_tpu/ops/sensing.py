@@ -1,0 +1,741 @@
+"""Applied-sensing long-tail fills (geophysics, industrial, photonics,
+nuclear, space weather).
+
+Re-designs of acoustic_emission_sensor.rs, acoustic_gunshot_localizer.rs,
+acoustic_impedance_tomographer.rs, acoustic_leak_locator.rs,
+avalanche_transceiver_correlator.rs, cosmic_ray_detector.rs,
+dam_seepage_monitor.rs, drone_acoustic_detector.rs,
+engine_vibration_signature_analyzer.rs,
+fiber_bragg_grating_interrogator.rs, geomagnetic_storm_detector.rs,
+gravity_gradiometer_processor.rs, hyperspectral_spectral_unmixing.rs,
+ionospheric_scintillation_detector.rs /
+ionospheric_scintillation_analyzer.rs, lightning_stroke_analyzer.rs,
+magnetic_anomaly_detector.rs, mr_spectroscopy_processor.rs,
+nuclear_spectroscopy_analyzer.rs, optical_coherence_tomography.rs,
+particle_accelerator_bpm.rs, photoacoustic_image_reconstructor.rs,
+plasma_diagnostics_processor.rs, plasma_impedance_analyzer.rs,
+precision_ag_soil_sensor.rs, pulse_oximeter_processor.rs,
+radiation_detector_processor.rs, railroad_wheel_flat_detector.rs,
+reservoir_acoustic_monitor.rs, seismic_arrival_detector.rs /
+seismic_processor.rs / seismograph_event_classifier.rs,
+structural_health_monitor.rs, tidal_harmonic_analyzer.rs,
+turbine_blade_tip_timing.rs, vibration_order_tracker.rs,
+wind_turbine_vibration_monitor.rs.
+
+Every block reduces to the same batched primitives — envelopes,
+correlations, Goertzel banks, least squares — expressed once in jnp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.hostio import cis
+from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+
+# ------------------------------------------------------ acoustic/NDT
+
+
+def acoustic_emission_count(x, threshold_sigma: float = 5.0,
+                            dead_time: int = 32):
+    """AE hit counting + energy (acoustic_emission_sensor.rs): count
+    threshold crossings with dead-time, return (n_hits, hit_energy)."""
+    a = np.abs(np.asarray(x))
+    thr = threshold_sigma * np.median(a) * 1.4826
+    above = a > thr
+    hits = []
+    i = 0
+    while i < a.shape[0]:
+        if above[i]:
+            j = i
+            while j < a.shape[0] and (j - i < dead_time or above[j]):
+                j += 1
+            hits.append((i, float(np.sum(a[i:j] ** 2))))
+            i = j
+        else:
+            i += 1
+    return len(hits), hits
+
+
+def gunshot_localize(mic_signals, mic_positions_m, fs: float,
+                     c: float = 343.0):
+    """Acoustic gunshot TDOA localization
+    (acoustic_gunshot_localizer.rs): GCC-PHAT pairs → least-squares
+    position, reusing the EW TDOA solver."""
+    from r4w_tpu.ops.ew import gcc_phat, tdoa_localize
+    x = [jnp.asarray(s, IQ_DTYPE) for s in mic_signals]
+    dd_m = []
+    for k in range(1, len(x)):
+        lag, _ = gcc_phat(x[k], x[0])
+        dd_m.append(float(lag) / fs * c)   # range difference d_k - d_0
+    return tdoa_localize(np.asarray(mic_positions_m), dd_m)
+
+
+def impedance_tomography_backproject(boundary_measurements, angles_deg,
+                                     n_px: int = 32):
+    """Filtered-backprojection-style reconstruction from boundary
+    line integrals (acoustic_impedance_tomographer.rs) — the shared
+    Radon-inversion core."""
+    meas = np.asarray(boundary_measurements, float)    # (n_ang, n_det)
+    n_ang, n_det = meas.shape
+    # ramp filter per projection
+    f = np.abs(np.fft.fftfreq(n_det))
+    filt = np.real(np.fft.ifft(np.fft.fft(meas, axis=-1) * f[None, :],
+                               axis=-1))
+    xs = np.linspace(-1, 1, n_px)
+    xx, yy = np.meshgrid(xs, xs, indexing="xy")
+    img = np.zeros((n_px, n_px))
+    for a_i, ang in enumerate(np.deg2rad(np.asarray(angles_deg))):
+        t = xx * np.cos(ang) + yy * np.sin(ang)
+        det = np.clip(((t + 1) / 2 * (n_det - 1)).astype(int), 0,
+                      n_det - 1)
+        img += filt[a_i][det]
+    return jnp.asarray((img / n_ang).astype(np.float32))
+
+
+def leak_locate(sensor_a, sensor_b, distance_m: float, fs: float,
+                wave_speed: float = 1200.0):
+    """Pipeline leak location from two-sensor cross-correlation
+    (acoustic_leak_locator.rs): position from the arrival-time
+    difference."""
+    from r4w_tpu.ops.ew import gcc_phat
+    # dt = t_B - t_A (gcc_phat(p, q) returns t_p - t_q)
+    lag, _ = gcc_phat(jnp.asarray(sensor_b, IQ_DTYPE),
+                      jnp.asarray(sensor_a, IQ_DTYPE))
+    dt = float(lag) / fs
+    return (distance_m - wave_speed * dt) / 2.0
+
+
+def avalanche_beacon_search(x, fs: float, f0: float = 457_000.0,
+                            frame_s: float = 0.1):
+    """457 kHz avalanche-transceiver pulse detection + field-strength
+    trend (avalanche_transceiver_correlator.rs). Input is baseband
+    around 457 kHz."""
+    x = jnp.asarray(x, IQ_DTYPE)
+    frame = int(fs * frame_s)
+    n = (x.shape[0] // frame) * frame
+    pw = jnp.mean(jnp.abs(x[:n].reshape(-1, frame)) ** 2, axis=-1)
+    pw_db = 10.0 * jnp.log10(jnp.maximum(pw, 1e-30))
+    floor = jnp.median(pw_db)
+    pulses = pw_db > floor + 6.0
+    del f0
+    return pulses, pw_db
+
+
+def drone_acoustic_detect(audio, fs: float, blade_min_hz: float = 80.0,
+                          blade_max_hz: float = 400.0,
+                          n_harm: int = 4):
+    """Drone rotor-harmonic detection (drone_acoustic_detector.rs):
+    harmonic product spectrum over the blade-pass band."""
+    a = jnp.asarray(audio, REAL_DTYPE)
+    n = a.shape[0]
+    spec = jnp.abs(jnp.fft.rfft(a * jnp.asarray(np.hanning(n),
+                                                REAL_DTYPE))) ** 2
+    hps = spec[: n // (2 * n_harm)].copy() if hasattr(
+        spec, "copy") else spec[: n // (2 * n_harm)]
+    hps = spec[: n // (2 * n_harm)]
+    for k in range(2, n_harm + 1):
+        hps = hps * spec[::k][: hps.shape[0]]
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)[: hps.shape[0]]
+    band = (freqs >= blade_min_hz) & (freqs <= blade_max_hz)
+    hps_band = jnp.where(jnp.asarray(band), hps, 0.0)
+    k = jnp.argmax(hps_band)
+    strength = hps_band[k] / jnp.maximum(jnp.mean(hps) + 1e-30, 1e-30)
+    return freqs[int(k)], strength
+
+
+# -------------------------------------------------- vibration/rotating
+
+
+def envelope_order_spectrum(vib, fs: float, rpm_track, n_orders: int = 10,
+                            n_fft: int | None = None):
+    """Order tracking (vibration_order_tracker.rs): resample vibration
+    to the shaft-angle domain using the rpm track, then FFT — orders
+    appear at integer bins."""
+    v = np.asarray(vib, float)
+    rpm = np.asarray(rpm_track, float)
+    revs = np.cumsum(rpm / 60.0) / fs           # shaft revolutions
+    n_rev = int(revs[-1])
+    samples_per_rev = 64
+    grid = np.linspace(0, n_rev, n_rev * samples_per_rev,
+                       endpoint=False)
+    resampled = np.interp(grid, revs, v)
+    spec = np.abs(np.fft.rfft(resampled * np.hanning(
+        resampled.shape[0]))) / resampled.shape[0]
+    orders = spec[: n_orders * n_rev + 1:][::1]
+    # bin k*n_rev = order k
+    out = np.array([spec[k * n_rev] for k in range(1, n_orders + 1)])
+    return jnp.asarray(out.astype(np.float32))
+
+
+def wheel_flat_detect(axle_vib, fs: float, wheel_circumference_m: float,
+                      speed_mps: float, threshold: float = 3.0):
+    """Railroad wheel-flat detection (railroad_wheel_flat_detector.rs):
+    impacts at the wheel rotation period → envelope autocorrelation
+    peak at that lag."""
+    v = np.asarray(axle_vib, float)
+    env = np.abs(v)
+    env = env - env.mean()
+    ac = np.correlate(env, env, "full")[env.shape[0] - 1:]
+    period = wheel_circumference_m / speed_mps
+    lag = int(period * fs)
+    if lag >= env.shape[0]:
+        return False, 0.0
+    window = ac[max(1, lag - lag // 8): lag + lag // 8]
+    score = window.max() / (np.median(np.abs(ac[1:])) + 1e-12)
+    return bool(score > threshold), float(score)
+
+
+def turbine_tip_timing(arrival_times_s, rpm: float, n_blades: int):
+    """Blade-tip-timing deflection analysis (turbine_blade_tip_timing.rs):
+    expected vs actual probe arrival per blade → deflection estimate."""
+    t = np.asarray(arrival_times_s, float)
+    period = 60.0 / rpm / n_blades
+    n = t.shape[0]
+    expected = t[0] + period * np.arange(n)
+    jitter = t - expected
+    per_blade = [jitter[k::n_blades] for k in range(n_blades)]
+    return jnp.asarray([np.std(p) for p in per_blade], REAL_DTYPE)
+
+
+def bearing_health_bands(vib, fs: float, bpfo_hz: float, bpfi_hz: float):
+    """Engine/wind-turbine bearing-band health
+    (engine_vibration_signature_analyzer.rs /
+    wind_turbine_vibration_monitor.rs): envelope-spectrum energy at the
+    bearing defect frequencies vs the background."""
+    v = jnp.asarray(vib, REAL_DTYPE)
+    n = v.shape[0]
+    analytic = jnp.fft.ifft(jnp.fft.fft(v.astype(IQ_DTYPE))
+                            * _analytic_mask(n))
+    env = jnp.abs(analytic)
+    env = env - jnp.mean(env)
+    spec = jnp.abs(jnp.fft.rfft(env)) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+
+    def band_energy(f0):
+        band = (freqs > f0 * 0.95) & (freqs < f0 * 1.05)
+        return jnp.sum(jnp.where(jnp.asarray(band), spec, 0.0))
+
+    bg = jnp.median(spec) * n / 20.0
+    return {"bpfo": band_energy(bpfo_hz) / bg,
+            "bpfi": band_energy(bpfi_hz) / bg}
+
+
+def _analytic_mask(n: int):
+    m = np.zeros(n)
+    m[0] = 1.0
+    m[1:(n + 1) // 2] = 2.0
+    if n % 2 == 0:
+        m[n // 2] = 1.0
+    return jnp.asarray(m, IQ_DTYPE)
+
+
+def structural_modal_shift(baseline, current, fs: float,
+                           n_modes: int = 3):
+    """Structural-health modal-frequency shift
+    (structural_health_monitor.rs): compare dominant resonance
+    frequencies; damage lowers stiffness → frequencies drop."""
+    def modes(x):
+        spec = np.abs(np.fft.rfft(np.asarray(x)
+                                  * np.hanning(len(x)))) ** 2
+        f = np.fft.rfftfreq(len(x), 1.0 / fs)
+        idx = []
+        s = spec.copy()
+        for _ in range(n_modes):
+            k = int(np.argmax(s))
+            idx.append(f[k])
+            s[max(0, k - 5):k + 5] = 0.0
+        return np.sort(idx)
+
+    f0 = modes(baseline)
+    f1 = modes(current)
+    return jnp.asarray(((f1 - f0) / np.maximum(f0, 1e-9))
+                       .astype(np.float32))
+
+
+def dam_seepage_score(hydrophone, fs: float, band=(500.0, 2000.0)):
+    """Seepage-noise band-energy trend (dam_seepage_monitor.rs /
+    reservoir_acoustic_monitor.rs)."""
+    x = jnp.asarray(hydrophone, REAL_DTYPE)
+    spec = jnp.abs(jnp.fft.rfft(x)) ** 2
+    f = np.fft.rfftfreq(x.shape[0], 1.0 / fs)
+    sel = jnp.asarray((f >= band[0]) & (f <= band[1]))
+    return jnp.sum(jnp.where(sel, spec, 0.0)) / jnp.sum(spec)
+
+
+# ---------------------------------------------------------- seismic
+
+
+def sta_lta(x, n_sta: int, n_lta: int):
+    """Short-term/long-term average ratio (seismic_arrival_detector.rs):
+    the classic P-arrival picker, as two moving averages."""
+    a = jnp.abs(jnp.asarray(x, REAL_DTYPE))
+    c = jnp.cumsum(jnp.concatenate([jnp.zeros((1,), REAL_DTYPE), a]))
+    sta = (c[n_sta:] - c[:-n_sta]) / n_sta
+    lta = (c[n_lta:] - c[:-n_lta]) / n_lta
+    m = min(sta.shape[0], lta.shape[0])
+    return sta[-m:] / jnp.maximum(lta[-m:], 1e-12)
+
+
+def seismic_pick(x, fs: float, n_sta_s: float = 0.5, n_lta_s: float = 5.0,
+                 threshold: float = 3.0):
+    """First-arrival pick time (seismic_processor.rs)."""
+    r = np.asarray(sta_lta(x, int(n_sta_s * fs), int(n_lta_s * fs)))
+    above = np.nonzero(r > threshold)[0]
+    if above.shape[0] == 0:
+        return None
+    off = len(np.asarray(x)) - r.shape[0]
+    return (above[0] + off) / fs
+
+
+def seismic_classify(x, fs: float):
+    """Quake/blast/noise classification (seismograph_event_classifier.rs):
+    spectral centroid + envelope decay rate features."""
+    a = np.asarray(x, float)
+    spec = np.abs(np.fft.rfft(a * np.hanning(a.shape[0]))) ** 2
+    f = np.fft.rfftfreq(a.shape[0], 1.0 / fs)
+    centroid = float(np.sum(f * spec) / max(np.sum(spec), 1e-12))
+    env = np.abs(a)
+    peak = env.argmax()
+    tail = env[peak:]
+    if tail.shape[0] < 10 or env.max() < 8 * np.median(env):
+        return "noise"
+    decay = np.polyfit(np.arange(tail.shape[0]),
+                       np.log(np.maximum(tail, 1e-9)), 1)[0]
+    if centroid > 20.0 and decay < -2e-3:
+        return "blast"       # high frequency, fast decay
+    return "earthquake"      # lower frequency, slow coda
+
+
+# ----------------------------------------------- space weather / EM
+
+
+def scintillation_s4(power, frame: int = 50):
+    """S4 amplitude-scintillation index
+    (ionospheric_scintillation_detector.rs): per-frame
+    sqrt((<P²>-<P>²)/<P>²)."""
+    p = jnp.asarray(power, REAL_DTYPE)
+    n = (p.shape[0] // frame) * frame
+    frames = p[:n].reshape(-1, frame)
+    m1 = jnp.mean(frames, axis=-1)
+    m2 = jnp.mean(frames ** 2, axis=-1)
+    return jnp.sqrt(jnp.maximum(m2 - m1 ** 2, 0.0)
+                    / jnp.maximum(m1 ** 2, 1e-30))
+
+
+def scintillation_sigma_phi(phase, frame: int = 50):
+    """σ_φ phase-scintillation index
+    (ionospheric_scintillation_analyzer.rs): detrended phase std per
+    frame."""
+    ph = np.asarray(phase, float)
+    n = (ph.shape[0] // frame) * frame
+    frames = ph[:n].reshape(-1, frame)
+    t = np.arange(frame)
+    out = []
+    for fr in frames:
+        a = np.polyfit(t, fr, 1)
+        out.append(np.std(fr - np.polyval(a, t)))
+    return jnp.asarray(np.asarray(out, np.float32))
+
+
+def geomagnetic_storm_index(bfield_nt, fs: float, window_s: float = 60.0):
+    """Storm-activity index from magnetometer data
+    (geomagnetic_storm_detector.rs): per-window range (a K-index-like
+    proxy) + disturbance flag."""
+    b = np.asarray(bfield_nt, float)
+    w = int(window_s * fs)
+    n = (b.shape[0] // w) * w
+    frames = b[:n].reshape(-1, w)
+    rng = frames.max(-1) - frames.min(-1)
+    k_like = np.log2(1.0 + rng / 5.0)
+    return jnp.asarray(k_like.astype(np.float32)), bool(k_like.max() > 5)
+
+
+def magnetic_anomaly_detect(total_field_nt, baseline_window: int = 256,
+                            threshold_nt: float = 5.0):
+    """MAD dipole-anomaly detection (magnetic_anomaly_detector.rs):
+    high-pass vs a running median baseline."""
+    b = np.asarray(total_field_nt, float)
+    from scipy.ndimage import median_filter
+    base = median_filter(b, size=baseline_window, mode="nearest")
+    resid = b - base
+    return jnp.asarray(np.abs(resid) > threshold_nt), \
+        jnp.asarray(resid.astype(np.float32))
+
+
+def gravity_gradient_tensor(gz_grid, spacing_m: float):
+    """Gravity-gradient components from a gz map
+    (gravity_gradiometer_processor.rs): finite-difference Tzx, Tzy."""
+    g = jnp.asarray(gz_grid, REAL_DTYPE)
+    tzx = (g[:, 2:] - g[:, :-2]) / (2.0 * spacing_m)
+    tzy = (g[2:, :] - g[:-2, :]) / (2.0 * spacing_m)
+    return tzx, tzy
+
+
+def lightning_stroke_analyze(efield, fs: float,
+                             threshold_sigma: float = 6.0):
+    """Stroke detection + polarity + rise time
+    (lightning_stroke_analyzer.rs)."""
+    e = np.asarray(efield, float)
+    sd = np.std(e)
+    strokes = []
+    i = 0
+    while i < e.shape[0]:
+        if abs(e[i]) > threshold_sigma * sd:
+            seg_end = min(i + int(2e-3 * fs), e.shape[0])
+            seg = e[i:seg_end]
+            pol = 1 if seg[np.abs(seg).argmax()] > 0 else -1
+            peak = np.abs(seg).argmax()
+            rise = peak / fs
+            strokes.append((i / fs, pol, rise))
+            i = seg_end
+        else:
+            i += 1
+    return strokes
+
+
+def cosmic_ray_coincidence(det_a, det_b, threshold_sigma: float = 5.0,
+                           window: int = 3):
+    """Two-detector coincidence counting (cosmic_ray_detector.rs)."""
+    def hits(x):
+        a = np.asarray(x, float)
+        thr = threshold_sigma * np.median(np.abs(a)) * 1.4826
+        return set(np.nonzero(np.abs(a) > thr)[0].tolist())
+
+    ha, hb = hits(det_a), hits(det_b)
+    count = 0
+    for t in ha:
+        if any((t + d) in hb for d in range(-window, window + 1)):
+            count += 1
+    return count
+
+
+# ------------------------------------------------- photonics / nuclear
+
+
+def fbg_wavelength_shift(spectrum, wavelengths_nm):
+    """Fiber-Bragg-grating peak interrogation
+    (fiber_bragg_grating_interrogator.rs): centroid peak wavelength →
+    strain/temperature proxy."""
+    s = jnp.asarray(spectrum, REAL_DTYPE)
+    w = jnp.asarray(wavelengths_nm, REAL_DTYPE)
+    k = jnp.argmax(s)
+    lo = jnp.maximum(k - 3, 0)
+    win = jax.lax.dynamic_slice(s, (lo,), (7,))
+    wl = jax.lax.dynamic_slice(w, (lo,), (7,))
+    return jnp.sum(win * wl) / jnp.maximum(jnp.sum(win), 1e-12)
+
+
+def oct_a_scan(interferogram, n_fft: int | None = None):
+    """Spectral-domain OCT depth profile
+    (optical_coherence_tomography.rs): |IFFT| of the k-space
+    interferogram after DC removal."""
+    x = jnp.asarray(interferogram, REAL_DTYPE)
+    x = x - jnp.mean(x)
+    n = n_fft or x.shape[0]
+    return jnp.abs(jnp.fft.ifft(x.astype(IQ_DTYPE), n))[: n // 2]
+
+
+def photoacoustic_reconstruct(sensor_data, sensor_pos_m, pixel_grid_m,
+                              c: float = 1500.0, fs: float = 20e6):
+    """Delay-and-sum photoacoustic reconstruction
+    (photoacoustic_image_reconstructor.rs): same backprojection core as
+    SAS, one-way travel time."""
+    data = jnp.asarray(sensor_data, REAL_DTYPE)     # (S, T)
+    pos = jnp.asarray(sensor_pos_m, REAL_DTYPE)     # (S, 2)
+    px = jnp.asarray(pixel_grid_m, REAL_DTYPE)      # (P, 2)
+    d = jnp.sqrt(jnp.sum((pos[:, None, :] - px[None, :, :]) ** 2,
+                         axis=-1))                  # (S, P)
+    idx = jnp.clip((d / c * fs).astype(jnp.int32), 0,
+                   data.shape[-1] - 1)
+    gathered = jnp.take_along_axis(data, idx, axis=-1)
+    return jnp.sum(gathered, axis=0)
+
+
+def mrs_quantify(fid, fs: float, metabolite_hz):
+    """MR-spectroscopy metabolite quantification
+    (mr_spectroscopy_processor.rs): apodized FFT of the FID, peak
+    integrals at the known chemical shifts."""
+    x = jnp.asarray(fid, IQ_DTYPE)
+    n = x.shape[0]
+    apod = jnp.exp(-3.0 * jnp.arange(n, dtype=REAL_DTYPE) / n)
+    spec = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(x * apod)))
+    freqs = np.fft.fftshift(np.fft.fftfreq(n, 1.0 / fs))
+    out = []
+    for f0 in metabolite_hz:
+        k = int(np.argmin(np.abs(freqs - f0)))
+        out.append(jnp.sum(jax.lax.dynamic_slice(
+            spec, (max(k - 3, 0),), (7,))))
+    return jnp.stack(out)
+
+
+def gamma_spectrum(pulse_heights, n_bins: int = 256,
+                   e_max: float = 3000.0):
+    """Pulse-height histogram + peak find
+    (nuclear_spectroscopy_analyzer.rs / radiation_detector_processor.rs).
+    Returns (histogram, peak_energies_keV)."""
+    h = np.histogram(np.asarray(pulse_heights), bins=n_bins,
+                     range=(0.0, e_max))[0].astype(float)
+    sm = np.convolve(h, np.ones(5) / 5.0, mode="same")
+    peaks = []
+    for i in range(2, n_bins - 2):
+        if (sm[i] > sm[i - 1] and sm[i] >= sm[i + 1]
+                and sm[i] > 3.0 * np.median(sm + 1.0)):
+            peaks.append((i + 0.5) * e_max / n_bins)
+    return jnp.asarray(h.astype(np.float32)), peaks
+
+
+def bpm_position(electrode_signals):
+    """Beam-position-monitor difference-over-sum
+    (particle_accelerator_bpm.rs): (x, y) from 4 button electrodes
+    (A=+x+y, B=-x+y, C=-x-y, D=+x-y)."""
+    a, b, c, d = [jnp.asarray(s, REAL_DTYPE)
+                  for s in electrode_signals]
+    tot = a + b + c + d
+    x = ((a + d) - (b + c)) / jnp.maximum(tot, 1e-12)
+    y = ((a + b) - (c + d)) / jnp.maximum(tot, 1e-12)
+    return x, y
+
+
+def langmuir_analyze(voltage, current):
+    """Langmuir-probe plasma parameters
+    (plasma_diagnostics_processor.rs): electron temperature from the
+    exponential transition slope, floating potential at I=0."""
+    v = np.asarray(voltage, float)
+    i = np.asarray(current, float)
+    # floating potential: zero crossing
+    zc = np.nonzero(np.diff(np.sign(i)))[0]
+    v_f = float(v[zc[0]]) if zc.shape[0] else float("nan")
+    # Te from the log-linear slope of the ELECTRON current (ion
+    # saturation subtracted first, else the log is biased)
+    i_e = i - i.min()
+    sel = i_e > max(i_e.max() * 0.02, 1e-12)
+    sel &= i_e < i_e.max() * 0.5
+    if sel.sum() >= 3:
+        slope = np.polyfit(v[sel], np.log(i_e[sel]), 1)[0]
+        te_ev = 1.0 / slope if slope > 0 else float("nan")
+    else:
+        te_ev = float("nan")
+    return {"v_float": v_f, "te_ev": te_ev}
+
+
+def plasma_impedance(v_wave, i_wave):
+    """Complex RF impedance from V/I waveforms
+    (plasma_impedance_analyzer.rs): fundamental-phasor ratio."""
+    v = jnp.asarray(v_wave, REAL_DTYPE)
+    i = jnp.asarray(i_wave, REAL_DTYPE)
+    vf = jnp.fft.rfft(v)
+    if_ = jnp.fft.rfft(i)
+    k = jnp.argmax(jnp.abs(vf[1:])) + 1
+    return vf[k] / if_[k]
+
+
+def hyperspectral_unmix(cube, endmembers, n_iter: int = 200):
+    """Non-negative abundance unmixing (hyperspectral_spectral_
+    unmixing.rs): projected-gradient NNLS per pixel, fully batched as
+    matmuls."""
+    y = jnp.asarray(cube, REAL_DTYPE)               # (P, B)
+    e = jnp.asarray(endmembers, REAL_DTYPE)         # (K, B)
+    g = e @ e.T                                     # (K, K)
+    lr = 1.0 / float(np.linalg.norm(np.asarray(g), 2))
+    a = jnp.full((y.shape[0], e.shape[0]), 1.0 / e.shape[0])
+
+    def step(a, _):
+        grad = a @ g - y @ e.T
+        a = jnp.maximum(a - lr * grad, 0.0)
+        return a, None
+
+    a, _ = jax.lax.scan(step, a, None, length=n_iter)
+    return a
+
+
+def soil_moisture_permittivity(reflection_coef):
+    """Soil permittivity → volumetric moisture (Topp equation)
+    (precision_ag_soil_sensor.rs)."""
+    g = np.asarray(reflection_coef, float)
+    eps = ((1.0 + np.abs(g)) / np.maximum(1.0 - np.abs(g), 1e-6)) ** 2
+    theta = (-5.3e-2 + 2.92e-2 * eps - 5.5e-4 * eps ** 2
+             + 4.3e-6 * eps ** 3)
+    return jnp.asarray(np.clip(theta, 0.0, 0.6).astype(np.float32)), \
+        jnp.asarray(eps.astype(np.float32))
+
+
+def spo2_ratio(red_ac, red_dc, ir_ac, ir_dc):
+    """Ratio-of-ratios SpO2 estimate (pulse_oximeter_processor.rs):
+    the standard empirical calibration SpO2 = 110 - 25·R."""
+    r = (red_ac / red_dc) / (ir_ac / ir_dc)
+    return float(np.clip(110.0 - 25.0 * r, 0.0, 100.0)), r
+
+
+def tidal_harmonic_fit(heights_m, t_hours,
+                       constituents_hr=(12.42, 12.00, 25.82, 23.93)):
+    """Tidal harmonic analysis (tidal_harmonic_analyzer.rs): LS fit of
+    the M2/S2/O1/K1 constituents. Returns (amplitudes, phases, mean)."""
+    h = np.asarray(heights_m, float)
+    t = np.asarray(t_hours, float)
+    cols = [np.ones_like(t)]
+    for period in constituents_hr:
+        w = 2 * np.pi / period
+        cols += [np.cos(w * t), np.sin(w * t)]
+    a_mat = np.stack(cols, axis=-1)
+    coef, *_ = np.linalg.lstsq(a_mat, h, rcond=None)
+    mean = coef[0]
+    amps = []
+    phases = []
+    for k in range(len(constituents_hr)):
+        c, s = coef[1 + 2 * k], coef[2 + 2 * k]
+        amps.append(np.hypot(c, s))
+        phases.append(np.arctan2(s, c))
+    return (jnp.asarray(np.asarray(amps, np.float32)),
+            jnp.asarray(np.asarray(phases, np.float32)), float(mean))
+
+
+BLOCKS = {
+    "acoustic_emission_sensor": ("acoustic_emission_count",
+                                 "measurement",
+                                 "AE hit counting "
+                                 "(acoustic_emission_sensor.rs)",
+                                 ("threshold_sigma",)),
+    "acoustic_gunshot_localizer": ("gunshot_localize", "measurement",
+                                   "GCC-PHAT TDOA position "
+                                   "(acoustic_gunshot_localizer.rs)",
+                                   ("fs", "c")),
+    "acoustic_impedance_tomographer": (
+        "impedance_tomography_backproject", "measurement",
+        "filtered backprojection "
+        "(acoustic_impedance_tomographer.rs)", ("n_px",)),
+    "acoustic_leak_locator": ("leak_locate", "measurement",
+                              "two-sensor xcorr leak position "
+                              "(acoustic_leak_locator.rs)",
+                              ("distance_m", "fs")),
+    "avalanche_transceiver_correlator": (
+        "avalanche_beacon_search", "measurement",
+        "457 kHz pulse search "
+        "(avalanche_transceiver_correlator.rs)", ("fs",)),
+    "drone_acoustic_detector": ("drone_acoustic_detect", "measurement",
+                                "rotor harmonic-product spectrum "
+                                "(drone_acoustic_detector.rs)",
+                                ("fs",)),
+    "vibration_order_tracker": ("envelope_order_spectrum",
+                                "measurement",
+                                "angle-domain order spectrum "
+                                "(vibration_order_tracker.rs)",
+                                ("fs", "n_orders")),
+    "railroad_wheel_flat_detector": ("wheel_flat_detect",
+                                     "measurement",
+                                     "rotation-period impact detect "
+                                     "(railroad_wheel_flat_"
+                                     "detector.rs)", ("fs",)),
+    "turbine_blade_tip_timing": ("turbine_tip_timing", "measurement",
+                                 "per-blade arrival jitter "
+                                 "(turbine_blade_tip_timing.rs)",
+                                 ("rpm", "n_blades")),
+    "engine_vibration_signature": ("bearing_health_bands",
+                                   "measurement",
+                                   "bearing defect band energy "
+                                   "(engine_vibration_signature_"
+                                   "analyzer.rs)",
+                                   ("fs", "bpfo_hz", "bpfi_hz")),
+    "wind_turbine_vibration_monitor": (
+        "bearing_health_bands", "measurement",
+        "drivetrain band health "
+        "(wind_turbine_vibration_monitor.rs)"),
+    "structural_health_monitor": ("structural_modal_shift",
+                                  "measurement",
+                                  "modal frequency shift "
+                                  "(structural_health_monitor.rs)",
+                                  ("fs", "n_modes")),
+    "dam_seepage_monitor": ("dam_seepage_score", "measurement",
+                            "seepage band-energy fraction "
+                            "(dam_seepage_monitor.rs / "
+                            "reservoir_acoustic_monitor.rs)", ("fs",)),
+    "seismic_arrival_detector": ("sta_lta", "measurement",
+                                 "STA/LTA picker "
+                                 "(seismic_arrival_detector.rs)",
+                                 ("n_sta", "n_lta")),
+    "seismic_processor": ("seismic_pick", "measurement",
+                          "first-arrival pick (seismic_processor.rs)",
+                          ("fs", "threshold")),
+    "seismograph_event_classifier": ("seismic_classify", "measurement",
+                                     "quake/blast/noise "
+                                     "(seismograph_event_"
+                                     "classifier.rs)", ("fs",)),
+    "ionospheric_scintillation_detector": (
+        "scintillation_s4", "gnss",
+        "S4 index (ionospheric_scintillation_detector.rs)",
+        ("frame",)),
+    "ionospheric_scintillation_analyzer": (
+        "scintillation_sigma_phi", "gnss",
+        "sigma-phi index (ionospheric_scintillation_analyzer.rs)",
+        ("frame",)),
+    "geomagnetic_storm_detector": ("geomagnetic_storm_index",
+                                   "measurement",
+                                   "K-like range index "
+                                   "(geomagnetic_storm_detector.rs)",
+                                   ("fs", "window_s")),
+    "magnetic_anomaly_detector": ("magnetic_anomaly_detect",
+                                  "measurement",
+                                  "median-baseline MAD "
+                                  "(magnetic_anomaly_detector.rs)",
+                                  ("threshold_nt",)),
+    "gravity_gradiometer_processor": ("gravity_gradient_tensor",
+                                      "measurement",
+                                      "finite-difference gradients "
+                                      "(gravity_gradiometer_"
+                                      "processor.rs)", ("spacing_m",)),
+    "lightning_stroke_analyzer": ("lightning_stroke_analyze",
+                                  "measurement",
+                                  "stroke polarity + rise time "
+                                  "(lightning_stroke_analyzer.rs)",
+                                  ("fs",)),
+    "cosmic_ray_detector": ("cosmic_ray_coincidence", "measurement",
+                            "two-detector coincidences "
+                            "(cosmic_ray_detector.rs)", ("window",)),
+    "fiber_bragg_interrogator": ("fbg_wavelength_shift", "measurement",
+                                 "centroid peak wavelength "
+                                 "(fiber_bragg_grating_"
+                                 "interrogator.rs)"),
+    "optical_coherence_tomography": ("oct_a_scan", "measurement",
+                                     "SD-OCT A-scan "
+                                     "(optical_coherence_"
+                                     "tomography.rs)"),
+    "photoacoustic_reconstructor": ("photoacoustic_reconstruct",
+                                    "measurement",
+                                    "delay-and-sum PA imaging "
+                                    "(photoacoustic_image_"
+                                    "reconstructor.rs)", ("c", "fs")),
+    "mr_spectroscopy_processor": ("mrs_quantify", "measurement",
+                                  "metabolite peak integrals "
+                                  "(mr_spectroscopy_processor.rs)",
+                                  ("fs",)),
+    "nuclear_spectroscopy_analyzer": ("gamma_spectrum", "measurement",
+                                      "pulse-height histogram+peaks "
+                                      "(nuclear_spectroscopy_"
+                                      "analyzer.rs)", ("n_bins",)),
+    "particle_accelerator_bpm": ("bpm_position", "measurement",
+                                 "difference-over-sum beam position "
+                                 "(particle_accelerator_bpm.rs)"),
+    "plasma_diagnostics_processor": ("langmuir_analyze", "measurement",
+                                     "Langmuir Te + Vfloat "
+                                     "(plasma_diagnostics_"
+                                     "processor.rs)"),
+    "plasma_impedance_analyzer": ("plasma_impedance", "measurement",
+                                  "fundamental V/I impedance "
+                                  "(plasma_impedance_analyzer.rs)"),
+    "hyperspectral_unmixing": ("hyperspectral_unmix", "math",
+                               "batched NNLS abundances "
+                               "(hyperspectral_spectral_"
+                               "unmixing.rs)", ("n_iter",)),
+    "precision_ag_soil_sensor": ("soil_moisture_permittivity",
+                                 "measurement",
+                                 "Topp-equation moisture "
+                                 "(precision_ag_soil_sensor.rs)"),
+    "pulse_oximeter_processor": ("spo2_ratio", "measurement",
+                                 "ratio-of-ratios SpO2 "
+                                 "(pulse_oximeter_processor.rs)"),
+    "tidal_harmonic_analyzer": ("tidal_harmonic_fit", "measurement",
+                                "M2/S2/O1/K1 LS fit "
+                                "(tidal_harmonic_analyzer.rs)"),
+}

@@ -175,6 +175,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.cognitive",
     "r4w_tpu.ops.propagation",
     "r4w_tpu.ops.exotic_modems",
+    "r4w_tpu.ops.sensing",
 )
 
 
