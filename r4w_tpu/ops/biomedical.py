@@ -1,0 +1,247 @@
+"""Biomedical signal-processing fills.
+
+Re-designs of ecg_qrs_detector.rs, bio_ecg_arrhythmia_classifier.rs,
+biomedical_signal_processor.rs, electroencephalogram_bci.rs,
+electromyography_decomposition.rs, emg_gesture_decoder.rs,
+bioacoustic_species_classifier.rs.
+
+The QRS chain is the Pan–Tompkins pipeline expressed as batched
+filters; EEG/EMG features are band-power matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r4w_tpu.core.types import REAL_DTYPE
+from r4w_tpu.ops import filters as _filters
+
+# ------------------------------------------------------------- ECG
+
+
+def qrs_detect(ecg, fs: float):
+    """Pan–Tompkins QRS detection (ecg_qrs_detector.rs): bandpass
+    5–15 Hz → derivative → square → moving-window integrate →
+    adaptive-threshold peaks. Returns R-peak sample indices."""
+    x = jnp.asarray(ecg, REAL_DTYPE)
+    bp = _filters.design_bandpass(int(fs // 2) | 1, 5.0, 15.0, fs)
+    f = _filters.fir_apply(jnp.asarray(bp, REAL_DTYPE), x)
+    d = jnp.concatenate([jnp.zeros((1,), REAL_DTYPE), jnp.diff(f)])
+    sq = d * d
+    w = int(0.15 * fs)
+    kern = jnp.ones((w,), REAL_DTYPE) / w
+    integ = jnp.convolve(sq, kern, mode="same")
+    arr = np.asarray(integ)
+    thr = 0.4 * np.percentile(arr, 99)
+    refractory = int(0.25 * fs)
+    peaks = []
+    i = 0
+    while i < arr.shape[0]:
+        if arr[i] > thr:
+            j = min(i + refractory, arr.shape[0])
+            k = i + int(np.argmax(arr[i:j]))
+            peaks.append(k)
+            i = j
+        else:
+            i += 1
+    # group delay of the bandpass
+    delay = (len(np.asarray(bp)) - 1) // 2 + w // 2
+    return [max(0, p - delay) for p in peaks]
+
+
+def heart_rate_series(r_peaks, fs: float):
+    """Instantaneous heart rate from R-R intervals."""
+    rr = np.diff(np.asarray(r_peaks)) / fs
+    return jnp.asarray((60.0 / np.maximum(rr, 1e-3)).astype(np.float32))
+
+
+def arrhythmia_classify(r_peaks, fs: float):
+    """Rule-based rhythm classification
+    (bio_ecg_arrhythmia_classifier.rs): bradycardia/tachycardia/
+    afib-like (high RR variability)/normal."""
+    rr = np.diff(np.asarray(r_peaks)) / fs
+    if rr.shape[0] < 3:
+        return "insufficient"
+    hr = 60.0 / rr.mean()
+    rmssd = np.sqrt(np.mean(np.diff(rr) ** 2))
+    if hr < 50.0:
+        return "bradycardia"
+    if hr > 110.0:
+        return "tachycardia"
+    if rmssd / rr.mean() > 0.25:
+        return "irregular"
+    return "normal"
+
+
+def ecg_clean(ecg, fs: float, mains_hz: float = 50.0):
+    """Baseline-wander + mains removal
+    (biomedical_signal_processor.rs): DC-blocking high-pass plus a
+    mains notch."""
+    x = jnp.asarray(ecg, REAL_DTYPE)
+    y, _ = _filters.dc_blocker(x, alpha=1.0 - 2.0 * np.pi * 0.5 / fs)
+    # notch: subtract the Goertzel-estimated mains component
+    n = y.shape[0]
+    t = jnp.arange(n, dtype=REAL_DTYPE) / fs
+    c = jnp.cos(2 * np.pi * mains_hz * t)
+    s = jnp.sin(2 * np.pi * mains_hz * t)
+    a = 2.0 * jnp.mean(y * c)
+    b = 2.0 * jnp.mean(y * s)
+    return y - a * c - b * s
+
+
+# ------------------------------------------------------------- EEG
+
+
+_EEG_BANDS = {"delta": (0.5, 4.0), "theta": (4.0, 8.0),
+              "alpha": (8.0, 13.0), "beta": (13.0, 30.0),
+              "gamma": (30.0, 45.0)}
+
+
+def eeg_band_powers(eeg, fs: float):
+    """Canonical EEG band powers (electroencephalogram_bci.rs feature
+    stage): one rFFT, masked band sums. Returns dict name→power."""
+    x = jnp.asarray(eeg, REAL_DTYPE)
+    n = x.shape[0]
+    spec = jnp.abs(jnp.fft.rfft(x * jnp.asarray(np.hanning(n),
+                                                REAL_DTYPE))) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    out = {}
+    for name, (lo, hi) in _EEG_BANDS.items():
+        sel = jnp.asarray((freqs >= lo) & (freqs < hi))
+        out[name] = jnp.sum(jnp.where(sel, spec, 0.0))
+    return out
+
+
+def bci_alpha_blocking(eeg_eyes_closed, eeg_eyes_open, fs: float):
+    """Simple SSVEP/alpha-blocking BCI decision
+    (electroencephalogram_bci.rs): the alpha-power ratio between the
+    two states."""
+    a_c = float(eeg_band_powers(eeg_eyes_closed, fs)["alpha"])
+    a_o = float(eeg_band_powers(eeg_eyes_open, fs)["alpha"])
+    return a_c / max(a_o, 1e-12)
+
+
+# ------------------------------------------------------------- EMG
+
+
+def emg_envelope(emg, fs: float, cutoff_hz: float = 6.0):
+    """Rectify + lowpass EMG envelope (electromyography_
+    decomposition.rs front end)."""
+    x = jnp.abs(jnp.asarray(emg, REAL_DTYPE))
+    lp = _filters.design_lowpass(int(fs // 4) | 1, cutoff_hz, fs)
+    return _filters.fir_apply(jnp.asarray(lp, REAL_DTYPE), x)
+
+
+def emg_decompose_mu(emg, fs: float, n_units: int = 2,
+                     threshold_sigma: float = 4.0):
+    """Template-free motor-unit firing extraction
+    (electromyography_decomposition.rs): peak detection + 2-means
+    amplitude clustering into units. Returns per-unit firing indices."""
+    x = np.asarray(emg, float)
+    sd = np.median(np.abs(x)) * 1.4826
+    refractory = int(0.005 * fs)
+    peaks, amps = [], []
+    i = 0
+    while i < x.shape[0]:
+        if abs(x[i]) > threshold_sigma * sd:
+            j = min(i + refractory, x.shape[0])
+            k = i + int(np.argmax(np.abs(x[i:j])))
+            peaks.append(k)
+            amps.append(abs(x[k]))
+            i = j
+        else:
+            i += 1
+    if not peaks:
+        return [[] for _ in range(n_units)]
+    amps = np.asarray(amps)
+    # k-means 1-D on amplitude
+    cents = np.quantile(amps, np.linspace(0.2, 0.8, n_units))
+    for _ in range(20):
+        assign = np.argmin(np.abs(amps[:, None] - cents[None, :]),
+                           axis=1)
+        for k in range(n_units):
+            if (assign == k).any():
+                cents[k] = amps[assign == k].mean()
+    units = [[] for _ in range(n_units)]
+    for p, a in zip(peaks, assign):
+        units[a].append(p)
+    return units
+
+
+def emg_gesture_features(emg_channels, fs: float):
+    """Per-channel RMS + zero-crossing + waveform-length features
+    (emg_gesture_decoder.rs). emg_channels: (C, N)."""
+    x = jnp.asarray(emg_channels, REAL_DTYPE)
+    rms = jnp.sqrt(jnp.mean(x ** 2, axis=-1))
+    zc = jnp.mean((x[:, 1:] * x[:, :-1] < 0).astype(REAL_DTYPE),
+                  axis=-1)
+    wl = jnp.mean(jnp.abs(jnp.diff(x, axis=-1)), axis=-1)
+    del fs
+    return jnp.concatenate([rms, zc, wl])
+
+
+def gesture_classify_nn(features, templates: dict):
+    """Nearest-template gesture decision (emg_gesture_decoder.rs)."""
+    f = np.asarray(features, float)
+    best, best_d = None, np.inf
+    for name, t in templates.items():
+        d = np.linalg.norm(f - np.asarray(t, float))
+        if d < best_d:
+            best, best_d = name, d
+    return best
+
+
+# -------------------------------------------------------- bioacoustic
+
+
+def species_features(audio, fs: float):
+    """Call features for species classification
+    (bioacoustic_species_classifier.rs): peak frequency, bandwidth,
+    syllable rate."""
+    x = np.asarray(audio, float)
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.shape[0]))) ** 2
+    f = np.fft.rfftfreq(x.shape[0], 1.0 / fs)
+    pk = f[np.argmax(spec)]
+    csum = np.cumsum(spec) / max(np.sum(spec), 1e-12)
+    bw = f[np.searchsorted(csum, 0.95)] - f[np.searchsorted(csum, 0.05)]
+    env = np.abs(x)
+    k = max(1, int(0.01 * fs))
+    env = np.convolve(env, np.ones(k) / k, mode="same")
+    thr = 0.3 * env.max()
+    syl = np.sum(np.diff((env > thr).astype(int)) == 1)
+    rate = syl / (x.shape[0] / fs)
+    return {"peak_hz": float(pk), "bandwidth_hz": float(bw),
+            "syllable_rate_hz": float(rate)}
+
+
+BLOCKS = {
+    "ecg_qrs_detector": ("qrs_detect", "measurement",
+                         "Pan-Tompkins QRS (ecg_qrs_detector.rs)",
+                         ("fs",)),
+    "ecg_arrhythmia_classifier": ("arrhythmia_classify", "measurement",
+                                  "rhythm rules "
+                                  "(bio_ecg_arrhythmia_classifier.rs)",
+                                  ("fs",)),
+    "biomedical_signal_processor": ("ecg_clean", "filter",
+                                    "baseline + mains removal "
+                                    "(biomedical_signal_processor.rs)",
+                                    ("fs", "mains_hz")),
+    "eeg_band_powers": ("eeg_band_powers", "measurement",
+                        "delta..gamma powers "
+                        "(electroencephalogram_bci.rs)", ("fs",)),
+    "eeg_bci": ("bci_alpha_blocking", "measurement",
+                "alpha-blocking ratio (electroencephalogram_bci.rs)",
+                ("fs",)),
+    "emg_decomposition": ("emg_decompose_mu", "measurement",
+                          "motor-unit firing extraction "
+                          "(electromyography_decomposition.rs)",
+                          ("fs", "n_units")),
+    "emg_gesture_decoder": ("emg_gesture_features", "measurement",
+                            "RMS/ZC/WL features + nearest template "
+                            "(emg_gesture_decoder.rs)", ("fs",)),
+    "bioacoustic_species_classifier": (
+        "species_features", "measurement",
+        "call features (bioacoustic_species_classifier.rs)", ("fs",)),
+}

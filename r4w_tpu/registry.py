@@ -176,6 +176,9 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.propagation",
     "r4w_tpu.ops.exotic_modems",
     "r4w_tpu.ops.sensing",
+    "r4w_tpu.ops.biomedical",
+    "r4w_tpu.ops.instruments",
+    "r4w_tpu.ops.navigation",
 )
 
 
