@@ -179,6 +179,7 @@ _CATALOG_MODULES = (
     "r4w_tpu.ops.biomedical",
     "r4w_tpu.ops.instruments",
     "r4w_tpu.ops.navigation",
+    "r4w_tpu.ops.infra_fills",
 )
 
 
@@ -438,6 +439,12 @@ def _populate(reg: BlockRegistry):
                 bname, BlockCategory(cat_s), desc,
                 lambda mod=mod, attr=attr, **k: getattr(mod, attr),
                 params)
+
+    # named aliases for capabilities shipped in other modules
+    from r4w_tpu.ops.infra_fills import alias_blocks
+
+    for bname, (factory, cat_s, desc) in alias_blocks().items():
+        reg.register(bname, BlockCategory(cat_s), desc, factory)
 
     # waveforms appear as modulator/demodulator pairs
     from r4w_tpu.waveforms import create_waveform, list_waveforms
