@@ -149,7 +149,7 @@ def phase_vocoder(audio, rate: float, n_fft: int = 1024,
     dphi = dphi - 2 * np.pi * jnp.round(dphi / (2 * np.pi))
     inst = omega[None, :] + dphi
     phase = jnp.cumsum(inst, axis=0)
-    spec = mag * jnp.exp(1j * phase)
+    spec = mag * jnp.exp(lax.complex(jnp.zeros_like(phase), phase))
     frames_out = jnp.fft.irfft(spec, n_fft, axis=-1) * win[None, :]
     out_len = out_frames * hop + n_fft
     out = jnp.zeros((out_len,), REAL_DTYPE)
@@ -334,7 +334,8 @@ def voice_restore(audio, sample_rate: float, n_fft: int = 512,
     mag = jnp.abs(spec)
     noise = jnp.mean(mag[:noise_frames], axis=0, keepdims=True)
     clean = jnp.maximum(mag - oversubtract * noise, 0.05 * mag)
-    out_spec = clean * jnp.exp(1j * jnp.angle(spec))
+    ph = jnp.angle(spec)
+    out_spec = clean * jnp.exp(lax.complex(jnp.zeros_like(ph), ph))
     frames = jnp.fft.irfft(out_spec, n_fft, axis=-1) * win[None, :]
     out = jnp.zeros((n_frames * hop + n_fft,), REAL_DTYPE)
     oidx = jnp.arange(n_frames)[:, None] * hop \

@@ -263,8 +263,9 @@ def variable_rate_cic(x, rate: int, stages: int = 3, interp: bool = False):
         kern = jnp.asarray(kern / (rate ** (stages - 1)),
                            REAL_DTYPE)
         if jnp.iscomplexobj(up):
-            y = (jnp.convolve(up.real, kern)
-                 + 1j * jnp.convolve(up.imag, kern)).astype(IQ_DTYPE)
+            y = jax.lax.complex(
+                jnp.convolve(up.real, kern),
+                jnp.convolve(up.imag, kern)).astype(IQ_DTYPE)
         else:
             y = jnp.convolve(up.astype(REAL_DTYPE), kern)
         return y[:up.shape[0]]

@@ -159,8 +159,9 @@ def moving_avg_decim(x, length: int, decim: int = 1, scale: float = 1.0):
     x = jnp.asarray(x)
     kern = jnp.ones((length,), REAL_DTYPE) * (scale / length)
     if jnp.iscomplexobj(x):
-        y = (jnp.convolve(x.real, kern, mode="full")
-             + 1j * jnp.convolve(x.imag, kern, mode="full"))[:x.shape[0]]
+        y = lax.complex(
+            jnp.convolve(x.real, kern, mode="full"),
+            jnp.convolve(x.imag, kern, mode="full"))[:x.shape[0]]
         y = y.astype(IQ_DTYPE)
     else:
         y = jnp.convolve(x.astype(REAL_DTYPE), kern, mode="full")[:x.shape[0]]

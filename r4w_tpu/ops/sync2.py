@@ -162,7 +162,7 @@ def symbol_sync_mm(x, sps: int, bw: float = 0.01, mu0: float = 0.0):
     def step(carry, _):
         pos, omega, prev_s, prev_d = carry
         s = interp(pos)
-        d = jnp.sign(s.real) + 1j * jnp.sign(s.imag)
+        d = lax.complex(jnp.sign(s.real), jnp.sign(s.imag))
         err = (prev_d.real * s.real - d.real * prev_s.real
                + prev_d.imag * s.imag - d.imag * prev_s.imag)
         err = jnp.clip(err, -1.0, 1.0)
@@ -208,8 +208,8 @@ def hybrid_timing_phase_detector(x, sps: int):
     n_sym = x.shape[0] // sps - 1
     idx = jnp.arange(n_sym) * sps
     cur, nxt = x[idx], x[idx + sps]
-    d_cur = jnp.sign(cur.real) + 1j * jnp.sign(cur.imag)
-    d_nxt = jnp.sign(nxt.real) + 1j * jnp.sign(nxt.imag)
+    d_cur = lax.complex(jnp.sign(cur.real), jnp.sign(cur.imag))
+    d_nxt = lax.complex(jnp.sign(nxt.real), jnp.sign(nxt.imag))
     mm = (d_cur.real * nxt.real - d_nxt.real * cur.real
           + d_cur.imag * nxt.imag - d_nxt.imag * cur.imag)
     conf = jnp.minimum(jnp.mean(jnp.abs(cur)) /  # decision confidence
