@@ -688,6 +688,40 @@ def cmd_mesh(args):
     sys.exit(f"unknown mesh subcommand {args.mesh_cmd}")
 
 
+def cmd_blocks(args):
+    """Browse the block registry (block_gateway.rs catalog surface —
+    the CLI face of the GUI pipeline wizard's block list)."""
+    import json as _json
+
+    from r4w_tpu.registry import BlockCategory, default_registry
+
+    reg = default_registry()
+    cat = BlockCategory(args.category) if args.category else None
+    blocks = reg.list(cat)
+    if args.search:
+        q = args.search.lower()
+        blocks = [b for b in blocks
+                  if q in b.name.lower() or q in b.description.lower()]
+    if args.json:
+        print(_json.dumps([
+            {"name": b.name, "category": b.category.value,
+             "description": b.description, "params": list(b.params)}
+            for b in blocks], indent=1))
+        return
+    counts = reg.categories()
+    if not args.search and not args.category:
+        total = sum(counts.values())
+        print(f"{total} blocks in {len(counts)} categories "
+              f"(use --category/--search to filter):")
+        for c in sorted(counts, key=lambda c: -counts[c]):
+            print(f"  {c.value:<12} {counts[c]}")
+        return
+    for b in blocks:
+        params = f" ({', '.join(b.params)})" if b.params else ""
+        print(f"{b.name:<34} [{b.category.value}]{params}")
+        print(f"    {b.description}")
+
+
 def cmd_spec(args):
     """Waveform-spec YAML tools (specs/*.yaml, waveform wizard path)."""
     from r4w_tpu.waveform_spec import WaveformSpec
@@ -935,6 +969,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--path", default=None,
                     help="plugin search paths (os.pathsep separated)")
     sp.set_defaults(fn=cmd_plugin)
+
+    sp = sub.add_parser("blocks", help="browse the DSP block registry")
+    sp.add_argument("--category", default=None,
+                    help="filter by category (filter/sync/fec/...)")
+    sp.add_argument("--search", default=None,
+                    help="substring match on name/description")
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_blocks)
 
     sp = sub.add_parser("spec", help="waveform-spec YAML tools")
     sp.add_argument("file")

@@ -173,6 +173,20 @@ class _Handler(BaseHTTPRequestHandler):
 
             self._json(list_waveforms())
             return
+        if parsed.path == "/api/blocks":
+            from r4w_tpu.registry import default_registry
+
+            q = urllib.parse.parse_qs(parsed.query)
+            query = q.get("q", [""])[0].lower()
+            blocks = default_registry().list()
+            if query:
+                blocks = [b for b in blocks
+                          if query in b.name.lower()
+                          or query in b.description.lower()]
+            self._json([{"name": b.name, "category": b.category.value,
+                         "description": b.description,
+                         "params": list(b.params)} for b in blocks])
+            return
         if parsed.path == "/api/demo":
             q = urllib.parse.parse_qs(parsed.query)
             try:

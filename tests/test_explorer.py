@@ -68,3 +68,12 @@ def test_run_demo_direct():
     out = explorer.run_demo("BPSK", "A7", channel="none")
     assert out["metrics"]["decoded_ok"] is True
     assert out["metrics"]["samples_per_symbol"] >= 1
+
+
+def test_blocks_endpoint(server):
+    status, ctype, body = _get(server + "/api/blocks?q=golay")
+    assert status == 200 and "application/json" in ctype
+    blocks = json.loads(body)
+    assert any(b["name"] == "golay_correlator" for b in blocks)
+    status, _, body = _get(server + "/api/blocks")
+    assert len(json.loads(body)) >= 500
