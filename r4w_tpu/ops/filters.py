@@ -25,12 +25,14 @@ from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 
 def _pallas_fir_eligible(x: jax.Array, k: int) -> bool:
-    """Route single-stream FIRs through the Pallas kernel on TPU.
+    """Route single-stream FIRs through the TPU fast path.
 
-    Measured on v5e (r2, chained-loop bench): Pallas roll-MAC FIR
-    sustains 219 Msps @ K=32 / 137 Msps @ K=128 vs 86 / 29 Msps for the
-    lax.conv path — 2.5-4.7x. Batched inputs stay on lax.conv, which
-    tiles well once there are rows to tile over.
+    History: the Pallas roll-MAC kernel beat lax.conv 2.5-4.7x on v5e,
+    but the unrolled shift-add form below beats the Pallas kernel a
+    further ~3x (r2 chained-loop bench: 2168 Msps @ K=32 / 507 Msps @
+    K=128 vs Pallas 703 / ~140), so dense FIRs now lower to shift-add
+    and Pallas is kept for the DECIMATING path where it does 1/factor
+    of the work.
     """
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -40,19 +42,45 @@ def _pallas_fir_eligible(x: jax.Array, k: int) -> bool:
             and x.shape[-1] >= 4096)
 
 
+def _shift_add_eligible(x: jax.Array, k: int) -> bool:
+    """Dense-FIR fast path: K shifted VPU multiply-accumulates.
+
+    Pure elementwise adds at full vector width — no conv tiling, no
+    kernel launch. Wins on TPU for small/medium K (measured v5e:
+    2168 Msps @ K=32, 507 Msps @ K=128 on a 256k stream vs 86/29 for
+    lax.conv HIGHEST and 703/~140 for the Pallas roll-MAC). Unrolls K
+    terms, so cap K to bound compile time.
+    """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and 2 <= k <= 256 and x.shape[-1] >= 1024
+
+
+def _conv_valid_shift_add(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """'valid' correlation with reversed taps (== convolution tail) as
+    K shifted MACs: out[i] = Σ_j taps[j]·x[i + K-1-j]."""
+    k = int(taps.shape[0])
+    m = x.shape[-1] - k + 1
+    acc = taps[0] * lax.slice_in_dim(x, k - 1, k - 1 + m, axis=-1)
+    for j in range(1, k):
+        acc = acc + taps[j] * lax.slice_in_dim(x, k - 1 - j,
+                                               k - 1 - j + m, axis=-1)
+    return acc
+
+
 def _conv_valid(x: jax.Array, taps: jax.Array) -> jax.Array:
     """'valid' correlation of real (..., N) with taps (K,): out (..., N-K+1).
 
-    conv_general_dilated over a flattened batch; long single streams on
-    TPU take the Pallas roll-MAC kernel instead (see _pallas_fir_eligible).
+    TPU takes the shift-add fast path for K<=256 (see
+    _shift_add_eligible); larger kernels and CPU use
+    conv_general_dilated.
     """
     k = taps.shape[0]
-    if _pallas_fir_eligible(x, int(k)):
-        from r4w_tpu.kernels.pallas_kernels import fir_decimate
-
-        # _conv_valid correlates with REVERSED taps (convolution); the
-        # kernel computes straight correlation, so pre-reverse.
-        return fir_decimate(x, taps[::-1].astype(REAL_DTYPE), factor=1)
+    if _shift_add_eligible(x, int(k)):
+        return _conv_valid_shift_add(x.astype(REAL_DTYPE),
+                                     taps.astype(REAL_DTYPE))
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     lhs = x.reshape(-1, 1, n).astype(REAL_DTYPE)  # (B, C=1, N)
