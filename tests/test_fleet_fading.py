@@ -1,0 +1,70 @@
+"""Fading-channel acceptance beyond OFDM (VERDICT r1 weak #5 tail):
+the multipath-robust families decode through TDL fading, and a plain
+single-carrier link survives a frequency-selective channel once the
+equalizer block is put in line (single-carrier waveforms without an
+equalizer legitimately cannot — that is physics, not a gap)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r4w_tpu.channel.channel import ChannelConfig, apply_channel
+from r4w_tpu.waveforms import create_waveform
+
+DATA = b"\xa5\x3c"
+
+
+@pytest.mark.parametrize("name,fs,snr", [
+    ("LoRa-SF7", 125_000.0, 15.0),
+    ("DSSS", 1_000_000.0, 18.0),
+    ("BFSK", 250_000.0, 22.0),
+])
+def test_robust_waveforms_through_tdl_epa(name, fs, snr):
+    wf = create_waveform(name, fs)
+    tx = wf.modulate(DATA)
+    cfg = ChannelConfig(model="tdl_awgn", snr_db=snr, sample_rate=fs,
+                        doppler_hz=2.0, tdl_profile="EPA")
+    rx = apply_channel(jax.random.key(3), tx, cfg)
+    res = wf.demodulate(rx)
+    got = np.asarray(res.bits)[: len(DATA)]
+    assert got.tolist() == list(DATA)
+
+
+def test_qpsk_through_static_multipath_with_fde():
+    """A plain QPSK burst dies in a 2-ray channel but decodes once the
+    frequency-domain equalizer (trained on a known preamble) is in
+    line — the equalizer blocks exist to make exactly this work."""
+    from r4w_tpu.channel import awgn, multipath_2ray
+    from r4w_tpu.ops import propagation as pr
+
+    rng = np.random.default_rng(0)
+    wf = create_waveform("QPSK", 1_000_000.0)
+    preamble = bytes(rng.integers(0, 256, 16))
+    tx_pre = np.asarray(wf.modulate(preamble))
+    tx_data = np.asarray(wf.modulate(DATA * 4))
+    tx = np.concatenate([tx_pre, tx_data])
+
+    rx = np.asarray(multipath_2ray(jnp.asarray(tx), delay_samples=3,
+                                   amplitude=0.7))
+    rx = np.asarray(awgn(jax.random.key(9), jnp.asarray(rx), 25.0))
+
+    # unequalized: the delayed ray corrupts decisions
+    res_raw = wf.demodulate(jnp.asarray(rx[tx_pre.shape[0]:]))
+    raw_bits = np.asarray(res_raw.bits)[: len(DATA) * 4]
+
+    # estimate the channel on the known preamble, equalize the burst
+    h = pr.ls_channel_estimate(tx_pre[:2048], rx[:2048], n_taps=8)
+    taps = [(i, complex(np.asarray(h)[i])) for i in range(8)
+            if abs(np.asarray(h)[i]) > 0.05]
+    # pad to a multiple of the FDE block so the tail isn't dropped
+    pad = (-rx.shape[0]) % 4096
+    rx_p = np.concatenate([rx, np.zeros(pad, rx.dtype)])
+    eq = pr.sparse_multipath_equalize(jnp.asarray(rx_p), taps,
+                                      n_fft=4096)
+    res_eq = wf.demodulate(jnp.asarray(np.asarray(eq)[tx_pre.shape[0]:]))
+    eq_bits = np.asarray(res_eq.bits)[: len(DATA) * 4]
+    want = [b for b in DATA * 4]
+    assert eq_bits.tolist() == want
+    # and the unequalized path was genuinely broken
+    assert raw_bits.tolist() != want
