@@ -45,13 +45,14 @@ def test_qpsk_through_static_multipath_with_fde():
     tx_data = np.asarray(wf.modulate(DATA * 4))
     tx = np.concatenate([tx_pre, tx_data])
 
-    rx = np.asarray(multipath_2ray(jnp.asarray(tx), delay_samples=3,
-                                   amplitude=0.7))
+    # a full-symbol echo at 0.9 amplitude: destructive ISI
+    rx = np.asarray(multipath_2ray(jnp.asarray(tx), delay_samples=8,
+                                   amplitude=0.9))
     rx = np.asarray(awgn(jax.random.key(9), jnp.asarray(rx), 25.0))
 
-    # unequalized: the delayed ray corrupts decisions
-    res_raw = wf.demodulate(jnp.asarray(rx[tx_pre.shape[0]:]))
-    raw_bits = np.asarray(res_raw.bits)[: len(DATA) * 4]
+    # (the built-in QPSK receiver is itself surprisingly multipath-
+    # tolerant, so no raw-failure claim — this test pins down the
+    # estimate->equalize workflow itself)
 
     # estimate the channel on the known preamble, equalize the burst
     h = pr.ls_channel_estimate(tx_pre[:2048], rx[:2048], n_taps=8)
@@ -66,5 +67,7 @@ def test_qpsk_through_static_multipath_with_fde():
     eq_bits = np.asarray(res_eq.bits)[: len(DATA) * 4]
     want = [b for b in DATA * 4]
     assert eq_bits.tolist() == want
-    # and the unequalized path was genuinely broken
-    assert raw_bits.tolist() != want
+    # the estimator actually recovered the 2-ray structure
+    h_np = np.asarray(h)
+    assert abs(abs(h_np[0]) - 1.0) < 0.1          # main tap
+    assert np.max(np.abs(h_np[1:])) > 0.7         # the 0.9 echo
