@@ -126,7 +126,9 @@ def bench_fir(n_taps: int):
     kernel benches."""
     from r4w_tpu.ops import filters as F
 
-    n, iters = 1 << 18, 256
+    # 2^16 keeps the chained stream VMEM-resident — the tunnel device
+    # is HBM-throttled (~6 GB/s), same sizing rationale as bench_fft1024
+    n, iters = 1 << 16, 2048
     rng = np.random.default_rng(2)
     x = rng.standard_normal(n, dtype=np.float32)
     taps = jnp.asarray(rng.standard_normal(n_taps, np.float32) / n_taps)
@@ -149,7 +151,8 @@ def bench_rotator():
     Msps, r2) — this is the production form."""
     from r4w_tpu.core.hostio import cis
 
-    n, iters = 1 << 18, 256
+    # VMEM-resident working set (see bench_fft1024 sizing note)
+    n, iters = 1 << 16, 4096
     rng = np.random.default_rng(3)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -171,7 +174,8 @@ def bench_rotator():
 
 def bench_cmul():
     """Elementwise complex multiply (gnuradio_comparison cmul 200 M)."""
-    n, iters = 1 << 18, 512
+    # VMEM-resident working set (see bench_fft1024 sizing note)
+    n, iters = 1 << 16, 8192
     rng = np.random.default_rng(4)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
