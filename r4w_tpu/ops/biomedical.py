@@ -11,7 +11,6 @@ filters; EEG/EMG features are band-power matmuls.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

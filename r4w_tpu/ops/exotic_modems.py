@@ -17,7 +17,6 @@ Goertzel-bank detection; power-systems analysis is one windowed FFT.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

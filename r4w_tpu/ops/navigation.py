@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
-import numpy as np
 
 from r4w_tpu.core.types import REAL_DTYPE
 

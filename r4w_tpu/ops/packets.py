@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from r4w_tpu.core.types import REAL_DTYPE
-from r4w_tpu.fec import block as _block
 from r4w_tpu.fec import crc as _crc
 
 # ----------------------------------------------------- generic packets

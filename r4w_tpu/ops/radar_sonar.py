@@ -21,7 +21,6 @@ batched matched filtering + 2-D FFTs + peak logic — pure MXU/FFT work.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

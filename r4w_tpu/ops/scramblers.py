@@ -130,7 +130,7 @@ _FEC_CODECS = {}
 def _lazy_codecs():
     if _FEC_CODECS:
         return _FEC_CODECS
-    from r4w_tpu.fec import block, convolutional, turbo, polar, ldpc
+    from r4w_tpu.fec import block, convolutional
 
     def conv_enc(bits, **kw):
         return convolutional.conv_encode(jnp.asarray(bits, jnp.int32))

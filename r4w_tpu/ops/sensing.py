@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from r4w_tpu.core.hostio import cis
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 
 # ------------------------------------------------------ acoustic/NDT

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
