@@ -8,31 +8,56 @@ published 371 Msamples/s (README.md:92, MEASURABLE_OBJECTIVES.md:27).
 `vs_gnuradio` ratios against the hardcoded GNU Radio baselines the
 reference compares itself to (benches/gnuradio_comparison.rs:41-66:
 FFT1024 50 M, FFT4096 12 M, FIR32 80 M, FIR128 25 M, rotator 100 M,
-cmul 200 M, BPSK mod 20 M) plus PCPS/Viterbi/channel throughputs that
-have no GR baseline.
+cmul 200 M, BPSK mod 20 M), PCPS/Viterbi/channel throughputs that have
+no GR baseline, plus the three BASELINE.json north-star acceptance
+runs that used to live only in tools/: the full LoRa SF7-12 BER sweep
+(<60 s target), the big-grid PCPS correlator (Gcorr/s), and an
+on-device waveform sweep.
 
-axon-backend constraints (see .claude/skills/verify/SKILL.md): complex64
-must not cross jit/host boundaries and block_until_ready is not a true
-sync — so each benchmark is ONE jit containing a fori_loop with a serial
-data dependency, synced by device_get of a float32 scalar.
+Capture robustness (the round-2 lesson): the axon TPU tunnel's first
+compute can take 80-250 s and can wedge outright, so ALL device work
+runs in ONE persistent child process driven over a line protocol by
+this parent. The parent applies a generous per-bench watchdog
+(first bench 900 s — it pays tunnel init — then 600 s), restarts the
+child with backoff on a hang (up to 4 child spawns), and retries each
+failed bench once. There is NO silent CPU fallback: if the TPU never
+answers, the headline is emitted with `"degraded": true` and
+`vs_baseline: null` so the driver cannot record a CPU number as a TPU
+result (CPU numbers, clearly labeled, go under extra.cpu_fallback).
+
+axon-backend constraints (see .claude/skills/verify/SKILL.md):
+complex64 must not cross jit/host boundaries and block_until_ready is
+not a true sync — so each benchmark is ONE jit containing a fori_loop
+with a serial data dependency, synced by device_get of a float32
+scalar.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.lax as lax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_FFT1024_MSPS = 371.0
-ITERS = 32
 
+# GNU Radio baselines from gnuradio_comparison.rs:41-66 (Msamples/s)
+GR_BASELINES = {
+    "fft1024": 50.0, "fft4096": 12.0, "fir32": 80.0, "fir128": 25.0,
+    "rotator": 100.0, "cmul": 200.0, "bpsk_mod": 20.0,
+}
+
+
+# --------------------------------------------------------------------
+# Individual benchmarks (run inside the child process). Each returns a
+# dict; throughput benches report {"Msps": ...}.
+# --------------------------------------------------------------------
 
 def _timed_scalar(fn, *args):
     """Run fn twice (compile+warm, then timed); fn must return f32 scalar."""
+    import jax
+    import numpy as np
+
     s = jax.device_get(fn(*args))
     assert np.isfinite(s), "benchmark produced non-finite output"
     t0 = time.perf_counter()
@@ -47,6 +72,11 @@ def bench_fft1024():
     # device is HBM-bandwidth-throttled (~6 GB/s), so a 134 MB working
     # set runs at ~0.1 Gsps while a 2 MB one sustains ~11 Gsps. batch
     # 256 x 16384 chained iterations measured best (sweep 2026-08-16).
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     n = 1024
     batch = 256
     iters = 16384
@@ -66,11 +96,43 @@ def bench_fft1024():
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im)
-    return batch * n * iters / dt  # samples/s
+    return {"Msps": round(batch * n * iters / dt / 1e6, 1)}
+
+
+def bench_fft4096():
+    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps)."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n, batch, iters = 4096, 64, 4096
+    rng = np.random.default_rng(1)
+    re = rng.standard_normal((batch, n), dtype=np.float32)
+    im = rng.standard_normal((batch, n), dtype=np.float32)
+    scale = np.float32(1.0 / np.sqrt(n))
+
+    @jax.jit
+    def run(re, im):
+        v = lax.complex(re, im)
+
+        def body(i, v):
+            return jnp.fft.fft(v, axis=-1) * scale
+
+        v = lax.fori_loop(0, iters, body, v)
+        return jnp.sum(v.real**2 + v.imag**2)
+
+    dt = _timed_scalar(run, re, im)
+    return {"Msps": round(batch * n * iters / dt / 1e6, 1)}
 
 
 def bench_lora_sf7_demod():
     """Chained chirp-synthesize → dechirp-FFT-argmax demod loop."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.waveforms import lora
     from r4w_tpu.waveforms.lora import chirp as chirp_mod
 
@@ -93,37 +155,19 @@ def bench_lora_sf7_demod():
         return jnp.sum(s).astype(jnp.float32)
 
     dt = _timed_scalar(run, syms0)
-    return lanes * n_sym * p.samples_per_symbol * iters / dt  # IQ samples/s
-
-
-def bench_fft4096():
-    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps)."""
-    n, batch, iters = 4096, 64, 4096
-    rng = np.random.default_rng(1)
-    re = rng.standard_normal((batch, n), dtype=np.float32)
-    im = rng.standard_normal((batch, n), dtype=np.float32)
-    scale = np.float32(1.0 / np.sqrt(n))
-
-    @jax.jit
-    def run(re, im):
-        v = lax.complex(re, im)
-
-        def body(i, v):
-            return jnp.fft.fft(v, axis=-1) * scale
-
-        v = lax.fori_loop(0, iters, body, v)
-        return jnp.sum(v.real**2 + v.imag**2)
-
-    dt = _timed_scalar(run, re, im)
-    return batch * n * iters / dt
+    sps = lanes * n_sym * p.samples_per_symbol * iters / dt
+    return {"Msps": round(sps / 1e6, 1)}
 
 
 def bench_fir(n_taps: int):
     """Production FIR path (ops.filters lowers dense 1-D TPU streams to
     the shift-add MAC form — measured 3x the Pallas roll-MAC and ~25x
-    lax.conv; gnuradio_comparison FIR32 80 M / FIR128 25 M). 256
-    chained iterations amortize the tunnel dispatch like the other
-    kernel benches."""
+    lax.conv; gnuradio_comparison FIR32 80 M / FIR128 25 M)."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.ops import filters as F
 
     # 2^16 keeps the chained stream VMEM-resident — the tunnel device
@@ -142,16 +186,20 @@ def bench_fir(n_taps: int):
         return jnp.sum(v * v)
 
     dt = _timed_scalar(run, x)
-    return n * iters / dt
+    return {"Msps": round(n * iters / dt / 1e6, 1)}
 
 
 def bench_rotator():
     """Complex oscillator mix (gnuradio_comparison rotator 100 M).
     XLA iota+cis+mul measured faster than the Pallas NCO (975 vs 748
     Msps, r2) — this is the production form."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.core.hostio import cis
 
-    # VMEM-resident working set (see bench_fft1024 sizing note)
     n, iters = 1 << 16, 4096
     rng = np.random.default_rng(3)
     re = rng.standard_normal(n, dtype=np.float32)
@@ -169,12 +217,16 @@ def bench_rotator():
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im)
-    return n * iters / dt
+    return {"Msps": round(n * iters / dt / 1e6, 1)}
 
 
 def bench_cmul():
     """Elementwise complex multiply (gnuradio_comparison cmul 200 M)."""
-    # VMEM-resident working set (see bench_fft1024 sizing note)
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     n, iters = 1 << 16, 8192
     rng = np.random.default_rng(4)
     re = rng.standard_normal(n, dtype=np.float32)
@@ -197,15 +249,19 @@ def bench_cmul():
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im, cr, ci)
-    return n * iters / dt
+    return {"Msps": round(n * iters / dt / 1e6, 1)}
 
 
 def bench_bpsk_mod():
     """BPSK modulation bits->IQ (gnuradio_comparison BPSK mod 20 M)."""
-    from r4w_tpu.waveforms.linear_mod import (
-        linear_modulate, psk_constellation, psk_value_to_index)
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
 
     from r4w_tpu.core.hostio import to_device
+    from r4w_tpu.waveforms.linear_mod import (
+        linear_modulate, psk_constellation, psk_value_to_index)
 
     n_bits, iters = 1 << 16, 128
     rng = np.random.default_rng(5)
@@ -228,18 +284,22 @@ def bench_bpsk_mod():
         return jnp.sum(b).astype(jnp.float32)
 
     dt = _timed_scalar(run, bits, con)
-    return n_bits * iters / dt
+    return {"Msps": round(n_bits * iters / dt / 1e6, 1)}
 
 
 def bench_viterbi():
-    """K=7 rate-1/2 soft Viterbi decode throughput (info bits/s)."""
+    """K=7 rate-1/2 soft Viterbi decode throughput (info Mbit/s)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.fec.convolutional import conv_encode, viterbi_decode
 
-    n_info, lanes = 2048, 256
+    n_info, lanes = 2048, 4096
     rng = np.random.default_rng(6)
     bits = rng.integers(0, 2, (lanes, n_info)).astype(np.int32)
-    coded = conv_encode(jnp.asarray(bits))
-    soft = 1.0 - 2.0 * coded.astype(np.float32)
+    coded = np.asarray(conv_encode(jnp.asarray(bits)))
+    soft = (1.0 - 2.0 * coded).astype(np.float32)
 
     @jax.jit
     def run(soft):
@@ -247,14 +307,19 @@ def bench_viterbi():
         return jnp.sum(dec).astype(jnp.float32)
 
     dt = _timed_scalar(run, soft)
-    return lanes * n_info / dt
+    return {"Msps": round(lanes * n_info / dt / 1e6, 1)}
 
 
 def bench_pcps():
-    """GPS C/A PCPS acquisition correlator throughput (corr/s =
-    PRNs x Doppler bins x code phases / time)."""
-    from r4w_tpu.gnss import acquisition, prn
+    """GPS C/A PCPS acquisition correlator throughput via the production
+    acquisition.pcps_grid path (Mcorr/s = PRNs x Doppler x phases / s)."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.core.hostio import to_device
+    from r4w_tpu.gnss import acquisition, prn
 
     fs = 2_046_000.0
     n_prn = 8
@@ -279,7 +344,6 @@ def bench_pcps():
             x, acc = carry
             grid = acquisition.pcps_grid(x, codes_d, fs, cfg)
             s = jnp.sum(grid)
-            # serial dependency: perturb the input by the result
             return x * (1.0 + 1e-12 * s), acc + s
 
         _, acc = lax.fori_loop(0, iters, body,
@@ -288,12 +352,17 @@ def bench_pcps():
 
     dt = _timed_scalar(run, xd)
     n_dopp = int(2 * cfg.doppler_max_hz / cfg.doppler_step_hz) + 1
-    # a "correlation" = one (PRN, Doppler, code-phase) lag point
-    return iters * n_prn * n_dopp * 2046 / dt
+    cells = iters * n_prn * n_dopp * 2046
+    return {"Msps": round(cells / dt / 1e6, 1)}
 
 
 def bench_channel():
     """AWGN channel apply throughput (channel.rs:667)."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
     from r4w_tpu.channel import awgn
 
     n, iters = 1 << 18, 64
@@ -315,93 +384,355 @@ def bench_channel():
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im, jax.random.key(0))
-    return n * iters / dt
+    return {"Msps": round(n * iters / dt / 1e6, 1)}
 
 
-# GNU Radio baselines from gnuradio_comparison.rs:41-66 (Msamples/s)
-GR_BASELINES = {
-    "fft1024": 50.0, "fft4096": 12.0, "fir32": 80.0, "fir128": 25.0,
-    "rotator": 100.0, "cmul": 200.0, "bpsk_mod": 20.0,
+def bench_lora_sweep():
+    """Full LoRa SF7-SF12 Monte-Carlo BER sweep — the BASELINE.json
+    acceptance target (<60 s compute on one chip). Returns compute
+    seconds (excluding compile) and per-SF waterfall SNRs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from r4w_tpu.waveforms import lora
+
+    snrs = jnp.asarray(np.arange(-26.0, -2.0, 2.0), jnp.float32)  # 12 pts
+    n_payload = 16
+    waterfalls = {}
+    compute_s = 0.0
+    for sf in range(7, 13):
+        p = lora.LoRaParams(sf=sf)
+        lanes = max(4, 512 >> (sf - 7))
+        payload = jnp.arange(n_payload) % p.chips_per_symbol
+        keys = jax.random.split(jax.random.key(sf), lanes)
+
+        @jax.jit
+        def grid(keys, snrs, p=p, payload=payload):
+            f = lambda k, s: lora.loopback_ber(p, payload, k, s)
+            return jax.vmap(lambda k: jax.vmap(lambda s: f(k, s))(snrs)
+                            )(keys).mean(0)
+
+        ber = jax.device_get(grid(keys, snrs))  # compile + run
+        t0 = time.perf_counter()
+        ber = jax.device_get(grid(keys, snrs))  # warm run
+        compute_s += time.perf_counter() - t0
+        ber = np.asarray(ber)
+        waterfalls[f"sf{sf}"] = (
+            float(snrs[int(np.argmax(ber < 0.01))])
+            if np.any(ber < 0.01) else None)
+    return {"compute_s": round(compute_s, 2), "target_s": 60.0,
+            "pass": compute_s < 60.0, "waterfall_snr_db": waterfalls}
+
+
+def bench_pcps_gcorr():
+    """Big-grid PCPS throughput — the BASELINE.json 'GNSS Mcorr/s' north
+    star (8 PRN x 41 Doppler x 1023 lags, power-of-two FFT via the
+    two-period trick; see tools/gnss_corr_bench.py)."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from r4w_tpu.gnss import prn
+
+    fs = 1.023e6
+    n = 1023
+    prns = list(range(1, 9))
+    n_dopp = 41
+    iters = 256
+    codes = np.stack([np.asarray(prn.gps_ca_code(p))
+                      for p in prns]).astype(np.float32)
+    codesj = jnp.asarray(codes)
+    nfft = 4096
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((2 * n,), dtype=np.float32)
+    im = rng.standard_normal((2 * n,), dtype=np.float32)
+    dops = jnp.arange(n_dopp, dtype=jnp.float32) * 250.0 - 5000.0
+    t = jnp.arange(2 * n, dtype=jnp.float32) / fs
+
+    @jax.jit
+    def run(re, im):
+        x0 = lax.complex(re, im)
+        ang = -2.0 * np.pi * dops[:, None] * t[None, :]
+        carriers = lax.complex(jnp.cos(ang), jnp.sin(ang))  # (D, N)
+        code_fft = jnp.conj(jnp.fft.fft(codesj.astype(jnp.complex64),
+                                        nfft, axis=-1))  # (K, NF)
+
+        def body(i, x):
+            mixed = x[None, :] * carriers
+            mf = jnp.fft.fft(mixed, nfft, axis=-1)
+            surf = jnp.fft.ifft(mf[None] * code_fft[:, None, :],
+                                axis=-1)[..., :n]
+            pw = surf.real**2 + surf.imag**2
+            peak = jnp.max(pw)
+            return x * (1.0 + 0.0 * peak)
+
+        x = lax.fori_loop(0, iters, body, x0)
+        return jnp.sum(x.real**2 + x.imag**2)
+
+    dt = _timed_scalar(run, re, im)
+    cells = len(prns) * n_dopp * n * iters
+    return {"Gcorr_s": round(cells / dt / 1e9, 2),
+            "grid": f"{len(prns)} PRN x {n_dopp} Doppler x {n} lags"}
+
+
+def bench_device_sweep(budget_s: float = 900.0):
+    """On-device waveform sweep: modulate -> host -> demodulate for every
+    factory waveform, time-budgeted (truncates honestly rather than
+    blowing the watchdog; BASELINE.json '50/50 on-device' north star)."""
+    from r4w_tpu.core.hostio import to_device, to_host
+    from r4w_tpu.waveforms import create_waveform, list_waveforms
+
+    names = sorted(list_waveforms())
+    t0 = time.perf_counter()
+    ok, failures, done = 0, [], 0
+    for name in names:
+        if time.perf_counter() - t0 > budget_s:
+            break
+        done += 1
+        try:
+            wf = create_waveform(name, 48000.0)
+            iq = to_host(wf.modulate(b"device-sweep"))
+            wf.demodulate(to_device(iq))
+            ok += 1
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}"[:60])
+    return {"ok": ok, "attempted": done, "total": len(names),
+            "truncated": done < len(names),
+            "failures": failures[:10],
+            "elapsed_s": round(time.perf_counter() - t0, 1)}
+
+
+BENCHES = {
+    "fft1024": bench_fft1024,
+    "fft4096": bench_fft4096,
+    "fir32": lambda: bench_fir(32),
+    "fir128": lambda: bench_fir(128),
+    "rotator": bench_rotator,
+    "cmul": bench_cmul,
+    "bpsk_mod": bench_bpsk_mod,
+    "viterbi_info_bits": bench_viterbi,
+    "pcps_corr": bench_pcps,
+    "channel_awgn": bench_channel,
+    "lora_sf7_demod": bench_lora_sf7_demod,
+    "lora_sweep": bench_lora_sweep,
+    "pcps_gcorr": bench_pcps_gcorr,
+    "device_sweep": bench_device_sweep,
 }
 
 
-def run_suite() -> dict:
-    """Full regression suite; values in Msamples/s (or M units/s)."""
-    suite = {}
+# --------------------------------------------------------------------
+# Child process: line protocol — read a bench name on stdin, run it,
+# print ONE JSON line {"bench", "device", ...result} on stdout.
+# --------------------------------------------------------------------
 
-    def add(name, fn):
+def child_main():
+    import jax
+
+    if "--platform=cpu" in sys.argv:
+        # NB: the JAX_PLATFORMS env var does NOT override the ambient
+        # axon platform in this environment; programmatic config does.
+        jax.config.update("jax_platforms", "cpu")
+    for line in sys.stdin:
+        name = line.strip()
+        if not name:
+            continue
+        if name == "quit":
+            break
+        t0 = time.perf_counter()
         try:
-            sps = fn()
-            entry = {"Msps": round(sps / 1e6, 1)}
-            if name in GR_BASELINES:
-                entry["vs_gnuradio"] = round(sps / 1e6 / GR_BASELINES[name], 1)
-            suite[name] = entry
-        except Exception as e:  # record, don't kill the bench line
-            suite[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
-            time.sleep(20)  # axon wedges cross-call after a failure
-
-    add("fft4096", bench_fft4096)
-    add("fir32", lambda: bench_fir(32))
-    add("fir128", lambda: bench_fir(128))
-    add("rotator", bench_rotator)
-    add("cmul", bench_cmul)
-    add("bpsk_mod", bench_bpsk_mod)
-    add("viterbi_info_bits", bench_viterbi)
-    add("pcps_corr", bench_pcps)
-    add("channel_awgn", bench_channel)
-    return suite
+            res = dict(BENCHES[name]())
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            res = {"error": f"{type(e).__name__}: {e}"[:160]}
+        res["bench"] = name
+        res["device"] = str(jax.devices()[0])
+        res["wall_s"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(res), flush=True)
 
 
-def _tpu_canary(timeout_s: int = 150) -> bool:
-    """Probe the device in a subprocess — the axon tunnel can wedge and
-    hang any compute indefinitely; never let that hang the bench."""
-    import subprocess
-    import sys
+# --------------------------------------------------------------------
+# Parent process: orchestrate the child with watchdogs + retries.
+# --------------------------------------------------------------------
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(float(jax.jit(lambda x: jnp.sum(x*x))"
-        "(jnp.ones((256,256), jnp.float32))))"
-    )
+class _Child:
+    def __init__(self, platform=None):
+        import queue
+        import subprocess
+        import threading
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+        if platform:
+            cmd.append(f"--platform={platform}")
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+        self.q = queue.Queue()
+
+        def reader():
+            for ln in self.proc.stdout:
+                self.q.put(ln)
+            self.q.put(None)
+
+        threading.Thread(target=reader, daemon=True).start()
+
+    def run(self, name: str, timeout_s: float):
+        """Returns result dict or None on hang/death."""
+        import queue
+
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            return None
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                ln = self.q.get(timeout=max(0.1, deadline - time.time()))
+            except queue.Empty:
+                return None
+            if ln is None:
+                return None
+            try:
+                res = json.loads(ln)
+                if isinstance(res, dict) and res.get("bench") == name:
+                    return res
+            except json.JSONDecodeError:
+                continue  # stray warning line
+
+    def kill(self):
+        try:
+            self.proc.kill()
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
+
+
+# per-bench watchdogs (s); the first TPU bench additionally gets the
+# tunnel-init allowance folded in by the orchestrator
+BUDGETS = {
+    "lora_sweep": 1200.0,
+    "device_sweep": 1500.0,
+    "lora_sf7_demod": 900.0,
+}
+DEFAULT_BUDGET = 600.0
+TUNNEL_INIT_ALLOWANCE = 900.0  # measured 83-221 s to first scalar (r2 probes)
+MAX_CHILD_SPAWNS = 4
+
+
+def orchestrate(order, platform=None):
+    """Run the bench list with watchdogs/retries. Returns (results,
+    device_seen) where results[name] is the child dict or an error."""
+    results = {}
+    device_seen = None
+    child = _Child(platform)
+    spawns = 1
+    warmed = False
+    for name in order:
+        budget = BUDGETS.get(name, DEFAULT_BUDGET)
+        if not warmed:
+            budget += TUNNEL_INIT_ALLOWANCE
+        attempts = 0
+        res = None
+        while attempts < 2:
+            attempts += 1
+            res = child.run(name, budget)
+            if res is not None:
+                break
+            # hang: kill, backoff, respawn (if allowed), retry once
+            child.kill()
+            print(f"# bench {name} hung (> {budget:.0f}s), "
+                  f"restarting child", file=sys.stderr, flush=True)
+            if spawns >= MAX_CHILD_SPAWNS:
+                break
+            time.sleep(20 * spawns)
+            child = _Child(platform)
+            spawns += 1
+            warmed = False
+            budget = BUDGETS.get(name, DEFAULT_BUDGET) + TUNNEL_INIT_ALLOWANCE
+        if res is None:
+            results[name] = {"error": "watchdog timeout", "bench": name}
+            if spawns >= MAX_CHILD_SPAWNS:
+                # give up on remaining benches too
+                for rest in order[order.index(name) + 1:]:
+                    results[rest] = {"error": "skipped (child unavailable)",
+                                     "bench": rest}
+                break
+        else:
+            results[name] = res
+            device_seen = res.get("device", device_seen)
+            warmed = True
+            print(f"# {name}: "
+                  + json.dumps({k: v for k, v in res.items()
+                                if k not in ("bench",)}),
+                  file=sys.stderr, flush=True)
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        child.run("quit", 1.0)
+    except Exception:
+        pass
+    child.kill()
+    return results, device_seen
+
+
+ORDER = [
+    "fft1024", "fft4096", "fir32", "fir128", "rotator", "cmul",
+    "bpsk_mod", "viterbi_info_bits", "pcps_corr", "channel_awgn",
+    "lora_sf7_demod", "lora_sweep", "pcps_gcorr", "device_sweep",
+]
 
 
 def main():
-    import os
+    quick = "--quick" in sys.argv
+    order = ORDER[:3] if quick else ORDER
+    results, device = orchestrate(order)
 
-    device_note = ""
-    if not _tpu_canary():
-        # fall back to CPU so the driver still records a number
-        jax.config.update("jax_platforms", "cpu")
-        device_note = " (TPU tunnel unresponsive — CPU fallback)"
-    fft_sps = bench_fft1024()
-    lora_sps = bench_lora_sf7_demod()
-    suite = run_suite()
-    msps = fft_sps / 1e6
-    suite["fft1024"] = {"Msps": round(msps, 1),
-                        "vs_gnuradio": round(msps / GR_BASELINES["fft1024"],
-                                             1)}
-    print(
-        json.dumps(
-            {
-                "metric": "fft1024_throughput",
-                "value": round(msps, 1),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msps / BASELINE_FFT1024_MSPS, 2),
-                "extra": {
-                    "lora_sf7_demod_Msps": round(lora_sps / 1e6, 1),
-                    "suite": suite,
-                    "device": str(jax.devices()[0]) + device_note,
-                },
-            }
-        )
-    )
+    fft = results.get("fft1024", {})
+    tpu_ok = (device is not None and "Msps" in fft
+              and "TPU" in (fft.get("device") or ""))
+
+    suite = {}
+    for name, res in results.items():
+        entry = {k: v for k, v in res.items() if k != "bench"}
+        if "Msps" in entry and name in GR_BASELINES:
+            entry["vs_gnuradio"] = round(entry["Msps"] / GR_BASELINES[name], 1)
+        suite[name] = entry
+
+    if tpu_ok:
+        msps = fft["Msps"]
+        out = {
+            "metric": "fft1024_throughput",
+            "value": msps,
+            "unit": "Msamples/s",
+            "vs_baseline": round(msps / BASELINE_FFT1024_MSPS, 2),
+            "extra": {"suite": suite, "device": fft["device"]},
+        }
+    else:
+        # TPU never answered: emit a LOUD degraded record — never a CPU
+        # number in the headline (round-2 lesson).
+        cpu_results, _ = orchestrate(
+            ["fft1024", "fft4096", "fir32", "viterbi_info_bits"],
+            platform="cpu")
+        out = {
+            "metric": "fft1024_throughput",
+            "value": None,
+            "unit": "Msamples/s",
+            "vs_baseline": None,
+            "degraded": True,
+            "extra": {
+                "reason": "TPU unreachable after retries; CPU numbers "
+                          "below are NOT comparable to the TPU baseline",
+                "suite": suite,
+                "cpu_fallback": {
+                    n: {k: v for k, v in r.items() if k != "bench"}
+                    for n, r in cpu_results.items()},
+            },
+        }
+    print(json.dumps(out))
+    return 0 if tpu_ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_main()
+    else:
+        raise SystemExit(main())

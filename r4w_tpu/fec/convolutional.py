@@ -78,59 +78,79 @@ def conv_encode(bits, constraint: int = 7,
 def viterbi_decode(received, constraint: int = 7,
                    polys: tuple[int, ...] = (0o171, 0o133),
                    terminated: bool = True,
-                   soft: bool = False) -> jax.Array:
-    """Viterbi decode (viterbi_decoder.rs re-design).
+                   soft: bool = False,
+                   unroll: int = 4) -> jax.Array:
+    """Viterbi decode (viterbi_decoder.rs re-design, TPU-tuned).
 
     received: hard bits (..., N*R) int, or soft LLR-ish values in [-1,1]
     per coded bit with soft=True (positive ~ bit 0... we use the
     convention value = 1-2·bit so +1 means bit 0).
     Returns decoded bits (..., N_info) (flush bits removed when
     terminated=True).
+
+    TPU design (vs the r2 float gather/argmin scan, measured ~10 Mbps):
+    - branch metrics are computed per distinct CODEWORD (2^R values per
+      step, e.g. 4 for rate 1/2) instead of per (state, bit) (2·S=128),
+      then broadcast onto the trellis with one tiny (.., 2^R)x(2^R, 2S)
+      matmul — MXU work, zero gathers;
+    - the add-compare-select exploits the shift-register butterfly: with
+      state = previous K-1 bits (newest at MSB), target s' = b·S/2 + m
+      has exactly predecessors {2m, 2m+1}, so ACS is a reshape + max —
+      no gather/scatter at all;
+    - traceback decisions are BIT-PACKED 8-per-byte before leaving the
+      scan (HBM traffic is the throughput ceiling on v5e: unpacked int8
+      decisions cost 64 B per decoded bit, packed 8 B).
     """
     outputs_np, next_np = _trellis(constraint, tuple(polys))
     s, _, r = outputs_np.shape
-    outputs = jnp.asarray(outputs_np.astype(np.float32))  # (S, 2, R)
-    next_state = jnp.asarray(next_np)  # (S, 2)
+    half = s // 2
+    k = constraint
+    n_codes = 1 << r
+
+    # code index per (state, input bit); generator 0 at LSB
+    weights = 1 << np.arange(r)
+    oidx = (outputs_np.astype(np.int32) * weights[None, None, :]).sum(-1)
+    # expected ±1 sequence per distinct codeword: (C, R)
+    code_bits = (np.arange(n_codes)[:, None] >> np.arange(r)[None, :]) & 1
+    expected_codes = jnp.asarray((1.0 - 2.0 * code_bits).astype(np.float32))
+    # branch-metric selection: onehot[b, st, c] = 1 iff code(st, b) == c
+    onehot = np.zeros((2, s, n_codes), np.float32)
+    for st in range(s):
+        for b in (0, 1):
+            onehot[b, st, oidx[st, b]] = 1.0
+    onehot_j = jnp.asarray(onehot)  # (2, S, C)
 
     rx = jnp.asarray(received, REAL_DTYPE)
     n_steps = rx.shape[-1] // r
     rx = rx[..., : n_steps * r].reshape(*rx.shape[:-1], n_steps, r)
     if not soft:
         rx = 1.0 - 2.0 * rx  # bits -> ±1
-    expected = 1.0 - 2.0 * outputs  # (S, 2, R) in ±1
-    # branch metric: correlation (higher better)
-    bm_all = jnp.einsum("...tr,sbr->...tsb", rx, expected)  # (..., T, S, 2)
+    # per-codeword correlation metrics (higher better): (..., T, C)
+    bm = jnp.einsum("...tr,cr->...tc", rx, expected_codes)
 
-    big_neg = jnp.asarray(-1e9, REAL_DTYPE)
     init = jnp.full(rx.shape[:-2] + (s,), -1e9, REAL_DTYPE)
     init = init.at[..., 0].set(0.0)
 
-    # scatter branches: for target state s', predecessors are
-    # (state, bit) with next_state[state, bit] == s'. Build gather maps.
-    prev_state = np.zeros((s, 2), np.int32)
-    prev_bit = np.zeros((s, 2), np.int32)
-    fill = [[] for _ in range(s)]
-    for st in range(s):
-        for b in (0, 1):
-            fill[next_np[st, b]].append((st, b))
-    for sp in range(s):
-        assert len(fill[sp]) == 2
-        for j, (st, b) in enumerate(fill[sp]):
-            prev_state[sp, j] = st
-            prev_bit[sp, j] = b
-    prev_state_j = jnp.asarray(prev_state)
-    prev_bit_j = jnp.asarray(prev_bit)
+    # decision packing: w decisions per int32 word (8 keeps values tiny
+    # and the unpack shift cheap; fall back to s for small trellises)
+    w = min(8, s)
+    groups = s // w
+    pack_w = jnp.asarray(1 << np.arange(w), jnp.int32)
 
     def step(metrics, bm_t):
-        # bm_t: (..., S, 2) branch metrics indexed by (prev_state, bit);
-        # gather onto (target_state, predecessor_j) layout
-        cand = metrics[..., prev_state_j] + bm_t[..., prev_state_j, prev_bit_j]
-        best = jnp.argmax(cand, axis=-1)  # which predecessor (j index)
-        new_metrics = jnp.max(cand, axis=-1)
-        return new_metrics, best.astype(jnp.int8)
+        # (..., C) -> (..., 2, S): branch metric for (input bit, prev st)
+        bm_sb = jnp.einsum("...c,bsc->...bs", bm_t, onehot_j)
+        cand = metrics[..., None, :] + bm_sb          # (..., 2, S)
+        c = cand.reshape(*cand.shape[:-1], half, 2)   # split st -> (m, j)
+        new_metrics = jnp.max(c, axis=-1)             # (..., 2, half)
+        dec = jnp.argmax(c, axis=-1).astype(jnp.int32)
+        new_metrics = new_metrics.reshape(*new_metrics.shape[:-2], s)
+        dec = dec.reshape(*dec.shape[:-2], s)         # indexed by target s'
+        packed = (dec.reshape(*dec.shape[:-1], groups, w) * pack_w).sum(-1)
+        return new_metrics, packed
 
-    bm_moved = jnp.moveaxis(bm_all, -3, 0)  # (T, ..., S, 2)
-    final_metrics, decisions = lax.scan(step, init, bm_moved)
+    bm_moved = jnp.moveaxis(bm, -2, 0)  # (T, ..., C)
+    final_metrics, decisions = lax.scan(step, init, bm_moved, unroll=unroll)
 
     # traceback
     start_state = (
@@ -139,14 +159,16 @@ def viterbi_decode(received, constraint: int = 7,
         else jnp.argmax(final_metrics, axis=-1).astype(jnp.int32)
     )
 
-    def back(state, dec_t):
-        j = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
-        j = j.astype(jnp.int32)
-        bit = prev_bit_j[state, j]
-        prev = prev_state_j[state, j]
+    def back(state, packed_t):
+        word = jnp.take_along_axis(packed_t, (state // w)[..., None],
+                                   axis=-1)[..., 0]
+        j = (word >> (state % w)) & 1
+        bit = state >> (k - 2)          # input bit b encoded in the MSB
+        prev = 2 * (state & (half - 1)) + j
         return prev, bit
 
-    _, bits_rev = lax.scan(back, start_state, decisions, reverse=True)
+    _, bits_rev = lax.scan(back, start_state, decisions, reverse=True,
+                           unroll=unroll)
     bits = jnp.moveaxis(bits_rev, 0, -1)
     if terminated:
         bits = bits[..., : n_steps - (constraint - 1)]

@@ -402,6 +402,145 @@ def design_equiripple(num_taps: int, bands, desired, weights=None,
     return taps
 
 
-def design_remez(num_taps: int, bands, desired, weights=None) -> np.ndarray:
-    """Parks-McClellan-compatible entry point (filters/remez.rs:design)."""
-    return design_equiripple(num_taps, bands, desired, weights)
+def _remez_grid(num_taps: int, bands, desired, weights, grid_density: int):
+    """Dense frequency grid over the union of bands with D(f), W(f)."""
+    freqs, d, w = [], [], []
+    for (lo, hi), dd, ww in zip(bands, desired, weights):
+        npts = max(int((hi - lo) * 2 * grid_density * num_taps), 8)
+        f = np.linspace(lo, hi, npts)
+        freqs.append(f)
+        d.append(np.full(npts, float(dd)))
+        w.append(np.full(npts, float(ww)))
+    return np.concatenate(freqs), np.concatenate(d), np.concatenate(w)
+
+
+def _bary_weights(x: np.ndarray) -> np.ndarray:
+    """Barycentric weights a_k = 1/prod_{j!=k}(x_k - x_j), computed in
+    log space (sign tracked) so ~100-point extremal sets don't
+    over/underflow float64."""
+    diff = x[:, None] - x[None, :]
+    np.fill_diagonal(diff, 1.0)
+    sign = np.prod(np.sign(diff), axis=1)
+    logs = np.sum(np.log(np.abs(diff)), axis=1)
+    logs -= logs.mean()  # common scale cancels in every ratio we form
+    return sign * np.exp(-logs)
+
+
+def _remez_exchange(num_taps: int, bands, desired, weights,
+                    grid_density: int = 16, max_iters: int = 40):
+    """True Parks-McClellan Remez exchange (filters/remez.rs re-design).
+
+    Type-I (odd-length symmetric) linear-phase multiband design: the
+    amplitude A(f) = sum_k c_k cos(2 pi f k) is the minimax weighted
+    approximation of D(f), found by iterating the exchange: solve the
+    alternation system on the current extremal set via barycentric
+    Lagrange interpolation in x = cos(2 pi f), locate the new extrema of
+    the weighted error on a dense grid, exchange, repeat until the
+    ripple stops growing. Host-side float64 design code (not a hot
+    path). Returns (taps, delta, extremal_freqs).
+    """
+    half = num_taps // 2
+    n_ext = half + 2  # r+1 alternations for r = half+1 cosine coefficients
+    f, d, wt = _remez_grid(num_taps, bands, desired, weights, grid_density)
+    x = np.cos(2 * np.pi * f)
+    # initial extremal set: spread evenly across the grid
+    ext = np.round(np.linspace(0, len(f) - 1, n_ext)).astype(int)
+    last_delta = 0.0
+    signs = (-1.0) ** np.arange(n_ext)
+    for _ in range(max_iters):
+        xe, de, we = x[ext], d[ext], wt[ext]
+        a = _bary_weights(xe)
+        delta = float(np.sum(a * de) / np.sum(a * signs / we))
+        ce = de - signs * delta / we  # A at the extremal points
+        # barycentric interpolation of A on the full grid
+        dx = x[:, None] - xe[None, :]
+        hit = np.isclose(dx, 0.0, atol=1e-14)
+        dx_safe = np.where(hit, 1.0, dx)
+        num = np.sum(a * ce / dx_safe, axis=1)
+        den = np.sum(a / dx_safe, axis=1)
+        amp = num / den
+        exact = hit.any(axis=1)
+        if exact.any():
+            amp[exact] = ce[hit[exact].argmax(axis=1)]
+        err = wt * (amp - d)
+        # candidate extrema: local maxima of |err| plus band edges
+        abs_err = np.abs(err)
+        cand = [0]
+        cand += [i for i in range(1, len(f) - 1)
+                 if abs_err[i] >= abs_err[i - 1] and abs_err[i] >= abs_err[i + 1]]
+        cand.append(len(f) - 1)
+        # band-edge grid indices (each band contributes its endpoints)
+        edge = np.cumsum([0] + [max(int((hi - lo) * 2 * grid_density
+                                        * num_taps), 8)
+                                for lo, hi in bands])
+        for e in edge[1:-1]:
+            cand += [e - 1, e]
+        cand = sorted(set(cand))
+        # enforce sign alternation: among same-sign runs keep the largest
+        kept: list[int] = []
+        for i in cand:
+            if kept and np.sign(err[i]) == np.sign(err[kept[-1]]):
+                if abs_err[i] > abs_err[kept[-1]]:
+                    kept[-1] = i
+            else:
+                kept.append(i)
+        # trim to n_ext by dropping the weaker endpoint repeatedly
+        while len(kept) > n_ext:
+            if abs_err[kept[0]] < abs_err[kept[-1]]:
+                kept.pop(0)
+            else:
+                kept.pop()
+        if len(kept) < n_ext:  # degenerate grid — keep previous set
+            break
+        new_ext = np.asarray(kept, int)
+        converged = (np.array_equal(new_ext, ext)
+                     or abs(abs(delta) - last_delta) <= 1e-12
+                     + 1e-6 * abs(delta))
+        ext = new_ext
+        last_delta = abs(delta)
+        if converged:
+            break
+    # final solve on the settled extremal set, then reconstruct taps by
+    # sampling A(f) at num_taps uniform frequencies (type-I IDFT)
+    xe, de, we = x[ext], d[ext], wt[ext]
+    a = _bary_weights(xe)
+    delta = float(np.sum(a * de) / np.sum(a * signs / we))
+    ce = de - signs * delta / we
+    fu = np.arange(half + 1) / num_taps
+    xu = np.cos(2 * np.pi * fu)
+    dxu = xu[:, None] - xe[None, :]
+    hitu = np.isclose(dxu, 0.0, atol=1e-14)
+    dxu_safe = np.where(hitu, 1.0, dxu)
+    au = (np.sum(a * ce / dxu_safe, axis=1)
+          / np.sum(a / dxu_safe, axis=1))
+    if hitu.any():
+        rows = hitu.any(axis=1)
+        au[rows] = ce[hitu[rows].argmax(axis=1)]
+    n = np.arange(num_taps) - half
+    # h[n] = (1/N) [A(0) + 2 sum_k A(k/N) cos(2 pi k n / N)]
+    taps = (au[0] + 2.0 * np.sum(
+        au[1:, None] * np.cos(2 * np.pi * np.arange(1, half + 1)[:, None]
+                              * n[None, :] / num_taps), axis=0)) / num_taps
+    return taps.astype(np.float64), abs(delta), f[ext]
+
+
+def design_remez(num_taps: int, bands, desired, weights=None,
+                 grid_density: int = 16) -> np.ndarray:
+    """Parks-McClellan equiripple FIR design via true Remez exchange
+    (filters/remez.rs:design). Falls back to the IRLS solver only if the
+    exchange degenerates (non-convergent extremal set)."""
+    if num_taps % 2 == 0:
+        raise ValueError("design_remez needs an odd tap count")
+    bands = list(bands)
+    desired = list(desired)
+    if len(bands) != len(desired):
+        raise ValueError("bands and desired must have equal length")
+    w = list(weights) if weights is not None else [1.0] * len(bands)
+    try:
+        taps, _, _ = _remez_exchange(num_taps, bands, desired, w,
+                                     grid_density)
+        if not np.all(np.isfinite(taps)):
+            raise FloatingPointError("non-finite taps")
+        return taps
+    except (FloatingPointError, np.linalg.LinAlgError, ZeroDivisionError):
+        return design_equiripple(num_taps, bands, desired, w)
