@@ -1,18 +1,34 @@
-"""Interactive waveform explorer — a minimal web dashboard.
+"""Interactive waveform explorer — a web dashboard.
 
 Stands in for the reference's 45k-LoC egui/WASM `WaveformExplorer`
-(crates/r4w-gui/src/app.rs:231) at its educational core: pick a
-waveform, set payload/SNR/channel, and see the modulation pipeline —
-constellation, time-domain IQ, spectrum, waterfall, and the staged
-TX/RX introspection — live in a browser. Pure stdlib HTTP + JSON +
-inline HTML/JS; plots are matplotlib PNGs served as base64.
+(crates/r4w-gui/src/app.rs:231) at its interactive core, now covering
+the three biggest reference views:
+
+- **Waveform demo** (views/generic_pipeline.rs role): pick a waveform,
+  payload, and any of the NINE channel models (channel.rs:47-66 suite:
+  ideal/awgn/awgn_cfo/multipath/rayleigh/rician/tdl_awgn/jakes +
+  per-model knobs), see constellation/time/spectrum/waterfall plots
+  and the staged TX introspection.
+- **Pipeline wizard** (views/pipeline_wizard.rs:1-11049 role): assemble
+  a block graph from the 523-block registry (plus waveform_tx/rx
+  pseudo-blocks), run it server-side via r4w_tpu.pipeline, and see
+  per-node time/constellation/PSD previews — the per-block-simulate
+  workflow in the browser.
+- **GNSS sky view** (views/gnss_simulator.rs:364 role): polar sky plot
+  + C/N0 bars from a GnssScenario (preset or pasted scenario YAML),
+  with elapsed-time scrubbing driving Doppler/elevation evolution.
+
+Pure stdlib HTTP + JSON; demo plots are matplotlib PNGs, pipeline and
+sky views render client-side on <canvas> from JSON data.
 
 Endpoints:
-  GET /                    — the single-page UI
-  GET /api/waveforms       — JSON list of factory names
-  GET /api/demo?name=..&snr=..&hex=..&channel=..
-                           — run modulate→channel→demodulate, return
-                             metrics + base64 PNG plots + stage names
+  GET  /                  — the single-page UI
+  GET  /api/waveforms     — JSON list of factory names
+  GET  /api/blocks?q=     — registry catalog (name/category/params)
+  GET  /api/demo?name=..&snr=..&hex=..&channel=..&cfo_hz=..&
+                 doppler_hz=..&tdl_profile=..&rician_k=..
+  POST /api/pipeline      — body {nodes:[{id,block,params,inputs}]}
+  GET  /api/gnss_sky?preset=e1c_8prn&t=0   (or POST with YAML body)
 
 Run: `r4w-tpu explore --port 8080` or
      `python -m r4w_tpu.explorer --port 8080`.
@@ -21,7 +37,6 @@ Run: `r4w-tpu explore --port 8080` or
 from __future__ import annotations
 
 import base64
-import io
 import json
 import threading
 import urllib.parse
@@ -29,54 +44,271 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+CHANNEL_MODELS = ("none", "awgn", "awgn_cfo", "multipath", "rayleigh",
+                  "rician", "tdl_awgn", "jakes")
+
 _PAGE = """<!DOCTYPE html>
 <html><head><title>r4w-tpu explorer</title><style>
 body{font-family:system-ui,sans-serif;margin:0;background:#11151c;color:#e6e6e6}
-header{padding:12px 20px;background:#1a2230;font-size:18px}
+header{padding:12px 20px;background:#1a2230;font-size:18px;display:flex;gap:24px}
+header .tab{cursor:pointer;color:#9fb3c8}
+header .tab.active{color:#fff;border-bottom:2px solid #2f6feb}
 main{display:flex;gap:16px;padding:16px}
-#controls{min-width:260px;background:#1a2230;padding:16px;border-radius:8px}
+#controls,#pctrl,#gctrl{min-width:280px;max-width:320px;background:#1a2230;
+padding:16px;border-radius:8px;align-self:flex-start}
 label{display:block;margin:10px 0 4px;font-size:13px;color:#9fb3c8}
-select,input{width:100%;padding:6px;background:#0d1117;color:#e6e6e6;
-border:1px solid #30363d;border-radius:4px}
-button{margin-top:14px;width:100%;padding:8px;background:#2f6feb;
+select,input,textarea{width:100%;padding:6px;background:#0d1117;color:#e6e6e6;
+border:1px solid #30363d;border-radius:4px;box-sizing:border-box}
+button{margin-top:10px;width:100%;padding:8px;background:#2f6feb;
 color:white;border:none;border-radius:6px;cursor:pointer}
+button.small{width:auto;padding:4px 10px;margin:4px 4px 0 0;background:#30363d}
 #plots{flex:1;display:grid;grid-template-columns:1fr 1fr;gap:12px}
 #plots img{width:100%;background:#fff;border-radius:6px}
 #metrics{grid-column:1/3;background:#1a2230;padding:12px;
-border-radius:8px;font-family:monospace;white-space:pre-wrap}
+border-radius:8px;font-family:monospace;white-space:pre-wrap;font-size:12px}
+.node{background:#1a2230;border-radius:8px;padding:10px;margin-bottom:10px}
+.node h4{margin:0 0 6px;font-size:14px}
+.node .err{color:#ff7b72;font-family:monospace;font-size:12px}
+.node canvas{background:#0d1117;border-radius:4px;margin-right:6px}
+.nrow{display:flex;gap:8px;align-items:center;margin-bottom:6px}
+.nrow select,.nrow input{flex:1}
+#pnodes{flex:1}
+#sky{flex:1;display:flex;gap:16px;flex-wrap:wrap}
+canvas.big{background:#0d1117;border-radius:8px}
+.meta{font-family:monospace;font-size:12px;color:#9fb3c8;white-space:pre}
 </style></head><body>
-<header>r4w-tpu waveform explorer</header>
-<main>
+<header>r4w-tpu explorer
+ <span class=tab data-v=demo>waveform demo</span>
+ <span class=tab data-v=pipe>pipeline wizard</span>
+ <span class=tab data-v=gnss>gnss sky</span>
+</header>
+
+<main id=v_demo>
  <div id=controls>
   <label>Waveform</label><select id=wf></select>
   <label>Payload (hex)</label><input id=hex value=A71B3CD2>
-  <label>Channel</label>
-  <select id=chan><option>none</option><option>awgn</option></select>
+  <label>Channel</label><select id=chan></select>
   <label>SNR (dB)</label><input id=snr type=number value=15>
-  <button onclick=run()>Run</button>
+  <label>CFO (Hz) — awgn_cfo</label><input id=cfo_hz type=number value=200>
+  <label>Doppler (Hz) — tdl/jakes</label>
+  <input id=doppler_hz type=number value=50>
+  <label>TDL profile</label>
+  <select id=tdl_profile><option>EPA</option><option>EVA</option>
+  <option>ETU</option></select>
+  <label>Rician K</label><input id=rician_k type=number value=5>
+  <button onclick=runDemo()>Run</button>
  </div>
  <div id=plots>
   <img id=time><img id=spectrum><img id=constellation><img id=waterfall>
   <div id=metrics>pick a waveform and press Run</div>
  </div>
 </main>
+
+<main id=v_pipe style="display:none">
+ <div id=pctrl>
+  <label>Add block</label><select id=blocksel></select>
+  <button class=small onclick=addNode()>+ add</button>
+  <button class=small onclick="preset()">demo preset</button>
+  <div class=meta id=blockinfo></div>
+  <button onclick=runPipe()>Run pipeline</button>
+  <div class=meta>nodes chain top→bottom; edit params inline.
+  waveform_tx / waveform_rx bracket a registry chain.</div>
+ </div>
+ <div id=pnodes></div>
+</main>
+
+<main id=v_gnss style="display:none">
+ <div id=gctrl>
+  <label>Preset</label>
+  <select id=gpreset><option>e1c_8prn</option><option>gps_l1ca_6sv</option>
+  </select>
+  <label>Elapsed time (s)</label><input id=gt type=range min=0 max=60
+   value=0 oninput="gtv.textContent=this.value">
+  <span class=meta>t = <span id=gtv>0</span> s</span>
+  <label>…or paste scenario YAML</label>
+  <textarea id=gyaml rows=8 placeholder="satellites: ..."></textarea>
+  <button onclick=runSky()>Update sky</button>
+ </div>
+ <div id=sky>
+  <canvas id=skyplot class=big width=420 height=420></canvas>
+  <canvas id=cn0bars class=big width=420 height=420></canvas>
+  <div class=meta id=gmeta></div>
+ </div>
+</main>
+
 <script>
+const $=id=>document.getElementById(id);
+document.querySelectorAll('.tab').forEach(t=>t.onclick=()=>{
+ document.querySelectorAll('.tab').forEach(x=>x.classList.remove('active'));
+ t.classList.add('active');
+ for(const v of ['demo','pipe','gnss'])
+  $('v_'+v).style.display=(t.dataset.v==v)?'flex':'none';
+});
+document.querySelector('.tab').classList.add('active');
+
+let BLOCKS=[];
 async function init(){
  const names=await (await fetch('/api/waveforms')).json();
- const sel=document.getElementById('wf');
  for(const n of names){const o=document.createElement('option');
-  o.textContent=n;sel.appendChild(o);}
+  o.textContent=n;$('wf').appendChild(o);}
+ for(const c of %CHANNELS%){const o=document.createElement('option');
+  o.textContent=c;$('chan').appendChild(o);}
+ BLOCKS=await (await fetch('/api/blocks')).json();
+ BLOCKS.unshift({name:'waveform_tx',category:'source',params:['name','hex']},
+                {name:'waveform_rx',category:'sink',params:['name','hex']});
+ for(const b of BLOCKS){const o=document.createElement('option');
+  o.textContent=b.name;$('blocksel').appendChild(o);}
+ $('blocksel').onchange=()=>{
+  const b=BLOCKS.find(x=>x.name==$('blocksel').value);
+  $('blockinfo').textContent=b?(b.category+': '+(b.description||'')+
+   '\\nparams: '+b.params.join(', ')):'';
+ };
 }
-async function run(){
+async function runDemo(){
  const q=new URLSearchParams({name:wf.value,hex:hex.value,
-  channel:chan.value,snr:snr.value});
- document.getElementById('metrics').textContent='running…';
+  channel:chan.value,snr:snr.value,cfo_hz:cfo_hz.value,
+  doppler_hz:doppler_hz.value,tdl_profile:tdl_profile.value,
+  rician_k:rician_k.value});
+ $('metrics').textContent='running…';
  const r=await (await fetch('/api/demo?'+q)).json();
- if(r.error){document.getElementById('metrics').textContent=r.error;return;}
+ if(r.error){$('metrics').textContent=r.error;return;}
  for(const k of ['time','spectrum','constellation','waterfall'])
-  if(r.plots[k]) document.getElementById(k).src='data:image/png;base64,'+r.plots[k];
- document.getElementById('metrics').textContent=JSON.stringify(r.metrics,null,1)
+  if(r.plots[k]) $(k).src='data:image/png;base64,'+r.plots[k];
+ $('metrics').textContent=JSON.stringify(r.metrics,null,1)
   +'\\n\\nstages: '+r.stages.join(' → ');
+}
+
+// ---------------- pipeline wizard ----------------
+let NODES=[];
+function addNode(name){
+ name=name||$('blocksel').value;
+ const b=BLOCKS.find(x=>x.name==name)||{params:[]};
+ NODES.push({id:'n'+NODES.length,block:name,
+  params:Object.fromEntries(b.params.map(p=>[p,''])),out:null});
+ renderNodes();
+}
+function preset(){
+ NODES=[];
+ addNode('waveform_tx');NODES[0].params={name:'QPSK',hex:'CAFE1234'};
+ addNode('awgn_channel');NODES[1].params={snr_db:'14'};
+ addNode('dc_blocker');
+ addNode('waveform_rx');NODES[3].params={name:'QPSK',hex:'CAFE1234'};
+ renderNodes();
+}
+function renderNodes(){
+ const host=$('pnodes');host.innerHTML='';
+ NODES.forEach((n,i)=>{
+  const d=document.createElement('div');d.className='node';
+  let h='<h4>'+n.id+' · '+n.block+
+   ' <button class=small onclick=delNode('+i+')>✕</button></h4>';
+  for(const k of Object.keys(n.params))
+   h+='<div class=nrow><span class=meta>'+k+'</span>'+
+    '<input value="'+(n.params[k]??'')+'" '+
+    'onchange="NODES['+i+'].params[\\''+k+'\\']=this.value"></div>';
+  d.innerHTML=h;
+  if(n.out){
+   if(n.out.error) d.innerHTML+='<div class=err>'+n.out.error+'</div>';
+   else{
+    d.innerHTML+='<div class=meta>shape '+JSON.stringify(n.out.shape)+
+     ' '+n.out.dtype+(n.out.power_db!==undefined?(' · '+n.out.power_db+
+     ' dB'):'')+(n.out.decoded_ok!==undefined?(' · decoded_ok='+
+     n.out.decoded_ok):'')+'</div>';
+    const cv1=document.createElement('canvas');cv1.width=220;cv1.height=120;
+    const cv2=document.createElement('canvas');cv2.width=220;cv2.height=120;
+    const cv3=document.createElement('canvas');cv3.width=220;cv3.height=120;
+    d.append(cv1,cv2,cv3);
+    drawLine(cv1,n.out.preview.time_re,n.out.preview.time_im,'time');
+    drawPsd(cv2,n.out.preview.psd_db);
+    if(n.out.preview.const_re)
+     drawConst(cv3,n.out.preview.const_re,n.out.preview.const_im);
+   }
+  }
+  host.appendChild(d);
+ });
+}
+function delNode(i){NODES.splice(i,1);renderNodes();}
+async function runPipe(){
+ const nodes=NODES.map((n,i)=>({id:n.id,block:n.block,
+  params:Object.fromEntries(Object.entries(n.params)
+   .filter(([k,v])=>v!=='')),
+  inputs:i?[NODES[i-1].id]:[]}));
+ const r=await (await fetch('/api/pipeline',{method:'POST',
+  body:JSON.stringify({nodes})})).json();
+ if(r.error){alert(r.error);return;}
+ NODES.forEach(n=>n.out=r.nodes[n.id]);
+ renderNodes();
+}
+function drawLine(cv,re,im,title){
+ const c=cv.getContext('2d');c.clearRect(0,0,cv.width,cv.height);
+ const all=im?re.concat(im):re;
+ const lo=Math.min(...all),hi=Math.max(...all),sp=(hi-lo)||1;
+ const plot=(v,col)=>{c.strokeStyle=col;c.beginPath();
+  v.forEach((y,i)=>{const px=i/(v.length-1||1)*cv.width,
+   py=cv.height-8-(y-lo)/sp*(cv.height-16);
+   i?c.lineTo(px,py):c.moveTo(px,py);});c.stroke();};
+ plot(re,'#58a6ff');if(im)plot(im,'#f78166');
+ c.fillStyle='#9fb3c8';c.fillText(title,4,10);
+}
+function drawPsd(cv,psd){
+ const c=cv.getContext('2d');c.clearRect(0,0,cv.width,cv.height);
+ const lo=Math.min(...psd),hi=Math.max(...psd),sp=(hi-lo)||1;
+ c.strokeStyle='#7ee787';c.beginPath();
+ psd.forEach((y,i)=>{const px=i/(psd.length-1||1)*cv.width,
+  py=cv.height-8-(y-lo)/sp*(cv.height-16);
+  i?c.lineTo(px,py):c.moveTo(px,py);});c.stroke();
+ c.fillStyle='#9fb3c8';c.fillText('psd (dB)',4,10);
+}
+function drawConst(cv,re,im){
+ const c=cv.getContext('2d');c.clearRect(0,0,cv.width,cv.height);
+ const m=Math.max(...re.map(Math.abs),...im.map(Math.abs))||1;
+ c.fillStyle='#d2a8ff';
+ re.forEach((x,i)=>{c.fillRect(cv.width/2+x/m*(cv.width/2-8)-1,
+  cv.height/2-im[i]/m*(cv.height/2-8)-1,2,2);});
+ c.fillStyle='#9fb3c8';c.fillText('constellation',4,10);
+}
+
+// ---------------- gnss sky ----------------
+async function runSky(){
+ const yaml=$('gyaml').value.trim();
+ let r;
+ if(yaml) r=await (await fetch('/api/gnss_sky?t='+$('gt').value,
+  {method:'POST',body:yaml})).json();
+ else r=await (await fetch('/api/gnss_sky?preset='+$('gpreset').value+
+  '&t='+$('gt').value)).json();
+ if(r.error){$('gmeta').textContent=r.error;return;}
+ drawSky(r.sats);drawCn0(r.sats);
+ $('gmeta').textContent=r.sats.map(s=>
+  'PRN'+String(s.prn).padStart(2,'0')+' '+s.signal+
+  '  el '+s.elevation_deg.toFixed(1)+'°  az '+s.azimuth_deg.toFixed(0)+
+  '°  C/N0 '+s.cn0_dbhz.toFixed(1)+'  dop '+s.doppler_hz.toFixed(0)+' Hz'
+ ).join('\\n');
+}
+function drawSky(sats){
+ const cv=$('skyplot'),c=cv.getContext('2d');
+ c.clearRect(0,0,cv.width,cv.height);
+ const cx=cv.width/2,cy=cv.height/2,R=cv.width/2-20;
+ c.strokeStyle='#30363d';
+ for(const e of [0,30,60]){c.beginPath();
+  c.arc(cx,cy,R*(90-e)/90,0,7);c.stroke();}
+ c.fillStyle='#9fb3c8';c.fillText('N',cx-3,14);c.fillText('E',cv.width-12,cy);
+ for(const s of sats){
+  const r=R*(90-s.elevation_deg)/90,a=(s.azimuth_deg-90)*Math.PI/180;
+  const x=cx+r*Math.cos(a),y=cy+r*Math.sin(a);
+  c.fillStyle='#7ee787';c.beginPath();c.arc(x,y,6,0,7);c.fill();
+  c.fillStyle='#e6e6e6';c.fillText('PRN'+s.prn,x+8,y+4);
+ }
+}
+function drawCn0(sats){
+ const cv=$('cn0bars'),c=cv.getContext('2d');
+ c.clearRect(0,0,cv.width,cv.height);
+ const w=cv.width/(sats.length||1);
+ sats.forEach((s,i)=>{
+  const h=Math.max(0,(s.cn0_dbhz-20)/35)*(cv.height-40);
+  c.fillStyle='#58a6ff';c.fillRect(i*w+6,cv.height-20-h,w-12,h);
+  c.fillStyle='#9fb3c8';c.fillText('PRN'+s.prn,i*w+4,cv.height-6);
+  c.fillText(s.cn0_dbhz.toFixed(0),i*w+8,cv.height-26-h);
+ });
+ c.fillStyle='#9fb3c8';c.fillText('C/N0 (dB-Hz)',6,12);
 }
 init();
 </script></body></html>"""
@@ -93,12 +325,15 @@ def _png_b64(plot_fn, *args, **kw) -> str:
 
 
 def run_demo(name: str, hex_payload: str = "A71B3CD2",
-             channel: str = "none", snr_db: float = 15.0) -> dict:
-    """One explorer round: modulate → channel → demodulate → plots."""
+             channel: str = "none", snr_db: float = 15.0,
+             cfo_hz: float = 0.0, doppler_hz: float = 50.0,
+             tdl_profile: str = "EPA", rician_k: float = 5.0) -> dict:
+    """One explorer round: modulate → channel (full 9-model suite via
+    apply_channel, channel.rs:618-646) → demodulate → plots."""
     import jax
 
     from r4w_tpu import viz
-    from r4w_tpu.channel import awgn
+    from r4w_tpu.channel import ChannelConfig, apply_channel
     from r4w_tpu.waveforms import create_waveform
 
     wf = create_waveform(name)
@@ -110,8 +345,16 @@ def run_demo(name: str, hex_payload: str = "A71B3CD2",
         return {"error": f"bad hex payload {hex_payload!r}"}
 
     tx = wf.modulate(payload)
-    rx = awgn(jax.random.key(0), tx, float(snr_db)) \
-        if channel == "awgn" else tx
+    if channel in ("none", "ideal", ""):
+        rx = tx
+    else:
+        cfg = ChannelConfig(
+            model=channel, snr_db=float(snr_db),
+            sample_rate=wf.common_params.sample_rate,
+            cfo_hz=float(cfo_hz), doppler_hz=float(doppler_hz),
+            tdl_profile=tdl_profile, rician_k=float(rician_k),
+            multipath_delay=8, multipath_amplitude=0.4)
+        rx = apply_channel(jax.random.key(0), tx, cfg)
     res = wf.demodulate(rx)
 
     got = np.asarray(res.bits)[: len(payload)]
@@ -137,6 +380,7 @@ def run_demo(name: str, hex_payload: str = "A71B3CD2",
         "samples": int(len(rx_np)),
         "sample_rate": fs,
         "samples_per_symbol": sps,
+        "channel": channel,
         "decoded_ok": match,
         "decoded_hex": bytes(got.astype(np.uint8)).hex() if len(got) else "",
         "snr_estimate_db": res.snr_estimate,
@@ -144,6 +388,55 @@ def run_demo(name: str, hex_payload: str = "A71B3CD2",
            if isinstance(v, (int, float, str, bool))},
     }
     return {"metrics": metrics, "plots": plots, "stages": stages}
+
+
+def _sky_preset(name: str):
+    """Built-in demo scenarios for the sky view."""
+    from r4w_tpu.gnss.scenario import (ReceiverConfig, SatelliteConfig,
+                                       ScenarioConfig)
+
+    if name == "gps_l1ca_6sv":
+        sats = tuple(
+            SatelliteConfig(prn=p, signal="gpsl1ca", cn0_dbhz=cn0,
+                            elevation_deg=el, azimuth_deg=az,
+                            doppler_hz=dop)
+            for p, cn0, el, az, dop in [
+                (2, 47.0, 72.0, 30.0, -1200.0), (5, 44.0, 55.0, 120.0, 800.0),
+                (12, 41.0, 38.0, 200.0, 2400.0), (18, 38.0, 25.0, 280.0,
+                                                  -3100.0),
+                (25, 35.0, 15.0, 340.0, 3500.0), (29, 45.0, 64.0, 95.0,
+                                                  -400.0)])
+    else:  # e1c_8prn (mirrors the e1c_8prn_* reference YAML family)
+        sats = tuple(
+            SatelliteConfig(prn=p, signal="galileoe1c", cn0_dbhz=34.0,
+                            elevation_deg=el, azimuth_deg=az,
+                            doppler_hz=dop)
+            for p, el, az, dop in [
+                (1, 78.0, 15.0, -700.0), (7, 62.0, 75.0, 450.0),
+                (12, 55.0, 140.0, 1300.0), (19, 44.0, 190.0, -2100.0),
+                (21, 35.0, 230.0, 2800.0), (26, 28.0, 280.0, -3300.0),
+                (31, 18.0, 320.0, 3600.0), (33, 9.0, 355.0, -3900.0)])
+    return ScenarioConfig(satellites=sats, receiver=ReceiverConfig(),
+                          duration_s=60.0)
+
+
+def gnss_sky(preset: str = "e1c_8prn", elapsed_s: float = 0.0,
+             yaml_text: str | None = None) -> dict:
+    """Sky-plot snapshot: per-SV elevation/azimuth/C-N0/Doppler at
+    elapsed_s (GnssScenario.status + configured azimuths)."""
+    from r4w_tpu.gnss.scenario import GnssScenario, load_scenario_yaml
+
+    cfg = (load_scenario_yaml(yaml_text) if yaml_text
+           else _sky_preset(preset))
+    scen = GnssScenario(cfg)
+    status = scen.status(float(elapsed_s))
+    az = {s.prn: s.azimuth_deg for s in scen.satellites}
+    for s in status:
+        s["azimuth_deg"] = float(az.get(s["prn"], 0.0))
+        for k, v in list(s.items()):
+            if isinstance(v, (np.floating, np.integer)):
+                s[k] = float(v)
+    return {"elapsed_s": float(elapsed_s), "sats": status}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -158,10 +451,33 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def do_POST(self):  # noqa: N802 (stdlib API)
+        parsed = urllib.parse.urlparse(self.path)
+        n = int(self.headers.get("Content-Length", 0) or 0)
+        body = self.rfile.read(n).decode() if n else ""
+        try:
+            if parsed.path == "/api/pipeline":
+                from r4w_tpu.pipeline import run_pipeline
+
+                spec = json.loads(body or "{}")
+                self._json(run_pipeline(spec.get("nodes", []),
+                                        seed=int(spec.get("seed", 0))))
+                return
+            if parsed.path == "/api/gnss_sky":
+                q = urllib.parse.parse_qs(parsed.query)
+                self._json(gnss_sky(
+                    elapsed_s=float(q.get("t", ["0"])[0]), yaml_text=body))
+                return
+        except Exception as e:  # surface, don't kill the server
+            self._json({"error": f"{type(e).__name__}: {e}"})
+            return
+        self._json({"error": "not found"}, 404)
+
     def do_GET(self):  # noqa: N802 (stdlib API)
         parsed = urllib.parse.urlparse(self.path)
         if parsed.path == "/":
-            body = _PAGE.encode()
+            body = _PAGE.replace(
+                "%CHANNELS%", json.dumps(list(CHANNEL_MODELS))).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(body)))
@@ -194,8 +510,21 @@ class _Handler(BaseHTTPRequestHandler):
                     name=q.get("name", ["BPSK"])[0],
                     hex_payload=q.get("hex", ["A71B3CD2"])[0],
                     channel=q.get("channel", ["none"])[0],
-                    snr_db=float(q.get("snr", ["15"])[0]))
+                    snr_db=float(q.get("snr", ["15"])[0]),
+                    cfo_hz=float(q.get("cfo_hz", ["0"])[0]),
+                    doppler_hz=float(q.get("doppler_hz", ["50"])[0]),
+                    tdl_profile=q.get("tdl_profile", ["EPA"])[0],
+                    rician_k=float(q.get("rician_k", ["5"])[0]))
             except Exception as e:  # surface, don't kill the server
+                out = {"error": f"{type(e).__name__}: {e}"}
+            self._json(out)
+            return
+        if parsed.path == "/api/gnss_sky":
+            q = urllib.parse.parse_qs(parsed.query)
+            try:
+                out = gnss_sky(preset=q.get("preset", ["e1c_8prn"])[0],
+                               elapsed_s=float(q.get("t", ["0"])[0]))
+            except Exception as e:
                 out = {"error": f"{type(e).__name__}: {e}"}
             self._json(out)
             return
