@@ -293,7 +293,8 @@ def bench_viterbi():
     import jax.numpy as jnp
     import numpy as np
 
-    from r4w_tpu.fec.convolutional import conv_encode, viterbi_decode
+    from r4w_tpu.fec.convolutional import conv_encode, viterbi_decode, \
+        viterbi_decode_mxu
 
     n_info, lanes = 2048, 4096
     rng = np.random.default_rng(6)
@@ -301,9 +302,15 @@ def bench_viterbi():
     coded = np.asarray(conv_encode(jnp.asarray(bits)))
     soft = (1.0 - 2.0 * coded).astype(np.float32)
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+
     @jax.jit
     def run(soft):
-        dec = viterbi_decode(soft, soft=True)
+        # Pallas VMEM-resident ACS on TPU (bit-exact vs the XLA scan,
+        # tests/test_fec.py); interpret-mode Pallas is too slow for a
+        # CPU benchmark so the scan path benches elsewhere
+        dec = (viterbi_decode_mxu(soft, soft=True) if on_tpu
+               else viterbi_decode(soft, soft=True))
         return jnp.sum(dec).astype(jnp.float32)
 
     dt = _timed_scalar(run, soft)

@@ -32,22 +32,21 @@ def qrs_detect(ecg, fs: float):
     w = int(0.15 * fs)
     kern = jnp.ones((w,), REAL_DTYPE) / w
     integ = jnp.convolve(sq, kern, mode="same")
+    from r4w_tpu.ops.events import refractory_trigger
+
     arr = np.asarray(integ)
     thr = 0.4 * np.percentile(arr, 99)
-    refractory = int(0.25 * fs)
-    peaks = []
-    i = 0
-    while i < arr.shape[0]:
-        if arr[i] > thr:
-            j = min(i + refractory, arr.shape[0])
-            k = i + int(np.argmax(arr[i:j]))
-            peaks.append(k)
-            i = j
-        else:
-            i += 1
+    refractory = max(1, int(0.25 * fs))
+    # refractory state machine on device (lax.scan); window argmax is
+    # one vectorized gather on host (was: per-sample Python loop)
+    fires = np.nonzero(np.asarray(refractory_trigger(
+        jnp.asarray(arr > thr), refractory)))[0]
+    pad = np.concatenate([arr, np.full(refractory, -np.inf)])
+    peaks = (fires + pad[fires[:, None]
+                         + np.arange(refractory)[None, :]].argmax(axis=1))
     # group delay of the bandpass
     delay = (len(np.asarray(bp)) - 1) // 2 + w // 2
-    return [max(0, p - delay) for p in peaks]
+    return [max(0, int(p) - delay) for p in peaks]
 
 
 def heart_rate_series(r_peaks, fs: float):
@@ -138,20 +137,19 @@ def emg_decompose_mu(emg, fs: float, n_units: int = 2,
     """Template-free motor-unit firing extraction
     (electromyography_decomposition.rs): peak detection + 2-means
     amplitude clustering into units. Returns per-unit firing indices."""
+    from r4w_tpu.ops.events import refractory_trigger
+
     x = np.asarray(emg, float)
     sd = np.median(np.abs(x)) * 1.4826
-    refractory = int(0.005 * fs)
-    peaks, amps = [], []
-    i = 0
-    while i < x.shape[0]:
-        if abs(x[i]) > threshold_sigma * sd:
-            j = min(i + refractory, x.shape[0])
-            k = i + int(np.argmax(np.abs(x[i:j])))
-            peaks.append(k)
-            amps.append(abs(x[k]))
-            i = j
-        else:
-            i += 1
+    refractory = max(1, int(0.005 * fs))
+    # device scan + vectorized window argmax (see qrs_detect)
+    fires = np.nonzero(np.asarray(refractory_trigger(
+        jnp.asarray(np.abs(x) > threshold_sigma * sd), refractory)))[0]
+    pad = np.concatenate([np.abs(x), np.full(refractory, -np.inf)])
+    ks = (fires + pad[fires[:, None]
+                      + np.arange(refractory)[None, :]].argmax(axis=1))
+    peaks = [int(k) for k in ks]
+    amps = [float(abs(x[k])) for k in ks]
     if not peaks:
         return [[] for _ in range(n_units)]
     amps = np.asarray(amps)

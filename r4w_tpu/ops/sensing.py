@@ -40,21 +40,23 @@ from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
 def acoustic_emission_count(x, threshold_sigma: float = 5.0,
                             dead_time: int = 32):
     """AE hit counting + energy (acoustic_emission_sensor.rs): count
-    threshold crossings with dead-time, return (n_hits, hit_energy)."""
+    threshold crossings with dead-time, return (n_hits, hit_energy).
+
+    Batch-first: the sequential dead-time state machine runs on device
+    as a `lax.scan` (ops.events.deadtime_runs); only the variable-count
+    hit extraction (np.nonzero + add.reduceat) stays on host."""
+    from r4w_tpu.ops.events import deadtime_runs
+
     a = np.abs(np.asarray(x))
     thr = threshold_sigma * np.median(a) * 1.4826
-    above = a > thr
-    hits = []
-    i = 0
-    while i < a.shape[0]:
-        if above[i]:
-            j = i
-            while j < a.shape[0] and (j - i < dead_time or above[j]):
-                j += 1
-            hits.append((i, float(np.sum(a[i:j] ** 2))))
-            i = j
-        else:
-            i += 1
+    starts_m, ends_m = deadtime_runs(jnp.asarray(a > thr), dead_time)
+    starts = np.nonzero(np.asarray(starts_m))[0]
+    ends = np.nonzero(np.asarray(ends_m))[0]
+    if len(ends) < len(starts):  # run still open at stream end
+        ends = np.append(ends, a.shape[0])
+    csum = np.concatenate([[0.0], np.cumsum(a.astype(np.float64) ** 2)])
+    hits = [(int(i), float(csum[j] - csum[i]))
+            for i, j in zip(starts, ends)]
     return len(hits), hits
 
 
@@ -64,11 +66,11 @@ def gunshot_localize(mic_signals, mic_positions_m, fs: float,
     (acoustic_gunshot_localizer.rs): GCC-PHAT pairs → least-squares
     position, reusing the EW TDOA solver."""
     from r4w_tpu.ops.ew import gcc_phat, tdoa_localize
-    x = [jnp.asarray(s, IQ_DTYPE) for s in mic_signals]
-    dd_m = []
-    for k in range(1, len(x)):
-        lag, _ = gcc_phat(x[k], x[0])
-        dd_m.append(float(lag) / fs * c)   # range difference d_k - d_0
+    x = jnp.stack([jnp.asarray(s, IQ_DTYPE) for s in mic_signals])
+    # all mic pairs vs mic 0 in ONE vmapped GCC-PHAT; a single host
+    # pull of the lag vector (was: per-pair sync float pulls)
+    lags, _ = jax.vmap(lambda s: gcc_phat(s, x[0]))(x[1:])
+    dd_m = (np.asarray(lags).astype(float) / fs * c).tolist()
     return tdoa_localize(np.asarray(mic_positions_m), dd_m)
 
 
@@ -377,22 +379,24 @@ def lightning_stroke_analyze(efield, fs: float,
                              threshold_sigma: float = 6.0):
     """Stroke detection + polarity + rise time
     (lightning_stroke_analyzer.rs)."""
+    from r4w_tpu.ops.events import refractory_trigger
+
     e = np.asarray(efield, float)
     sd = np.std(e)
-    strokes = []
-    i = 0
-    while i < e.shape[0]:
-        if abs(e[i]) > threshold_sigma * sd:
-            seg_end = min(i + int(2e-3 * fs), e.shape[0])
-            seg = e[i:seg_end]
-            pol = 1 if seg[np.abs(seg).argmax()] > 0 else -1
-            peak = np.abs(seg).argmax()
-            rise = peak / fs
-            strokes.append((i / fs, pol, rise))
-            i = seg_end
-        else:
-            i += 1
-    return strokes
+    w = max(1, int(2e-3 * fs))
+    # device scan for the refractory state machine; vectorized window
+    # stats on host (no per-sample Python loop)
+    fires = np.nonzero(np.asarray(refractory_trigger(
+        jnp.asarray(np.abs(e) > threshold_sigma * sd), w)))[0]
+    if len(fires) == 0:
+        return []
+    pad = np.concatenate([e, np.zeros(w)])
+    segs = pad[fires[:, None] + np.arange(w)[None, :]]
+    # zero-padding tail mimics the min(i+w, n) clip of the original
+    peaks = np.abs(segs).argmax(axis=1)
+    pols = np.where(segs[np.arange(len(fires)), peaks] > 0, 1, -1)
+    return [(float(i / fs), int(p), float(k / fs))
+            for i, p, k in zip(fires, pols, peaks)]
 
 
 def cosmic_ray_coincidence(det_a, det_b, threshold_sigma: float = 5.0,

@@ -274,3 +274,38 @@ def test_tcm_coding_gain_over_uncoded_qpsk():
     # at 5 dB Eb/N0 the 4-state scheme sits well below uncoded QPSK
     assert tcm_ber < 0.5 * qpsk_ber, (tcm_ber, qpsk_ber)
     assert qpsk_ber > 1e-3  # sanity: baseline in its working region
+
+
+def test_viterbi_mxu_bit_exact_vs_scan():
+    """The Pallas VMEM-resident ACS path (viterbi_decode_mxu) must be
+    bit-exact against the XLA-scan decoder on noisy soft input, across
+    batch shapes that exercise lane/time padding (viterbi_decoder.rs
+    parity; SURVEY §2.8 MXU trellis)."""
+    import numpy as np
+
+    from r4w_tpu.fec.convolutional import (conv_encode, viterbi_decode,
+                                           viterbi_decode_mxu)
+
+    rng = np.random.default_rng(7)
+    for lanes, n_info in [(3, 250), (130, 505)]:
+        bits = rng.integers(0, 2, (lanes, n_info))
+        coded = np.asarray(conv_encode(jnp.asarray(bits)))
+        soft = (1.0 - 2.0 * coded) + 0.4 * rng.standard_normal(coded.shape)
+        ref = np.asarray(viterbi_decode(jnp.asarray(soft), soft=True))
+        got = np.asarray(viterbi_decode_mxu(jnp.asarray(soft), soft=True))
+        assert got.shape == (lanes, n_info)
+        assert (got == ref).all()
+        assert (got == bits).all()  # noise mild enough to fully correct
+
+
+def test_viterbi_mxu_other_trellis_and_1d():
+    import numpy as np
+
+    from r4w_tpu.fec.convolutional import conv_encode, viterbi_decode_mxu
+
+    rng = np.random.default_rng(8)
+    bits = rng.integers(0, 2, 180)
+    coded = np.asarray(conv_encode(jnp.asarray(bits), 5, (0o23, 0o35)))
+    got = np.asarray(viterbi_decode_mxu(jnp.asarray(coded), 5, (0o23, 0o35)))
+    assert got.shape == (180,)
+    assert (got == bits).all()
