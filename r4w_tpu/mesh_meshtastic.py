@@ -364,3 +364,59 @@ class MeshtasticNode:
             relay.next_hop = (nh & 0xFF) if nh is not None else 0
         self.tx_count += 1
         return self.codec.encode(relay, payload)
+
+
+# ------------------------------------------------------------ app layer
+# Protobuf Data envelope helpers (meshtastic.rs:730-785, the
+# `meshtastic-interop` feature; codec in r4w_tpu.mesh_proto).
+
+def _app_send(node: MeshtasticNode, to: int, data) -> bytes:
+    from r4w_tpu.mesh_proto import Data
+    assert isinstance(data, Data)
+    return node.send(to, data.encode())
+
+
+def send_text(node: MeshtasticNode, message: str,
+              to: int = BROADCAST) -> bytes:
+    """Wrap text in a protobuf Data (PortNum.TEXT) and build the frame
+    (meshtastic.rs:732-745)."""
+    from r4w_tpu.mesh_proto import Data
+    return _app_send(node, to, Data.text(message))
+
+
+def send_position(node: MeshtasticNode, lat: float, lon: float,
+                  alt: int = 0, to: int = BROADCAST) -> bytes:
+    """Position via protobuf (meshtastic.rs:748-754)."""
+    from r4w_tpu.mesh_proto import Data, Position
+    return _app_send(node, to, Data.position(
+        Position.from_coords(lat, lon, alt)))
+
+
+def send_nodeinfo(node: MeshtasticNode, short_name: str, long_name: str,
+                  to: int = BROADCAST) -> bytes:
+    """User/NodeInfo via protobuf (meshtastic.rs:757-765)."""
+    from r4w_tpu.mesh_proto import Data, User
+    return _app_send(node, to, Data.user(User.new(
+        f"!{node.node_id:08x}", short_name, long_name)))
+
+
+def send_telemetry(node: MeshtasticNode, telemetry,
+                   to: int = BROADCAST) -> bytes:
+    """Telemetry via protobuf (meshtastic.rs:770-780)."""
+    from r4w_tpu.mesh_proto import Data
+    return _app_send(node, to, Data.telemetry(telemetry))
+
+
+def classify_received(node: MeshtasticNode):
+    """Decode every received payload through the protobuf layer:
+    [(header, PortNum, decoded payload bytes or object)]
+    (meshtastic.rs:600-671 receive path)."""
+    from r4w_tpu.mesh_proto import Data, PortNum, classify_payload
+    out = []
+    for hdr, payload in node.received:
+        port, inner = classify_payload(payload)
+        d = Data(portnum=int(port), payload=inner)
+        decoded = (d.decode_text() or d.decode_position()
+                   or d.decode_user() or d.decode_telemetry())
+        out.append((hdr, port, decoded if decoded is not None else inner))
+    return out
