@@ -302,7 +302,7 @@ def bench_viterbi():
     coded = np.asarray(conv_encode(jnp.asarray(bits)))
     soft = (1.0 - 2.0 * coded).astype(np.float32)
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
 
     @jax.jit
     def run(soft):

@@ -702,11 +702,20 @@ def cmd_blocks(args):
         q = args.search.lower()
         blocks = [b for b in blocks
                   if q in b.name.lower() or q in b.description.lower()]
+    tags = {}
+    if getattr(args, "jit", False):
+        tags = {b.name: reg.jit_safety(b.name) for b in blocks}
     if args.json:
-        print(_json.dumps([
-            {"name": b.name, "category": b.category.value,
-             "description": b.description, "params": list(b.params)}
-            for b in blocks], indent=1))
+        rows = []
+        for b in blocks:
+            row = {"name": b.name, "category": b.category.value,
+                   "description": b.description, "params": list(b.params)}
+            if tags:
+                row["jit_safe"] = tags[b.name][0]
+                if tags[b.name][1]:
+                    row["jit_reason"] = tags[b.name][1]
+            rows.append(row)
+        print(_json.dumps(rows, indent=1))
         return
     counts = reg.categories()
     if not args.search and not args.category:
@@ -718,7 +727,8 @@ def cmd_blocks(args):
         return
     for b in blocks:
         params = f" ({', '.join(b.params)})" if b.params else ""
-        print(f"{b.name:<34} [{b.category.value}]{params}")
+        tag = f" <{tags[b.name][0]}>" if tags else ""
+        print(f"{b.name:<34} [{b.category.value}]{params}{tag}")
         print(f"    {b.description}")
 
 
@@ -976,6 +986,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--search", default=None,
                     help="substring match on name/description")
     sp.add_argument("--json", action="store_true")
+    sp.add_argument("--jit", action="store_true",
+                    help="probe + tag each block's jit-safety "
+                         "(jit/host/unknown; abstract trace, no device)")
     sp.set_defaults(fn=cmd_blocks)
 
     sp = sub.add_parser("spec", help="waveform-spec YAML tools")

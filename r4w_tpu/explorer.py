@@ -499,9 +499,20 @@ class _Handler(BaseHTTPRequestHandler):
                 blocks = [b for b in blocks
                           if query in b.name.lower()
                           or query in b.description.lower()]
-            self._json([{"name": b.name, "category": b.category.value,
-                         "description": b.description,
-                         "params": list(b.params)} for b in blocks])
+            rows = [{"name": b.name, "category": b.category.value,
+                     "description": b.description,
+                     "params": list(b.params)} for b in blocks]
+            if q.get("jit", ["0"])[0] not in ("0", ""):
+                # Opt-in: first call probes (abstract traces, ~tens of
+                # seconds for the full catalog); results are cached on
+                # the registry so later calls are instant.
+                reg = default_registry()
+                for row in rows:
+                    status, reason = reg.jit_safety(row["name"])
+                    row["jit_safe"] = status
+                    if reason:
+                        row["jit_reason"] = reason
+            self._json(rows)
             return
         if parsed.path == "/api/demo":
             q = urllib.parse.parse_qs(parsed.query)

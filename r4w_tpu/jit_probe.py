@@ -1,0 +1,275 @@
+"""Mechanical jit-safety classification for registry blocks.
+
+Probes every block in a BlockRegistry by synthesizing template inputs
+from its signature and abstractly tracing it under `jax.eval_shape`
+(trace only — no compile, no device execution, so probing the whole
+523-block catalog takes seconds on CPU). The result is the `jit_safe`
+tag surfaced through `BlockRegistry.jit_safety()` and `/api/blocks`:
+
+  "jit"     — the block traced successfully with array inputs and
+              produced at least one array output: it is a pure
+              batch-first function that composes under jax.jit/vmap.
+  "host"    — the block ran but is host-side by design (returns Python
+              scalars/objects, does file or socket IO, stateful class,
+              or raises ConcretizationTypeError because its control
+              flow needs concrete values).
+  "unknown" — input synthesis failed; no claim either way.
+
+This backs SURVEY §2.2's design stance ("every data-plane block is a
+pure batched function") with a *checked* property rather than a
+docstring claim, the role the reference's per-block `#[cfg(test)]`
+smoke tests play for its trait impls (block_gateway.rs registry rows).
+tests/test_jit_safe.py asserts every "jit"-tagged block really traces
+and that the tag covers the data-plane majority of the catalog.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _Lazy:
+    """Template value materialized at attempt time (fresh per try) —
+    needed for OS resources a block may consume, e.g. an fd that a
+    `with open(fd)` sink will close."""
+
+    def __init__(self, make):
+        self.make = make
+
+
+@functools.lru_cache(maxsize=1)
+def _sample_file() -> str:
+    """A real raw-sample file for path-taking source/sink blocks.
+
+    Without this, `path` fell through to the generic int fallback and
+    `open(8, ...)` adopted-and-closed an arbitrary process fd — under
+    pytest's fd-level capture that was its stderr pipe (lost sys.stderr
+    crash). Never hand bare ints to path/fd parameters.
+    """
+    fd, path = tempfile.mkstemp(suffix=".iq", prefix="r4w_probe_")
+    with os.fdopen(fd, "wb") as f:
+        np.zeros(_N, np.complex64).tofile(f)
+    return path
+
+
+def _devnull_fd() -> int:
+    return os.open(os.devnull, os.O_RDWR)
+
+# Template length for stream inputs: long enough for filters/sync
+# blocks that need a few hundred samples, short enough to trace fast.
+_N = 512
+
+# name → candidate template values, tried in order until one traces.
+# Arrays become traced jit arguments; scalars stay static (Python
+# values), matching how pipeline._call_block feeds blocks.
+
+
+def _iq(n=_N):
+    return jnp.zeros((n,), jnp.complex64)
+
+
+def _f32(n=_N):
+    return jnp.zeros((n,), jnp.float32)
+
+
+def _bits(n=_N):
+    return jnp.zeros((n,), jnp.int32)
+
+
+_BY_NAME: dict[str, list] = {
+    "key": [jax.random.key(0)],
+    "x": [_iq(), _f32()],
+    "y": [_iq(), _f32()],
+    "a": [_iq(), _f32()],
+    "b": [_iq(), _f32()],
+    "iq": [_iq()],
+    "rx": [_iq()],
+    "tx": [_iq()],
+    "signal": [_iq(), _f32()],
+    "samples": [_iq(), _f32()],
+    "audio": [_f32()],
+    "mpx": [_f32()],
+    "ecg": [_f32()],
+    "vib": [_f32()],
+    "bits": [_bits()],
+    "data": [_bits(), _iq()],
+    "symbols": [_iq(), _bits()],
+    "llrs": [_f32()],
+    "words": [jnp.zeros((8,), jnp.int32)],
+    "payload": [jnp.zeros((16,), jnp.int32)],
+    "frame": [_iq(), _bits()],
+    "pulses": [_f32()],
+    "phase": [_f32()],
+    "error": [_f32()],
+    "received": [_iq(), _f32()],
+    "measurements": [_f32()],
+    "values": [_f32()],
+    "taps": [jnp.zeros((31,), jnp.float32)],
+    "h": [_iq(), jnp.zeros((4,), jnp.complex64)],
+    "xs": [_f32()],
+    "cube": [jnp.zeros((4, 8, 64), jnp.complex64)],
+    "sample_rate": [48000.0],
+    "fs": [48000.0],
+    "freq_hz": [1000.0],
+    "sps": [8],
+    "n": [64],
+    "seed": [0],
+    "noise": [_f32(), 0.1],
+    "frames": [jnp.zeros((4, 64), jnp.int32)],
+    "pa_in": [_iq()],
+    "pa_out": [_iq()],
+    "tx_pilots": [jnp.zeros((64,), jnp.complex64)],
+    "rx_pilots": [jnp.zeros((64,), jnp.complex64)],
+    "delays": [jnp.zeros((4,), jnp.float32)],
+    "angles": [jnp.zeros((8,), jnp.float32)],
+    "busy_timeline": [_bits()],
+    "demands_bits": [jnp.zeros((8,), jnp.float32)],
+    "boundary_measurements": [jnp.zeros((8, 64), jnp.float32)],
+    "digits": ["159"],
+    "name": ["qpsk"],
+    "text": ["hello"],
+    "tx_known": [_iq()],
+    "path": [_Lazy(_sample_file)],
+    "filename": [_Lazy(_sample_file)],
+    "fname": [_Lazy(_sample_file)],
+    "fd": [_Lazy(_devnull_fd)],
+}
+
+# Generic typed fallbacks for names with no entry above.
+_FALLBACKS = [_iq(), _f32(), _bits(), jnp.zeros((4, 64), jnp.complex64),
+              48000.0, 8]
+
+
+# OS-resource params: only the curated candidate — a wrong-typed
+# fallback (bare int) is an fd-safety hazard, not just a failed try.
+_NO_FALLBACK = {"path", "filename", "fname", "fd"}
+
+
+def _candidates(name: str):
+    got = _BY_NAME.get(name)
+    if got is not None:
+        if name in _NO_FALLBACK:
+            return list(got)
+        return list(got) + [v for v in _FALLBACKS if not any(
+            v is g for g in got)]
+    n = name.lower()
+    if n.endswith(("_hz", "_db", "_s", "_rate")) or n.startswith(
+            ("f_", "freq", "bw", "alpha", "beta", "gain", "snr")):
+        return [1000.0, _f32(), 8]
+    if n.startswith(("n_", "num_", "len", "order", "sf", "k")):
+        return [8, 64, 1000.0]
+    return list(_FALLBACKS)
+
+
+def _has_array(tree) -> bool:
+    return any(
+        hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1
+        for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def synthesize(fn, max_tries: int = 64):
+    """Find (args, kwargs) that `jax.eval_shape`-trace `fn`.
+
+    Arrays are traced; everything else is closed over statically.
+    Returns (args, kwargs) or raises the last trace error.
+    """
+    sig = inspect.signature(fn)
+    required = [
+        p for p in sig.parameters.values()
+        if p.default is inspect.Parameter.empty
+        and p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                       inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                       inspect.Parameter.KEYWORD_ONLY)
+    ]
+    slots = [(_p.name, _candidates(_p.name)) for _p in required]
+    err: Exception | None = None
+    err_rank = -1
+    tries = 0
+
+    def rank(e: Exception) -> int:
+        # Higher = more diagnostic of the block's true nature (a trace
+        # error on a well-formed attempt beats a wrong-template
+        # TypeError from a later attempt).
+        if isinstance(e, jax.errors.ConcretizationTypeError):
+            return 3
+        if isinstance(e, jax.errors.TracerArrayConversionError):
+            return 3
+        if "returned a value of type" in str(e):
+            return 2
+        if isinstance(e, (ValueError, IndexError)):
+            return 1
+        return 0
+
+    def attempt(idx, chosen):
+        nonlocal err, err_rank, tries
+        if idx == len(slots):
+            tries += 1
+            kwargs = {k: (v.make() if isinstance(v, _Lazy) else v)
+                      for k, v in chosen}
+            arr_kw = {k: v for k, v in kwargs.items()
+                      if hasattr(v, "shape")}
+            sta_kw = {k: v for k, v in kwargs.items()
+                      if not hasattr(v, "shape")}
+            try:
+                out = jax.eval_shape(
+                    functools.partial(fn, **sta_kw), **arr_kw)
+                return kwargs, out
+            except Exception as e:  # noqa: BLE001 — probe keeps trying
+                if rank(e) > err_rank:
+                    err, err_rank = e, rank(e)
+                return None
+        name, cands = slots[idx]
+        for cand in cands:
+            if tries >= max_tries:
+                break
+            got = attempt(idx + 1, chosen + [(name, cand)])
+            if got is not None:
+                return got
+        return None
+
+    got = attempt(0, [])
+    if got is None:
+        raise err or TypeError("no template inputs found")
+    return got
+
+
+def probe(fn) -> tuple[str, str]:
+    """Classify one callable: ("jit" | "host" | "unknown", reason)."""
+    try:
+        kwargs, out = synthesize(fn)
+    except jax.errors.ConcretizationTypeError:
+        return "host", "data-dependent control flow (concrete values)"
+    except jax.errors.TracerArrayConversionError:
+        return "host", "pulls traced arrays to host"
+    except Exception as e:  # noqa: BLE001 — anything else: no claim
+        if "returned a value of type" in str(e):
+            return "host", "returns a non-array object"
+        return "unknown", f"{type(e).__name__}: {e}"[:120]
+    if not _has_array(out):
+        return "host", "returns no array output"
+    return "jit", ""
+
+
+def probe_block(info) -> tuple[str, str]:
+    """Classify a registry BlockInfo (factory may itself need params)."""
+    try:
+        fn = info.factory()
+    except TypeError:
+        return "unknown", "factory requires parameters"
+    except Exception as e:  # noqa: BLE001
+        return "unknown", f"factory: {type(e).__name__}"[:120]
+    if not callable(fn):
+        return "host", "factory returns a non-callable object"
+    return probe(fn)
+
+
+def probe_registry(reg) -> dict[str, tuple[str, str]]:
+    """Classify every block. ~523 abstract traces ≈ seconds on CPU."""
+    return {b.name: probe_block(b) for b in reg.list()}

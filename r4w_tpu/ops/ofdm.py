@@ -22,7 +22,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from r4w_tpu.core import hostio
 from r4w_tpu.core.types import IQ_DTYPE, REAL_DTYPE
+
+
+def _iq(x):
+    """Coerce to a device complex64 array.
+
+    Host numpy complex arrays cross the boundary as split real/imag
+    planes (hostio.to_device) because complex64 host->device copies are
+    unimplemented on some TPU transfer layers (ARCHITECTURE.md §7);
+    device arrays just get a dtype cast.
+    """
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return hostio.to_device(np.asarray(x, np.complex64))
+    return jnp.asarray(x, IQ_DTYPE)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,9 +121,9 @@ def estimate_pilot_ls(rx_occupied, pattern: PilotPattern):
     """Least-squares channel estimate at each pilot of each symbol:
     H_ls[..., s, p] = rx[..., s, pos_p] / pilot_value_p
     (ofdm_channel_est.rs:147 estimate)."""
-    rx_occupied = jnp.asarray(rx_occupied, IQ_DTYPE)
+    rx_occupied = _iq(rx_occupied)
     pos = jnp.asarray(np.asarray(pattern.positions, np.int32))
-    vals = jnp.asarray(np.asarray(pattern.values, np.complex64))
+    vals = _iq(np.asarray(pattern.values, np.complex64))
     return rx_occupied[..., pos] / vals
 
 
@@ -118,8 +132,14 @@ def common_phase_error(h_ls, h_ref):
     relative to a reference estimate: cpe[..., s] = unit phasor."""
     corr = jnp.sum(h_ls * jnp.conj(h_ref), axis=-1)
     mag = jnp.abs(corr)
-    return jnp.where(mag > 1e-12, corr / jnp.maximum(mag, 1e-12),
-                     jnp.ones_like(corr))
+    # Degenerate (zero-correlation) symbols fall back to a unit phasor.
+    # Built from real planes: jnp.ones_like on a complex array would
+    # materialize a complex constant host-side, and complex host->device
+    # transfers are unimplemented on some TPU runtimes (ARCHITECTURE §7).
+    degen = (mag <= 1e-12).astype(REAL_DTYPE)
+    scale = (1.0 - degen) / jnp.maximum(mag, 1e-12)
+    return jax.lax.complex(jnp.real(corr) * scale + degen,
+                           jnp.imag(corr) * scale)
 
 
 def estimate_channel(rx_occupied, pattern: PilotPattern):
@@ -137,14 +157,14 @@ def estimate_channel(rx_occupied, pattern: PilotPattern):
     cpe = common_phase_error(h_ls, h0)  # (..., S)
     h_pkt = jnp.mean(h_ls * jnp.conj(cpe)[..., None], axis=-2)  # (..., P)
     w = jnp.asarray(_interp_operator(pattern.positions, pattern.n_occupied))
-    h_occ = (h_pkt.real @ w.T + 1j * (h_pkt.imag @ w.T)).astype(IQ_DTYPE)
+    h_occ = jax.lax.complex(h_pkt.real @ w.T, h_pkt.imag @ w.T)
     return h_occ, cpe
 
 
 def equalize_zf(rx, h, floor: float = 1e-6):
     """Zero-forcing: rx/h with a magnitude floor
     (ofdm_channel_est.rs:197 equalize)."""
-    rx = jnp.asarray(rx, IQ_DTYPE)
+    rx = _iq(rx)
     p = jnp.maximum(jnp.abs(h) ** 2, jnp.asarray(floor, REAL_DTYPE))
     return rx * jnp.conj(h) / p
 
@@ -152,7 +172,7 @@ def equalize_zf(rx, h, floor: float = 1e-6):
 def equalize_mmse(rx, h, noise_var):
     """MMSE: rx·conj(h)/(|h|²+σ²) (ofdm_channel_est.rs:216
     equalize_mmse)."""
-    rx = jnp.asarray(rx, IQ_DTYPE)
+    rx = _iq(rx)
     return rx * jnp.conj(h) / (jnp.abs(h) ** 2
                                + jnp.asarray(noise_var, REAL_DTYPE))
 
@@ -201,7 +221,7 @@ def training_sequence(n_occupied: int, seed: int = 0x1F) -> np.ndarray:
 def estimate_channel_from_training(rx_train, train_vals):
     """Per-bin LS channel estimate from known training symbol(s):
     rx_train (..., T, n_occ) / train_vals (n_occ) → mean over T."""
-    rx_train = jnp.asarray(rx_train, IQ_DTYPE)
+    rx_train = _iq(rx_train)
     return jnp.mean(rx_train / train_vals, axis=-2)
 
 
@@ -216,13 +236,13 @@ def equalize_packet(rx_occupied, pattern: PilotPattern, train_vals,
     (equalize_frame), the per-bin estimate handles delay spreads up to
     the cyclic prefix regardless of pilot density.
     """
-    rx_occupied = jnp.asarray(rx_occupied, IQ_DTYPE)
-    train_vals = jnp.asarray(train_vals, IQ_DTYPE)
+    rx_occupied = _iq(rx_occupied)
+    train_vals = _iq(train_vals)
     rx_train = rx_occupied[..., :n_train, :]
     rx_data = rx_occupied[..., n_train:, :]
     h_occ = estimate_channel_from_training(rx_train, train_vals)
     pos = jnp.asarray(np.asarray(pattern.positions, np.int32))
-    vals = jnp.asarray(np.asarray(pattern.values, np.complex64))
+    vals = _iq(np.asarray(pattern.values, np.complex64))
     h_ls = rx_data[..., pos] / vals  # (..., S, P)
     cpe = common_phase_error(h_ls, h_occ[..., None, pos])
     derot = rx_data * jnp.conj(cpe)[..., None]

@@ -75,6 +75,22 @@ class BlockRegistry:
             out[b.category] = out.get(b.category, 0) + 1
         return out
 
+    def jit_safety(self, name: str) -> tuple[str, str]:
+        """("jit" | "host" | "unknown", reason) for a block, probed by
+        abstract tracing (jit_probe.probe_block) and cached. "jit"
+        blocks are pure batch-first functions that compose under
+        jax.jit/vmap — the checked form of SURVEY §2.2's design stance."""
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache: dict[str, tuple[str, str]] = {}
+        key = name.lower()
+        if key not in self._jit_cache:
+            info = self.get(key)
+            if info is None:
+                raise KeyError(f"unknown block '{name}'")
+            from r4w_tpu.jit_probe import probe_block
+            self._jit_cache[key] = probe_block(info)
+        return self._jit_cache[key]
+
 
 def _ofdm_ops():
     from r4w_tpu.ops import ofdm as ofdm_ops

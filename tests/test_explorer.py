@@ -25,7 +25,7 @@ def _get(url):
 def test_index_page(server):
     status, ctype, body = _get(server + "/")
     assert status == 200 and "text/html" in ctype
-    assert b"waveform explorer" in body
+    assert b"r4w-tpu explorer" in body
     assert b"/api/demo" in body
 
 
