@@ -44,6 +44,18 @@ class _Lazy:
         self.make = make
 
 
+class _Static:
+    """Array-valued template passed as a STATIC (closed-over) argument
+    instead of a traced one. Design-time parameters — filter
+    coefficients, channel taps, constellations, interleaver
+    permutations — are numpy constants in real call sites, and blocks
+    legitimately np.asarray() them; tracing them would misclassify the
+    block as host-side."""
+
+    def __init__(self, value):
+        self.value = value
+
+
 @functools.lru_cache(maxsize=1)
 def _sample_file() -> str:
     """A real raw-sample file for path-taking source/sink blocks.
@@ -87,8 +99,10 @@ _BY_NAME: dict[str, list] = {
     "key": [jax.random.key(0)],
     "x": [_iq(), _f32()],
     "y": [_iq(), _f32()],
-    "a": [_iq(), _f32()],
-    "b": [_iq(), _f32()],
+    # a/b are signals for correlators but coefficient vectors for IIR
+    # designs — traced arrays are tried first, static numpy second.
+    "a": [_iq(), _f32(), _Static(np.array([1.0, -0.5]))],
+    "b": [_iq(), _f32(), _Static(np.array([0.2, 0.3]))],
     "iq": [_iq()],
     "rx": [_iq()],
     "tx": [_iq()],
@@ -120,6 +134,9 @@ _BY_NAME: dict[str, list] = {
     "freq_hz": [1000.0],
     "sps": [8],
     "n": [64],
+    "nbits": [8],
+    "degree": [5],
+    "index": [1],
     "seed": [0],
     "noise": [_f32(), 0.1],
     "frames": [jnp.zeros((4, 64), jnp.int32)],
@@ -136,6 +153,15 @@ _BY_NAME: dict[str, list] = {
     "name": ["qpsk"],
     "text": ["hello"],
     "tx_known": [_iq()],
+    "channel_taps": [_Static(np.array([1.0 + 0j, 0.4 + 0.1j],
+                                      np.complex64))],
+    "constellation": [_Static(np.exp(1j * (np.pi / 4 + np.pi / 2
+                                           * np.arange(4))).astype(
+                                               np.complex64))],
+    "interleaver": [_Static(np.arange(512)[::-1].copy())],
+    "tap_values": [_Static(np.array([1.0, -0.3]))],
+    "tap_positions": [_Static(np.array([0, 5]))],
+    "rolloffs": [_Static((0.22, 0.35))],
     "path": [_Lazy(_sample_file)],
     "filename": [_Lazy(_sample_file)],
     "fname": [_Lazy(_sample_file)],
@@ -163,9 +189,22 @@ def _candidates(name: str):
     if n.endswith(("_hz", "_db", "_s", "_rate")) or n.startswith(
             ("f_", "freq", "bw", "alpha", "beta", "gain", "snr")):
         return [1000.0, _f32(), 8]
-    if n.startswith(("n_", "num_", "len", "order", "sf", "k")):
+    if n.startswith(("n_", "num_", "nbit", "nfft", "ntap", "npts",
+                     "len", "order", "sf", "k")):
         return [8, 64, 1000.0]
     return list(_FALLBACKS)
+
+
+def split_kwargs(kwargs):
+    """Canonical (traced, static) split of synthesized kwargs: plain
+    arrays are traced jit arguments; _Static payloads and scalars are
+    closed over (unwrapped). Use this to call a block the same way the
+    probe traced it."""
+    arr_kw = {k: v for k, v in kwargs.items()
+              if hasattr(v, "shape") and not isinstance(v, _Static)}
+    sta_kw = {k: (v.value if isinstance(v, _Static) else v)
+              for k, v in kwargs.items() if k not in arr_kw}
+    return arr_kw, sta_kw
 
 
 def _has_array(tree) -> bool:
@@ -174,11 +213,18 @@ def _has_array(tree) -> bool:
         for leaf in jax.tree_util.tree_leaves(tree))
 
 
-def synthesize(fn, max_tries: int = 64):
+def synthesize(fn, max_tries: int = 192):
     """Find (args, kwargs) that `jax.eval_shape`-trace `fn`.
 
     Arrays are traced; everything else is closed over statically.
     Returns (args, kwargs) or raises the last trace error.
+
+    Search order is iterative deepening on the number of slots that
+    deviate from their first-choice candidate: all-first-choice, then
+    single-slot swaps, then pairs, ... A naive depth-first product walk
+    burns the whole try budget inside the first slot's wrong candidate
+    (e.g. IIR coefficient vectors that must be static while the signal
+    is traced) before ever reaching the mixed assignment that works.
     """
     sig = inspect.signature(fn)
     required = [
@@ -207,37 +253,56 @@ def synthesize(fn, max_tries: int = 64):
             return 1
         return 0
 
-    def attempt(idx, chosen):
+    def attempt(chosen):
         nonlocal err, err_rank, tries
+        tries += 1
+        kwargs = {k: (v.make() if isinstance(v, _Lazy) else v)
+                  for k, v in chosen}
+        arr_kw, sta_kw = split_kwargs(kwargs)
+        try:
+            out = jax.eval_shape(
+                functools.partial(fn, **sta_kw), **arr_kw)
+            return kwargs, out
+        except Exception as e:  # noqa: BLE001 — probe keeps trying
+            if rank(e) > err_rank:
+                err, err_rank = e, rank(e)
+            return None
+
+    def explore(idx, chosen, deviations):
+        """Assignments for slots[idx:] with exactly `deviations` slots
+        not on their first candidate."""
+        nonlocal tries
+        if tries >= max_tries:
+            return None
         if idx == len(slots):
-            tries += 1
-            kwargs = {k: (v.make() if isinstance(v, _Lazy) else v)
-                      for k, v in chosen}
-            arr_kw = {k: v for k, v in kwargs.items()
-                      if hasattr(v, "shape")}
-            sta_kw = {k: v for k, v in kwargs.items()
-                      if not hasattr(v, "shape")}
-            try:
-                out = jax.eval_shape(
-                    functools.partial(fn, **sta_kw), **arr_kw)
-                return kwargs, out
-            except Exception as e:  # noqa: BLE001 — probe keeps trying
-                if rank(e) > err_rank:
-                    err, err_rank = e, rank(e)
-                return None
+            if deviations == 0:
+                return attempt(chosen)
+            return None
         name, cands = slots[idx]
-        for cand in cands:
-            if tries >= max_tries:
-                break
-            got = attempt(idx + 1, chosen + [(name, cand)])
+        remaining = len(slots) - idx - 1
+        # first-choice here, spend deviations later
+        if deviations <= remaining * 8:
+            got = explore(idx + 1, chosen + [(name, cands[0])],
+                          deviations)
             if got is not None:
                 return got
+        if deviations > 0:
+            for cand in cands[1:]:
+                if tries >= max_tries:
+                    break
+                got = explore(idx + 1, chosen + [(name, cand)],
+                              deviations - 1)
+                if got is not None:
+                    return got
         return None
 
-    got = attempt(0, [])
-    if got is None:
-        raise err or TypeError("no template inputs found")
-    return got
+    for dev in range(len(slots) + 1):
+        got = explore(0, [], dev)
+        if got is not None:
+            return got
+        if tries >= max_tries:
+            break
+    raise err or TypeError("no template inputs found")
 
 
 def probe(fn) -> tuple[str, str]:

@@ -6,17 +6,21 @@ glfsr_source.rs, gold_code_generator.rs,
 cyclic_redundancy_check_parallel.rs, fec_generic_api.rs,
 aes_stream_cipher.rs, covert_timing_encoder.rs.
 
-LFSR-driven sequences are generated host-side once (they are code
-constants), applied on-device as one vectorized XOR; the multiplicative
-(self-synchronizing) scrambler's bit recursion runs in numpy since the
-state is bit-serial by definition and the sequences are short control
-streams, not IQ-rate data.
+LFSR-driven keystreams that are data-independent are generated
+host-side once at trace time (they are pure functions of the static
+length, so they constant-fold under jit); the multiplicative
+(self-synchronizing) scrambler's bit recursion is data-dependent and
+runs as a lax.scan with a population-count feedback tap — every block
+here composes under jax.jit/vmap.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from r4w_tpu.ops import spreading as _spreading
 
@@ -31,50 +35,66 @@ def additive_scramble(bits, taps: int, seed: int, nbits: int):
     return b ^ jnp.asarray(ks, jnp.int32)
 
 
+def _pn_scan(bits, taps: int, seed: int, nbits: int, feed_output: bool):
+    """Shared lax.scan core of the multiplicative (de)scrambler: the
+    nbits-wide LFSR state rides the scan carry as a uint32 word and the
+    feedback parity is one hardware population-count — the jit/vmap
+    form of pn_scrambler.rs's bit loop (nbits <= 31)."""
+    if not 0 < nbits < 32:
+        raise ValueError(f"nbits must be 1..31, got {nbits}")
+    b = jnp.asarray(bits, jnp.uint32)
+    mask = jnp.uint32((1 << nbits) - 1)
+    taps_u = jnp.uint32(taps)
+    one = jnp.uint32(1)
+
+    def step(state, bit):
+        fb = lax.population_count(state & taps_u) & one
+        out = bit ^ fb
+        shift_in = out if feed_output else bit
+        state = ((state << one) | shift_in) & mask
+        return state, out
+
+    _, out = lax.scan(step, jnp.uint32(seed) & mask,
+                      jnp.moveaxis(b, -1, 0))
+    return jnp.moveaxis(out, 0, -1).astype(jnp.int32)
+
+
 def pn_scramble(bits, taps: int, seed: int, nbits: int):
     """Multiplicative (self-synchronizing) scrambler (pn_scrambler.rs):
     out = in XOR parity(state&taps); the OUTPUT bit is shifted into the
     state, so the descrambler resynchronizes from the line stream."""
-    b = np.asarray(bits).astype(np.int64)
-    mask = (1 << nbits) - 1
-    state = seed & mask
-    out = np.zeros_like(b)
-    for i in range(b.shape[0]):
-        fb = bin(state & taps).count("1") & 1
-        out[i] = b[i] ^ fb
-        state = ((state << 1) | out[i]) & mask
-    return jnp.asarray(out, jnp.int32)
+    return _pn_scan(bits, taps, seed, nbits, feed_output=True)
 
 
 def pn_descramble(bits, taps: int, seed: int, nbits: int):
     """Inverse of pn_scramble — state is fed from the RECEIVED bits."""
-    b = np.asarray(bits).astype(np.int64)
-    mask = (1 << nbits) - 1
-    state = seed & mask
-    out = np.zeros_like(b)
-    for i in range(b.shape[0]):
-        fb = bin(state & taps).count("1") & 1
-        out[i] = b[i] ^ fb
-        state = ((state << 1) | b[i]) & mask
-    return jnp.asarray(out, jnp.int32)
+    return _pn_scan(bits, taps, seed, nbits, feed_output=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _lcg_keystream(n: int, seed: int) -> np.ndarray:
+    state = int(seed)
+    a, c, mask = 1664525, 1013904223, (1 << 64) - 1
+    ks = np.zeros(n, np.int32)
+    for i in range(n):
+        state = (a * state + c) & mask
+        ks[i] = (state >> 24) & 0xFF
+    return ks
 
 
 def lcg_whiten(data_bytes, seed: int = 0x12345678):
     """XOR bytes with a linear-congruential keystream
     (linear_congruential_whitener.rs). Self-inverse. LCG: Numerical
-    Recipes constants, top byte used."""
-    d = np.asarray(data_bytes).astype(np.uint8)
-    state = int(seed)
-    a, c, mask = 1664525, 1013904223, (1 << 64) - 1
-    ks = np.zeros_like(d)
-    for i in range(d.shape[0]):
-        state = (a * state + c) & mask
-        ks[i] = (state >> 24) & 0xFF
-    return jnp.asarray(d ^ ks, jnp.int32)
+    Recipes constants, top byte used. The keystream depends only on the
+    (static) length, so it is built host-side once and constant-folds
+    under jit — the data path is one vectorized XOR."""
+    d = jnp.asarray(data_bytes, jnp.int32)
+    ks = jnp.asarray(_lcg_keystream(int(d.shape[-1]), int(seed)))
+    return d ^ ks
 
 
-def glfsr_source(taps: int, seed: int, nbits: int, n: int):
-    """Galois-configuration LFSR bit source (glfsr_source.rs)."""
+@functools.lru_cache(maxsize=None)
+def _glfsr_bits(taps: int, seed: int, nbits: int, n: int) -> np.ndarray:
     mask = (1 << nbits) - 1
     state = seed & mask
     out = np.zeros(n, np.int64)
@@ -84,7 +104,15 @@ def glfsr_source(taps: int, seed: int, nbits: int, n: int):
         if out[i]:
             state ^= taps
         state &= mask
-    return jnp.asarray(out, jnp.int32)
+    return out.astype(np.int32)
+
+
+def glfsr_source(taps: int, seed: int, nbits: int, n: int):
+    """Galois-configuration LFSR bit source (glfsr_source.rs). Pure
+    function of static parameters — precomputed host-side, a constant
+    under jit."""
+    return jnp.asarray(_glfsr_bits(int(taps), int(seed), int(nbits),
+                                   int(n)))
 
 
 def gold_code_generator(degree: int, index: int, n: int | None = None):
@@ -191,16 +219,16 @@ def covert_timing_encode(bits, base_interval: int, delta: int):
     """Encode bits into inter-event timing (covert_timing_encoder.rs):
     bit 0 → gap of base_interval, bit 1 → base_interval + delta.
     Returns event indices."""
-    b = np.asarray(bits).astype(np.int64)
+    b = jnp.asarray(bits, jnp.int32)
     gaps = base_interval + delta * b
-    return jnp.asarray(np.cumsum(gaps), jnp.int32)
+    return jnp.cumsum(gaps, axis=-1).astype(jnp.int32)
 
 
 def covert_timing_decode(events, base_interval: int, delta: int):
-    ev = np.asarray(events).astype(np.int64)
-    gaps = np.diff(np.concatenate([[0], ev]))
-    return jnp.asarray((gaps > base_interval + delta // 2)
-                       .astype(np.int64), jnp.int32)
+    ev = jnp.asarray(events, jnp.int32)
+    first = ev[..., :1]
+    gaps = jnp.concatenate([first, jnp.diff(ev, axis=-1)], axis=-1)
+    return (gaps > base_interval + delta // 2).astype(jnp.int32)
 
 
 BLOCKS = {

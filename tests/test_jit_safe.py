@@ -92,8 +92,7 @@ def test_jit_blocks_execute_compiled(classified, name):
     info = reg.get(name)
     fn = info.factory()
     kwargs, _ = jit_probe.synthesize(fn)
-    arr_kw = {k: v for k, v in kwargs.items() if hasattr(v, "shape")}
-    sta_kw = {k: v for k, v in kwargs.items() if not hasattr(v, "shape")}
+    arr_kw, sta_kw = jit_probe.split_kwargs(kwargs)
     out = jax.jit(functools.partial(fn, **sta_kw))(**arr_kw)
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "shape")]
