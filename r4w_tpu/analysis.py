@@ -126,10 +126,16 @@ class Waterfall:
 
     def compute(self, samples) -> np.ndarray:
         """(frames, fft_size) power dB, DC-centered."""
-        x = np.asarray(samples, np.complex64)
-        frames = np.asarray(measure.stft(x, self.fft_size, self.hop))
-        power = np.fft.fftshift(
-            np.abs(frames) ** 2, axes=-1)
+        import jax.numpy as jnp
+
+        from r4w_tpu.core.hostio import to_device
+
+        x = to_device(np.asarray(samples, np.complex64))
+        frames = measure.stft(x, self.fft_size, self.hop)
+        # transfer |.|^2 (real) — complex device->host copies are
+        # unimplemented on some TPU runtimes (ARCHITECTURE §7)
+        power = np.asarray(jnp.abs(frames) ** 2)
+        power = np.fft.fftshift(power, axes=-1)
         return 10.0 * np.log10(np.maximum(power, 1e-30))
 
     def to_ascii(self, samples, max_rows: int = 24, width: int = 70) -> str:

@@ -29,6 +29,10 @@ Endpoints:
                  doppler_hz=..&tdl_profile=..&rician_k=..
   POST /api/pipeline      — body {nodes:[{id,block,params,inputs}]}
   GET  /api/gnss_sky?preset=e1c_8prn&t=0   (or POST with YAML body)
+  POST /api/stream/start  — body {port?,fs?,fft?} → loopback UDP port
+  POST /api/stream/tx     — body {name?,hex?,snr?,reps?} test burst
+  GET  /api/stream/rows?since=N — incremental waterfall rows + stats
+  POST /api/stream/stop
 
 Run: `r4w-tpu explore --port 8080` or
      `python -m r4w_tpu.explorer --port 8080`.
@@ -54,7 +58,7 @@ header{padding:12px 20px;background:#1a2230;font-size:18px;display:flex;gap:24px
 header .tab{cursor:pointer;color:#9fb3c8}
 header .tab.active{color:#fff;border-bottom:2px solid #2f6feb}
 main{display:flex;gap:16px;padding:16px}
-#controls,#pctrl,#gctrl{min-width:280px;max-width:320px;background:#1a2230;
+#controls,#pctrl,#gctrl,#lctrl{min-width:280px;max-width:320px;background:#1a2230;
 padding:16px;border-radius:8px;align-self:flex-start}
 label{display:block;margin:10px 0 4px;font-size:13px;color:#9fb3c8}
 select,input,textarea{width:100%;padding:6px;background:#0d1117;color:#e6e6e6;
@@ -81,6 +85,7 @@ canvas.big{background:#0d1117;border-radius:8px}
  <span class=tab data-v=demo>waveform demo</span>
  <span class=tab data-v=pipe>pipeline wizard</span>
  <span class=tab data-v=gnss>gnss sky</span>
+ <span class=tab data-v=live>live stream</span>
 </header>
 
 <main id=v_demo>
@@ -136,21 +141,93 @@ canvas.big{background:#0d1117;border-radius:8px}
  </div>
 </main>
 
+<main id=v_live style="display:none">
+ <div id=lctrl>
+  <label>Sample rate (Hz)</label><input id=lfs type=number value=250000>
+  <label>FFT size</label>
+  <select id=lfft><option>128</option><option selected>256</option>
+  <option>512</option></select>
+  <button class=small onclick=liveStart()>start</button>
+  <button class=small onclick=liveStop()>stop</button>
+  <div class=meta id=lstat>stopped — start opens a loopback UDP port
+for [seq u32][f32 I/Q] packets (net.py / `r4w-tpu udp-send` format)</div>
+  <label>Test burst waveform</label><select id=lwf></select>
+  <label>Payload (hex)</label><input id=lhex value=A71B3CD2>
+  <label>SNR (dB, empty = clean)</label><input id=lsnr value=20>
+  <button class=small onclick=liveTx()>send test burst</button>
+ </div>
+ <div><canvas id=wfcanvas class=big width=512 height=360></canvas>
+  <div class=meta id=lmeta></div></div>
+</main>
+
 <script>
 const $=id=>document.getElementById(id);
 document.querySelectorAll('.tab').forEach(t=>t.onclick=()=>{
  document.querySelectorAll('.tab').forEach(x=>x.classList.remove('active'));
  t.classList.add('active');
- for(const v of ['demo','pipe','gnss'])
+ for(const v of ['demo','pipe','gnss','live'])
   $('v_'+v).style.display=(t.dataset.v==v)?'flex':'none';
 });
 document.querySelector('.tab').classList.add('active');
+
+let liveNext=0, liveTimer=null;
+async function liveStart(){
+ const r=await (await fetch('/api/stream/start',{method:'POST',
+  body:JSON.stringify({fs:+$('lfs').value,fft:+$('lfft').value})})).json();
+ if(r.error){$('lstat').textContent=r.error;return;}
+ $('lstat').textContent=`listening on udp://127.0.0.1:${r.port}`;
+ liveNext=0;
+ const c=$('wfcanvas').getContext('2d');
+ c.fillStyle='#0d1117';c.fillRect(0,0,512,360);
+ if(liveTimer)clearInterval(liveTimer);
+ liveTimer=setInterval(livePoll,250);
+}
+async function liveStop(){
+ if(liveTimer){clearInterval(liveTimer);liveTimer=null;}
+ await fetch('/api/stream/stop',{method:'POST',body:'{}'});
+ $('lstat').textContent='stopped';
+}
+async function liveTx(){
+ const r=await (await fetch('/api/stream/tx',{method:'POST',
+  body:JSON.stringify({name:$('lwf').value,hex:$('lhex').value,
+   snr:$('lsnr').value})})).json();
+ $('lmeta').textContent=JSON.stringify(r);
+}
+function heat(v){ // 0..1 -> color
+ const r=Math.min(255,Math.floor(v*512)),
+       g=Math.max(0,Math.floor(v*255-64)),
+       b=Math.floor(96+96*Math.sin(v*3.14));
+ return `rgb(${r},${g},${b})`;
+}
+async function livePoll(){
+ const r=await (await fetch('/api/stream/rows?since='+liveNext)).json();
+ if(r.error)return;
+ liveNext=r.next;
+ const s=r.stats;
+ $('lmeta').textContent=
+  `rows ${r.next}  packets ${s.packets}  dropped ${s.dropped}  `+
+  `samples ${s.samples}`;
+ if(!r.rows.length)return;
+ const cv=$('wfcanvas'),c=cv.getContext('2d');
+ for(const row of r.rows){
+  c.drawImage(cv,0,0,512,359,0,1,512,359);      // scroll down 1px
+  const lo=Math.min(...row),hi=Math.max(...row),rng=Math.max(hi-lo,1e-9);
+  const w=512/row.length;
+  for(let i=0;i<row.length;i++){
+   c.fillStyle=heat((row[i]-lo)/rng);
+   c.fillRect(i*w,0,Math.ceil(w),1);
+  }
+ }
+}
 
 let BLOCKS=[];
 async function init(){
  const names=await (await fetch('/api/waveforms')).json();
  for(const n of names){const o=document.createElement('option');
-  o.textContent=n;$('wf').appendChild(o);}
+  o.textContent=n;$('wf').appendChild(o);
+  const o2=document.createElement('option');
+  o2.textContent=n;if(n=='QPSK')o2.selected=true;
+  $('lwf').appendChild(o2);}
  for(const c of %CHANNELS%){const o=document.createElement('option');
   o.textContent=c;$('chan').appendChild(o);}
  BLOCKS=await (await fetch('/api/blocks')).json();
@@ -439,6 +516,159 @@ def gnss_sky(preset: str = "e1c_8prn", elapsed_s: float = 0.0,
     return {"elapsed_s": float(elapsed_s), "sats": status}
 
 
+class _StreamSession:
+    """Live UDP IQ → rolling waterfall (the reference GUI's streaming
+    view, crates/r4w-gui/src/views/streaming/ + remote_lab.rs role).
+
+    A background thread drains a `net.UdpSource` (loopback bind by
+    default) and folds complete FFT frames into a bounded deque of
+    power-dB rows; `/api/stream/rows` serves rows incrementally by
+    absolute index so any number of browser clients can tail the
+    stream. Wire format is the framework's standard
+    [seq u32][f32 I/Q...] (net.py), so `net.UdpSink`, the CLI
+    `udp-send`, and the reference's sender all feed it directly.
+    """
+
+    def __init__(self, port: int = 0, fs: float = 250_000.0,
+                 fft_size: int = 256, host: str = "127.0.0.1",
+                 max_rows: int = 512):
+        import collections
+
+        from r4w_tpu.analysis import Waterfall
+        from r4w_tpu.net import UdpConfig, UdpSource
+
+        self.fs = float(fs)
+        self.fft = int(fft_size)
+        self._src = UdpSource(UdpConfig(host=host, port=int(port),
+                                        timeout_s=0.25))
+        self._wf = Waterfall(self.fs, self.fft, hop=self.fft)
+        self._buf = np.zeros(0, np.complex64)
+        self._rows = collections.deque(maxlen=max_rows)
+        self._count = 0  # rows ever produced (absolute index space)
+        self.error: str | None = None
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._src.port
+
+    def _pump(self):
+        # FIXED block size: every distinct input length is a fresh jit
+        # compile (tens of seconds through a tunneled TPU), so the STFT
+        # runs on one static shape — warmed once here, reused forever.
+        block = 16 * self.fft
+        try:
+            self._wf.compute(np.zeros(block, np.complex64))
+        except Exception as e:  # noqa: BLE001
+            self.error = f"{type(e).__name__}: {e}"[:200]
+        while not self._stop.is_set():
+            try:
+                chunk = self._src.recv_batch(128)
+                if chunk.size == 0:
+                    continue
+                buf = np.concatenate([self._buf, chunk])
+                while buf.size >= block:
+                    rows = self._wf.compute(buf[:block])
+                    with self._lock:
+                        for r in rows:
+                            self._rows.append(np.round(r, 1))
+                            self._count += 1
+                    buf = buf[block:]
+                self._buf = buf
+            except Exception as e:  # noqa: BLE001 — keep the pump
+                # alive and surface the error through /api/stream/rows
+                self.error = f"{type(e).__name__}: {e}"[:200]
+
+    def rows_since(self, since: int, max_out: int = 128) -> dict:
+        with self._lock:
+            total = self._count
+            start_abs = total - len(self._rows)
+            take_from = max(int(since), start_abs)
+            rows = [[round(float(v), 1) for v in self._rows[i - start_abs]]
+                    for i in range(take_from, total)][-max_out:]
+        return {
+            "rows": rows,
+            "next": total,
+            "fs": self.fs,
+            "fft": self.fft,
+            "stats": {
+                "packets": self._src.packets_received,
+                "dropped": self._src.packets_dropped,
+                "samples": self._src.samples_received,
+                **({"pump_error": self.error} if self.error else {}),
+            },
+        }
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self._src.close()
+
+
+_stream_lock = threading.Lock()
+_stream: _StreamSession | None = None
+
+
+def stream_start(port: int = 0, fs: float = 250_000.0,
+                 fft_size: int = 256) -> dict:
+    global _stream
+    with _stream_lock:
+        if _stream is not None:
+            _stream.stop()
+        _stream = _StreamSession(port=port, fs=fs, fft_size=fft_size)
+        return {"port": _stream.port, "fs": _stream.fs,
+                "fft": _stream.fft}
+
+
+def stream_stop() -> dict:
+    global _stream
+    with _stream_lock:
+        if _stream is None:
+            return {"stopped": False}
+        _stream.stop()
+        _stream = None
+        return {"stopped": True}
+
+
+def stream_tx(name: str = "QPSK", hex_payload: str = "A71B3CD2",
+              snr_db: float | None = 20.0, reps: int = 32) -> dict:
+    """Send a modulated test burst into the live stream over loopback —
+    makes the streaming view drivable with zero external hardware
+    (remote-lab self-test)."""
+    from r4w_tpu.core.hostio import to_host
+    from r4w_tpu.net import UdpSink
+    from r4w_tpu.waveforms import create_waveform
+
+    with _stream_lock:
+        if _stream is None:
+            return {"error": "stream not started"}
+        port, fs = _stream.port, _stream.fs
+    wf = create_waveform(name, fs)
+    if wf is None:
+        return {"error": f"unknown waveform '{name}'"}
+    payload = bytes.fromhex(hex_payload) if hex_payload else b"\xa7\x1b"
+    # split-plane host pull: eager complex device->host transfers are
+    # unimplemented on some TPU runtimes (ARCHITECTURE §7)
+    iq = to_host(wf.modulate(payload)).astype(np.complex64)
+    iq = np.tile(iq, max(int(reps), 1))
+    if snr_db is not None:
+        p = float(np.mean(np.abs(iq) ** 2)) or 1.0
+        sigma = np.sqrt(p / (10 ** (float(snr_db) / 10) * 2))
+        rng = np.random.default_rng(0)
+        iq = iq + sigma * (rng.standard_normal(iq.size)
+                           + 1j * rng.standard_normal(iq.size)
+                           ).astype(np.complex64)
+    sink = UdpSink("127.0.0.1", port)
+    try:
+        n_pkts = sink.send(iq)
+    finally:
+        sink.close()
+    return {"packets": n_pkts, "samples": int(iq.size)}
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet
         pass
@@ -467,6 +697,25 @@ class _Handler(BaseHTTPRequestHandler):
                 q = urllib.parse.parse_qs(parsed.query)
                 self._json(gnss_sky(
                     elapsed_s=float(q.get("t", ["0"])[0]), yaml_text=body))
+                return
+            if parsed.path == "/api/stream/start":
+                spec = json.loads(body or "{}")
+                self._json(stream_start(
+                    port=int(spec.get("port", 0)),
+                    fs=float(spec.get("fs", 250_000.0)),
+                    fft_size=int(spec.get("fft", 256))))
+                return
+            if parsed.path == "/api/stream/stop":
+                self._json(stream_stop())
+                return
+            if parsed.path == "/api/stream/tx":
+                spec = json.loads(body or "{}")
+                self._json(stream_tx(
+                    name=spec.get("name", "QPSK"),
+                    hex_payload=spec.get("hex", "A71B3CD2"),
+                    snr_db=(None if spec.get("snr") in (None, "")
+                            else float(spec["snr"])),
+                    reps=int(spec.get("reps", 32))))
                 return
         except Exception as e:  # surface, don't kill the server
             self._json({"error": f"{type(e).__name__}: {e}"})
@@ -538,6 +787,15 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:
                 out = {"error": f"{type(e).__name__}: {e}"}
             self._json(out)
+            return
+        if parsed.path == "/api/stream/rows":
+            q = urllib.parse.parse_qs(parsed.query)
+            with _stream_lock:
+                s = _stream
+            if s is None:
+                self._json({"error": "stream not started"})
+                return
+            self._json(s.rows_since(int(q.get("since", ["0"])[0])))
             return
         self._json({"error": "not found"}, 404)
 

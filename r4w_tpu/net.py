@@ -92,6 +92,14 @@ class UdpSource:
     def __init__(self, config: UdpConfig = UdpConfig()):
         self.config = config
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # a burst of MTU-sized IQ packets overflows the default ~208 KB
+        # kernel buffer before the reader thread wakes; ask for 4 MB
+        # (kernel caps apply) like the reference's benchmark receiver
+        try:
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                  1 << 22)
+        except OSError:
+            pass
         self._sock.bind((config.host, config.port))
         self._sock.settimeout(config.timeout_s)
         self.last_seq: int | None = None

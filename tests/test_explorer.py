@@ -77,3 +77,52 @@ def test_blocks_endpoint(server):
     assert any(b["name"] == "golay_correlator" for b in blocks)
     status, _, body = _get(server + "/api/blocks")
     assert len(json.loads(body)) >= 500
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_live_stream_loopback(server):
+    """Streaming waterfall end-to-end: start → UDP test burst →
+    incremental rows → stop (views/streaming/ + remote_lab.rs role)."""
+    import time
+
+    start = _post(server + "/api/stream/start",
+                  {"fs": 250000.0, "fft": 128})
+    assert start["port"] > 0 and start["fft"] == 128
+    try:
+        tx = _post(server + "/api/stream/tx",
+                   {"name": "QPSK", "hex": "CAFE1234", "snr": 15,
+                    "reps": 64})
+        assert tx.get("packets", 0) >= 1, tx
+        rows, stats = [], {}
+        for _ in range(40):  # poll up to 10 s for the pump thread
+            out = json.loads(_get(
+                server + "/api/stream/rows?since=0")[2])
+            rows, stats = out.get("rows", []), out.get("stats", {})
+            if rows:
+                break
+            time.sleep(0.25)
+        assert rows, f"no waterfall rows arrived: {stats}"
+        assert len(rows[0]) == 128  # one dB value per FFT bin
+        assert all(isinstance(v, float) for v in rows[0])
+        assert stats["packets"] >= 1 and stats["samples"] > 0
+        # incremental tailing: asking from `next` returns nothing new
+        # (or only rows produced since)
+        nxt = out["next"]
+        again = json.loads(_get(
+            server + f"/api/stream/rows?since={nxt}")[2])
+        assert again["next"] >= nxt
+    finally:
+        stop = _post(server + "/api/stream/stop", {})
+        assert stop["stopped"] is True
+
+
+def test_stream_rows_without_start(server):
+    out = json.loads(_get(server + "/api/stream/rows?since=0")[2])
+    assert "error" in out
