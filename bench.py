@@ -114,15 +114,15 @@ def bench_fft1024():
     return {"Msps": round(batch * n * iters / dt / 1e6, 1)}
 
 
-def bench_fft4096():
-    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps)."""
+def _bench_fft(n: int, batch: int, iters: int, seed: int):
+    """Shared chained-FFT throughput core; working set stays
+    VMEM-resident (same sizing rationale as bench_fft1024)."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
     import numpy as np
 
-    n, batch, iters = 4096, 64, 4096
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     re = rng.standard_normal((batch, n), dtype=np.float32)
     im = rng.standard_normal((batch, n), dtype=np.float32)
     scale = np.float32(1.0 / np.sqrt(n))
@@ -139,6 +139,21 @@ def bench_fft4096():
 
     dt = _timed_scalar(run, re, im)
     return {"Msps": round(batch * n * iters / dt / 1e6, 1)}
+
+
+def bench_fft256():
+    """FFT-256 (reference publishes 645 Msps, MEASURABLE_OBJECTIVES:26)."""
+    return _bench_fft(256, 1024, 16384, 7)
+
+
+def bench_fft2048():
+    """FFT-2048 (reference publishes 179 Msps, README.md:94)."""
+    return _bench_fft(2048, 128, 8192, 8)
+
+
+def bench_fft4096():
+    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps)."""
+    return _bench_fft(4096, 64, 4096, 1)
 
 
 def bench_lora_sf7_demod():
@@ -530,6 +545,8 @@ def bench_device_sweep(budget_s: float = 900.0):
 
 BENCHES = {
     "fft1024": bench_fft1024,
+    "fft256": bench_fft256,
+    "fft2048": bench_fft2048,
     "fft4096": bench_fft4096,
     "fir32": lambda: bench_fir(32),
     "fir128": lambda: bench_fir(128),
@@ -702,7 +719,8 @@ def orchestrate(order, platform=None):
 
 
 ORDER = [
-    "fft1024", "fft4096", "fir32", "fir128", "rotator", "cmul",
+    "fft1024", "fft256", "fft2048", "fft4096", "fir32", "fir128",
+    "rotator", "cmul",
     "bpsk_mod", "viterbi_info_bits", "pcps_corr", "channel_awgn",
     "lora_sf7_demod", "lora_sweep", "pcps_gcorr", "device_sweep",
 ]
