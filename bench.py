@@ -156,6 +156,94 @@ def bench_fft4096():
     return _bench_fft(4096, 64, 4096, 1)
 
 
+def bench_udp_rx():
+    """Loopback UDP IQ ingest through the native C++ receiver thread +
+    lock-free ring (benchmark/receiver.rs role, §3.4 distributed path).
+    Pure host-side: measures the wire→ring→numpy path, no device."""
+    import threading
+    import numpy as np
+
+    from r4w_tpu.net import UdpSink
+
+    try:
+        from r4w_tpu.native import NativeUdpReceiver
+
+        rx = NativeUdpReceiver(port=0, ring_samples=1 << 22)
+        path = "native"
+    except Exception:  # noqa: BLE001 — fall back to the Python source
+        from r4w_tpu.benchmark import BenchmarkReceiver  # noqa: F401
+        from r4w_tpu.net import UdpConfig, UdpSource
+
+        rx = None
+        src = UdpSource(UdpConfig(host="127.0.0.1", port=0,
+                                  timeout_s=0.1))
+        path = "python"
+
+    port = rx.port if rx is not None else src.port
+    chunk_len = 8000
+    chunk = (np.exp(2j * np.pi * 0.01 * np.arange(chunk_len))
+             .astype(np.complex64))
+
+    def trial(rate_msps: float, secs: float = 2.0):
+        """Paced sender at rate_msps (the reference's benchmark paces
+        at the waveform sample rate); returns (got, sent, elapsed)."""
+        n_chunks = int(rate_msps * 1e6 * secs / chunk_len)
+        period = chunk_len / (rate_msps * 1e6)
+        done = {"flag": False}
+
+        def sender():
+            sink = UdpSink("127.0.0.1", port)
+            t_next = time.perf_counter()
+            for _ in range(n_chunks):
+                sink.send(chunk)
+                t_next += period
+                delay = t_next - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+            sink.close()
+            done["flag"] = True
+
+        th = threading.Thread(target=sender, daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        got, idle_until = 0, None
+        while time.perf_counter() < t0 + secs + 10.0:
+            batch = (rx.read(1 << 16) if rx is not None
+                     else src.recv_batch(64))
+            got += len(batch)
+            if done["flag"] and len(batch) == 0:
+                # linger briefly: data may still be in flight
+                idle_until = idle_until or time.perf_counter() + 0.3
+                if time.perf_counter() > idle_until:
+                    break
+            else:
+                idle_until = None
+        return got, n_chunks * chunk_len, time.perf_counter() - t0
+
+    # descending rate ladder: report the highest rate sustained with
+    # >= 99% delivery (packet pacing is the reference's methodology)
+    def gaps():
+        return int(rx.stats["seq_gaps"] if rx is not None
+                   else src.packets_dropped)
+
+    result = None
+    for rate in (200.0, 100.0, 50.0, 25.0, 12.0, 6.0):
+        g0 = gaps()
+        got, total, dt = trial(rate)
+        pct = 100.0 * got / total
+        result = {"Msps": round(got / dt / 1e6, 1), "path": path,
+                  "offered_msps": rate,
+                  "received_pct": round(pct, 1),
+                  "seq_gaps": gaps() - g0}
+        if pct >= 99.0:
+            break
+    if rx is not None:
+        rx.close()
+    else:
+        src.close()
+    return result
+
+
 def bench_lora_sf7_demod():
     """Chained chirp-synthesize → dechirp-FFT-argmax demod loop."""
     import jax
@@ -557,6 +645,7 @@ BENCHES = {
     "pcps_corr": bench_pcps,
     "channel_awgn": bench_channel,
     "lora_sf7_demod": bench_lora_sf7_demod,
+    "udp_rx": bench_udp_rx,
     "lora_sweep": bench_lora_sweep,
     "pcps_gcorr": bench_pcps_gcorr,
     "device_sweep": bench_device_sweep,
@@ -722,7 +811,8 @@ ORDER = [
     "fft1024", "fft256", "fft2048", "fft4096", "fir32", "fir128",
     "rotator", "cmul",
     "bpsk_mod", "viterbi_info_bits", "pcps_corr", "channel_awgn",
-    "lora_sf7_demod", "lora_sweep", "pcps_gcorr", "device_sweep",
+    "lora_sf7_demod", "udp_rx", "lora_sweep", "pcps_gcorr",
+    "device_sweep",
 ]
 
 

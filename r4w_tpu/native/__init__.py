@@ -300,10 +300,23 @@ class NativeUdpReceiver:
         return int(self._lib.udprx_available(self._h)) // 2
 
     def read(self, max_samples: int) -> np.ndarray:
-        buf = np.empty(max_samples * 2, np.float32)
-        got = int(self._lib.udprx_read(
-            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            buf.size))
+        buf = np.empty(max_samples * 2 + 1, np.float32)
+        carry = getattr(self, "_carry", None)
+        off = 0
+        if carry is not None:
+            buf[0] = carry
+            off = 1
+            self._carry = None
+        got = off + int(self._lib.udprx_read(
+            self._h,
+            buf[off:].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_samples * 2))
+        if got & 1:
+            # ring reads are float-granular; an odd count splits an
+            # I/Q pair — carry the dangling I to the next read so the
+            # stream never misaligns
+            self._carry = float(buf[got - 1])
+            got -= 1
         inter = buf[:got]
         return (inter[0::2] + 1j * inter[1::2]).astype(np.complex64)
 
