@@ -162,6 +162,8 @@ _BY_NAME: dict[str, list] = {
     "tap_values": [_Static(np.array([1.0, -0.3]))],
     "tap_positions": [_Static(np.array([0, 5]))],
     "rolloffs": [_Static((0.22, 0.35))],
+    "occupied": [_Static(np.arange(-26, 27))],
+    "pilots": [_Static(np.array([-21, -7, 7, 21]))],
     "path": [_Lazy(_sample_file)],
     "filename": [_Lazy(_sample_file)],
     "fname": [_Lazy(_sample_file)],

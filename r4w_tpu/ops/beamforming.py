@@ -289,12 +289,15 @@ def oam_beam(n_elems_ring: int, mode: int):
 def delay_and_sum(x, delays):
     """Time-domain delay-and-sum beamformer
     (acoustic_beamformer_adaptive.rs fixed part /
-    ultrasound_beam_synthesizer.rs): integer-sample delays, (N, T)."""
+    ultrasound_beam_synthesizer.rs): integer-sample delays, (N, T).
+
+    Delays may be traced (one circular gather per element, jit/vmap
+    safe) — steering can ride inside a scanned search loop."""
     x = jnp.asarray(x)
-    out = jnp.zeros_like(x[0])
-    for i, d in enumerate(np.asarray(delays).astype(int)):
-        out = out + jnp.roll(x[i], -int(d))
-    return out / x.shape[0]
+    d = jnp.asarray(delays, jnp.int32)
+    t = x.shape[-1]
+    idx = (jnp.arange(t)[None, :] + d[:, None]) % t
+    return jnp.mean(jnp.take_along_axis(x, idx, axis=-1), axis=0)
 
 
 def ultrasound_focus_delays(n_elems: int, pitch_m: float, focus_m: float,

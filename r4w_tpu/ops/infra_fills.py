@@ -280,16 +280,19 @@ def dpd_learn_polynomial(pa_in, pa_out, order: int = 5):
     (power_amplifier_dpd.rs / digital_predistortion.rs): fit the PA
     post-inverse y→x with an odd-order memoryless polynomial
     Σ c_k y|y|^{2k}; the same coefficients applied PRE-PA linearize
-    the chain."""
-    x = np.asarray(pa_in, np.complex128)
-    y = np.asarray(pa_out, np.complex128)
+    the chain. Pure jnp (jit-safe); returns (coef, gain) as device
+    scalars — the TPU-safe real-block LS is core.linalg.complex_lstsq."""
+    from r4w_tpu.core.linalg import complex_lstsq
+
+    x = jnp.asarray(pa_in, IQ_DTYPE)
+    y = jnp.asarray(pa_out, IQ_DTYPE)
     # normalize the gain so the polynomial fits shape, not scale
-    g = np.vdot(y, x) / np.vdot(y, y)
+    g = jnp.vdot(y, x) / jnp.vdot(y, y)
     y = y * g
-    cols = [y * np.abs(y) ** (2 * k) for k in range((order + 1) // 2)]
-    a = np.stack(cols, axis=-1)
-    coef, *_ = np.linalg.lstsq(a, x, rcond=None)
-    return jnp.asarray(coef.astype(np.complex64)), complex(g)
+    cols = [y * jnp.abs(y) ** (2 * k) for k in range((order + 1) // 2)]
+    a = jnp.stack(cols, axis=-1)
+    coef = complex_lstsq(a, x)
+    return coef.astype(IQ_DTYPE), g
 
 
 def dpd_apply(x, coef):

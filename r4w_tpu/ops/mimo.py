@@ -102,23 +102,23 @@ def sic_decode(rx: jax.Array, constellation: jax.Array,
 
 
 def waterfilling(channel_gains, total_power: float,
-                 noise_power: float = 1.0) -> np.ndarray:
+                 noise_power: float = 1.0) -> jax.Array:
     """Classic waterfilling power allocation (waterfilling.rs):
-    p_i = max(0, μ − N/|h_i|²) with Σp_i = P. Exact via sorting."""
-    g = np.asarray(channel_gains, np.float64)
-    inv = noise_power / np.maximum(np.abs(g) ** 2, 1e-18)
-    order = np.argsort(inv)
-    inv_sorted = inv[order]
-    # find the largest k where the water level covers the k best
-    best_p = np.zeros_like(inv)
-    for k in range(len(inv), 0, -1):
-        mu = (total_power + inv_sorted[:k].sum()) / k
-        if mu > inv_sorted[k - 1]:
-            p_sorted = np.maximum(mu - inv_sorted, 0.0)
-            p_sorted[k:] = 0.0
-            best_p[order] = p_sorted
-            break
-    return best_p
+    p_i = max(0, μ − N/|h_i|²) with Σp_i = P. Exact via sorting —
+    pure jnp (jit/vmap-safe): all candidate water levels come from one
+    cumsum over the sorted inverse gains, and μ* > inv for exactly the
+    active channels, so max(μ* − inv, 0) needs no scatter."""
+    g = jnp.asarray(channel_gains, REAL_DTYPE)
+    inv = noise_power / jnp.maximum(jnp.abs(g) ** 2, 1e-18)
+    inv_sorted = jnp.sort(inv)
+    n = inv.shape[0]
+    k = jnp.arange(1, n + 1, dtype=REAL_DTYPE)
+    csum = jnp.cumsum(inv_sorted)
+    mu_k = (total_power + csum) / k
+    valid = mu_k > inv_sorted               # level covers channel k
+    kstar = jnp.max(jnp.where(valid, jnp.arange(1, n + 1), 0))
+    mu = (total_power + csum[kstar - 1]) / kstar.astype(REAL_DTYPE)
+    return jnp.maximum(mu - inv, 0.0)
 
 
 # ----------------------------------------------------- link adaptation

@@ -262,14 +262,21 @@ def sparse_multipath_equalize(rx, taps, n_fft: int = 1024):
 
 def ls_channel_estimate(tx_pilots, rx_pilots, n_taps: int = 8):
     """Time-domain least-squares channel estimator
-    (channel_estimator.rs): solve the Toeplitz LS for the FIR channel."""
-    x = np.asarray(tx_pilots, np.complex128)
-    y = np.asarray(rx_pilots, np.complex128)
+    (channel_estimator.rs): solve the Toeplitz LS for the FIR channel.
+
+    Pure jnp (jit/vmap-safe): the Toeplitz data matrix is one gather
+    and the complex LS solves through the TPU-safe real-block normal
+    equations (core.linalg.complex_lstsq)."""
+    from r4w_tpu.core.linalg import complex_lstsq
+
+    x = jnp.asarray(tx_pilots, IQ_DTYPE)
+    y = jnp.asarray(rx_pilots, IQ_DTYPE)
     rows = x.shape[0] - n_taps + 1
-    a = np.stack([x[i:i + n_taps][::-1] for i in range(rows)])
+    idx = jnp.arange(rows)[:, None] + (n_taps - 1
+                                       - jnp.arange(n_taps))[None, :]
+    a = x[idx]                                  # (rows, n_taps)
     b = y[n_taps - 1:n_taps - 1 + rows]
-    h, *_ = np.linalg.lstsq(a, b, rcond=None)
-    return jnp.asarray(h.astype(np.complex64))
+    return complex_lstsq(a, b).astype(IQ_DTYPE)
 
 
 class DynamicChannel:

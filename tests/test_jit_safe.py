@@ -43,10 +43,11 @@ def test_data_plane_majority_jits(classified):
     total = len(results)
     assert total >= 500, f"catalog shrank: {total}"
     # Data-plane majority: the "jit" set must dominate the catalog's
-    # processing blocks. 231 "host" entries include genuinely host-side
-    # control blocks (sources, sinks, schedulers, stateful trackers).
-    assert c["jit"] >= 245, f"jit-safe count regressed: {c}"
-    assert c["jit"] / total >= 0.45, c
+    # processing blocks. The ~216 "host" entries are genuinely
+    # host-side: sources/sinks, schedulers, stateful trackers,
+    # variable-length event extractors, dict-returning analyzers.
+    assert c["jit"] >= 265, f"jit-safe count regressed: {c}"
+    assert c["jit"] / total >= 0.50, c
 
 
 def test_unknown_tail_small(classified):

@@ -95,18 +95,20 @@ class TestSic:
 class TestWaterfilling:
     def test_total_power_and_kkt(self):
         g = np.asarray([1.0, 0.8, 0.4, 0.1])
-        p = mimo.waterfilling(g, total_power=4.0, noise_power=1.0)
-        assert p.sum() == pytest.approx(4.0, rel=1e-9)
+        p = np.asarray(mimo.waterfilling(g, total_power=4.0,
+                                         noise_power=1.0))
+        # f32 device arithmetic (the allocator is jit/vmap-safe now)
+        assert p.sum() == pytest.approx(4.0, rel=1e-5)
         # water level equal on active channels: p_i + N/g_i² constant
         level = p + 1.0 / g**2
         active = p > 0
-        assert np.ptp(level[active]) < 1e-9
+        assert np.ptp(level[active]) < 1e-4
         # weak channels get less (or zero) power
         assert p[0] > p[2] and p[3] <= p[2]
 
     def test_deep_fade_gets_nothing(self):
-        p = mimo.waterfilling([1.0, 1e-6], total_power=1.0)
-        assert p[1] == 0.0 and p[0] == pytest.approx(1.0)
+        p = np.asarray(mimo.waterfilling([1.0, 1e-6], total_power=1.0))
+        assert p[1] == 0.0 and p[0] == pytest.approx(1.0, rel=1e-6)
 
 
 class TestAdaptiveModcod:
