@@ -98,10 +98,11 @@ def _bits(n=_N):
 _BY_NAME: dict[str, list] = {
     "key": [jax.random.key(0)],
     "x": [_iq(), _f32()],
-    "y": [_iq(), _f32()],
+    "y": [_iq(), _f32(), jnp.zeros((16, 4), jnp.complex64)],
     # a/b are signals for correlators but coefficient vectors for IIR
     # designs — traced arrays are tried first, static numpy second.
-    "a": [_iq(), _f32(), _Static(np.array([1.0, -0.5]))],
+    "a": [_iq(), _f32(), jnp.zeros((8, 8), jnp.float32),
+          _Static(np.array([1.0, -0.5]))],
     "b": [_iq(), _f32(), _Static(np.array([0.2, 0.3]))],
     "iq": [_iq()],
     "rx": [_iq()],
@@ -126,7 +127,8 @@ _BY_NAME: dict[str, list] = {
     "measurements": [_f32()],
     "values": [_f32()],
     "taps": [jnp.zeros((31,), jnp.float32)],
-    "h": [_iq(), jnp.zeros((4,), jnp.complex64)],
+    "h": [_iq(), jnp.zeros((4,), jnp.complex64),
+          jnp.zeros((4, 4), jnp.complex64)],
     "xs": [_f32()],
     "cube": [jnp.zeros((4, 8, 64), jnp.complex64)],
     "sample_rate": [48000.0],
@@ -150,8 +152,18 @@ _BY_NAME: dict[str, list] = {
     "demands_bits": [jnp.zeros((8,), jnp.float32)],
     "boundary_measurements": [jnp.zeros((8, 64), jnp.float32)],
     "digits": ["159"],
-    "name": ["qpsk"],
+    "name": ["qpsk", "repetition", "sin"],
     "text": ["hello"],
+    "op": ["xor"],
+    "kind": ["lowpass"],
+    "model": ["fspl"],
+    "profile": ["EPA"],
+    "interp": [4],
+    "q": [jnp.zeros((4,), jnp.float32)],
+    "mag_body": [jnp.zeros((16, 3), jnp.float32)],
+    "tags": [_Static([(0, {"len": 8})])],
+    "tags_a": [_Static([(0, {"len": 8})])],
+    "tags_b": [_Static([(8, {"len": 8})])],
     "tx_known": [_iq()],
     "channel_taps": [_Static(np.array([1.0 + 0j, 0.4 + 0.1j],
                                       np.complex64))],
@@ -236,6 +248,16 @@ def synthesize(fn, max_tries: int = 192):
                        inspect.Parameter.POSITIONAL_OR_KEYWORD,
                        inspect.Parameter.KEYWORD_ONLY)
     ]
+    if not required and any(
+            p.kind is inspect.Parameter.VAR_POSITIONAL
+            for p in sig.parameters.values()):
+        # *args-only blocks (e.g. max over streams): feed two streams
+        for xs in ((_f32(), _f32()), (_iq(), _iq())):
+            try:
+                out = jax.eval_shape(lambda *a: fn(*a), *xs)
+                return {f"arg{i}": v for i, v in enumerate(xs)}, out
+            except Exception:  # noqa: BLE001 — try the next dtype
+                continue
     slots = [(_p.name, _candidates(_p.name)) for _p in required]
     err: Exception | None = None
     err_rank = -1

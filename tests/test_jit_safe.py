@@ -46,7 +46,7 @@ def test_data_plane_majority_jits(classified):
     # processing blocks. The ~216 "host" entries are genuinely
     # host-side: sources/sinks, schedulers, stateful trackers,
     # variable-length event extractors, dict-returning analyzers.
-    assert c["jit"] >= 265, f"jit-safe count regressed: {c}"
+    assert c["jit"] >= 275, f"jit-safe count regressed: {c}"
     assert c["jit"] / total >= 0.50, c
 
 
@@ -55,7 +55,7 @@ def test_unknown_tail_small(classified):
     c = _counts(results)
     # Unsynthesizable blocks make no claim either way; keep the tail
     # bounded so the classification stays meaningful.
-    assert c["unknown"] <= 50, {
+    assert c["unknown"] <= 30, {
         n: r for n, (s, r) in results.items() if s == "unknown"}
 
 
