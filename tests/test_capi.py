@@ -318,3 +318,33 @@ def test_invalid_parameters_rejected():
     assert not lib.r4w_waveform_bpsk_new(-1.0, 100.0)
     assert not lib.r4w_chirp_new(13, 125_000, 1)
     assert not lib.r4w_ringbuffer_new(1)
+
+
+def test_c_example_compiles_and_runs(tmp_path):
+    """The REAL C-caller proof: compile examples/11_capi_demo.c with a
+    C compiler against libr4w.so and run it — no Python in the loop
+    (the reference ships the same kind of usage example,
+    r4w-ffi/src/lib.rs:27-52)."""
+    import os
+    import shutil
+    import subprocess
+
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        pytest.skip("no C compiler")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(os.path.dirname(capi._SO), "libr4w.so")
+    assert os.path.exists(so)  # built by capi.available() in the gate
+    exe = tmp_path / "capi_demo"
+    subprocess.run(
+        [cc, "-O2", "-o", str(exe),
+         os.path.join(root, "examples", "11_capi_demo.c"),
+         "-I", os.path.join(root, "r4w_tpu", "native"),
+         "-L", os.path.dirname(so), "-lr4w", "-lm",
+         f"-Wl,-rpath,{os.path.dirname(so)}"],
+        check=True, capture_output=True, timeout=120)
+    out = subprocess.run([str(exe)], capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+    assert 'demodulated: "hello from C"' in out.stdout
