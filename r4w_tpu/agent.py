@@ -98,6 +98,7 @@ class AgentServer:
             return {"response": "error", "message": str(e)}
 
     def _start_tx(self, cmd: dict) -> dict:
+        from r4w_tpu.core.hostio import to_host
         from r4w_tpu.net import UdpSink
         from r4w_tpu.waveforms import create_waveform
 
@@ -107,7 +108,9 @@ class AgentServer:
                              float(cmd.get("sample_rate", 125_000.0)))
         if wf is None:
             return {"response": "error", "message": "unknown waveform"}
-        samples = np.asarray(wf.modulate(
+        # split-plane host pull (complex device->host transfers are
+        # unimplemented on some TPU runtimes)
+        samples = to_host(wf.modulate(
             cmd.get("message", "agent tx").encode()))
         repeat = bool(cmd.get("repeat", False))
         pps = float(cmd.get("pps", 0))

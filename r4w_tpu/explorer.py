@@ -29,6 +29,9 @@ Endpoints:
                  doppler_hz=..&tdl_profile=..&rician_k=..
   POST /api/pipeline      — body {nodes:[{id,block,params,inputs}]}
   GET  /api/gnss_sky?preset=e1c_8prn&t=0   (or POST with YAML body)
+  POST /api/remote        — body {agent_host,agent_port,command,...}
+                            relay to a r4w-tpu agent; target:"stream"
+                            points its TX at the live waterfall
   POST /api/stream/start  — body {port?,fs?,fft?} → loopback UDP port
   POST /api/stream/tx     — body {name?,hex?,snr?,reps?} test burst
   GET  /api/stream/rows?since=N — incremental waterfall rows + stats
@@ -155,6 +158,15 @@ for [seq u32][f32 I/Q] packets (net.py / `r4w-tpu udp-send` format)</div>
   <label>Payload (hex)</label><input id=lhex value=A71B3CD2>
   <label>SNR (dB, empty = clean)</label><input id=lsnr value=20>
   <button class=small onclick=liveTx()>send test burst</button>
+  <label style="margin-top:18px">— remote lab (r4w-tpu agent) —</label>
+  <label>Agent host:port</label>
+  <div class=nrow><input id=rahost value=127.0.0.1>
+   <input id=raport value=6000 style="max-width:70px"></div>
+  <button class=small onclick="remoteCmd('ping')">ping</button>
+  <button class=small onclick="remoteCmd('status')">status</button>
+  <button class=small onclick=remoteTx()>agent TX &rarr; waterfall</button>
+  <button class=small onclick="remoteCmd('stop_tx')">stop TX</button>
+  <div class=meta id=rstat></div>
  </div>
  <div><canvas id=wfcanvas class=big width=512 height=360></canvas>
   <div class=meta id=lmeta></div></div>
@@ -192,6 +204,18 @@ async function liveTx(){
   body:JSON.stringify({name:$('lwf').value,hex:$('lhex').value,
    snr:$('lsnr').value})})).json();
  $('lmeta').textContent=JSON.stringify(r);
+}
+async function remoteCmd(cmd,extra){
+ const body={agent_host:$('rahost').value,agent_port:+$('raport').value,
+  command:cmd,...(extra||{})};
+ const r=await (await fetch('/api/remote',{method:'POST',
+  body:JSON.stringify(body)})).json();
+ $('rstat').textContent=JSON.stringify(r);
+ return r;
+}
+async function remoteTx(){
+ await remoteCmd('start_tx',{target:'stream',waveform:$('lwf').value,
+  message:'remote lab tx',repeat:true,pps:4});
 }
 function heat(v){ // 0..1 -> color
  const r=Math.min(255,Math.floor(v*512)),
@@ -669,6 +693,36 @@ def stream_tx(name: str = "QPSK", hex_payload: str = "A71B3CD2",
     return {"packets": n_pkts, "samples": int(iq.size)}
 
 
+def remote_call(spec: dict) -> dict:
+    """Forward one command to a `r4w-tpu agent` (agent.py JSON/TCP
+    protocol) — the explorer's remote-lab seam. If `target` is the
+    literal string "stream", a start_tx is pointed at the live
+    waterfall's UDP port so the agent's transmission renders in the
+    browser."""
+    from r4w_tpu.agent import AgentClient
+
+    host = spec.get("agent_host", "127.0.0.1")
+    port = int(spec.get("agent_port", 6000))
+    command = spec.get("command", "ping")
+    kwargs = {k: v for k, v in spec.items()
+              if k not in ("agent_host", "agent_port", "command")}
+    if kwargs.get("target") == "stream":
+        with _stream_lock:
+            if _stream is None:
+                return {"response": "error",
+                        "message": "start the live stream first"}
+            kwargs["target"] = f"127.0.0.1:{_stream.port}"
+    try:
+        client = AgentClient(host, port, timeout_s=10.0)
+    except OSError as e:
+        return {"response": "error",
+                "message": f"cannot reach agent {host}:{port}: {e}"}
+    try:
+        return client.call(command, **kwargs)
+    finally:
+        client.close()
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet
         pass
@@ -707,6 +761,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if parsed.path == "/api/stream/stop":
                 self._json(stream_stop())
+                return
+            if parsed.path == "/api/remote":
+                # remote-lab passthrough (views/remote_lab.rs role):
+                # drive a running `r4w-tpu agent` over its JSON/TCP
+                # protocol. `target: "stream"` rewrites a start_tx
+                # destination to this explorer's live waterfall port.
+                spec = json.loads(body or "{}")
+                self._json(remote_call(spec))
                 return
             if parsed.path == "/api/stream/tx":
                 spec = json.loads(body or "{}")

@@ -126,3 +126,49 @@ def test_live_stream_loopback(server):
 def test_stream_rows_without_start(server):
     out = json.loads(_get(server + "/api/stream/rows?since=0")[2])
     assert "error" in out
+
+
+def test_remote_lab_agent_to_waterfall(server):
+    """Remote-lab loop (views/remote_lab.rs role): an agent serves the
+    JSON/TCP protocol, the explorer relays commands to it, and a
+    start_tx with target='stream' lands the agent's transmission in
+    the live waterfall."""
+    import time
+
+    from r4w_tpu.agent import AgentServer
+
+    agent = AgentServer(port=0)
+    agent.serve_in_thread()
+    try:
+        a = {"agent_host": "127.0.0.1", "agent_port": agent.port}
+        pong = _post(server + "/api/remote", {**a, "command": "ping"})
+        assert pong["response"] == "pong"
+        # without a stream, target='stream' is a clean error
+        err = _post(server + "/api/remote",
+                    {**a, "command": "start_tx", "target": "stream"})
+        assert err["response"] == "error"
+        start = _post(server + "/api/stream/start",
+                      {"fs": 125000.0, "fft": 128})
+        assert start["port"] > 0
+        try:
+            tx = _post(server + "/api/remote",
+                       {**a, "command": "start_tx", "target": "stream",
+                        "waveform": "QPSK", "message": "remote lab",
+                        "repeat": True, "pps": 10})
+            assert tx["response"] == "ok", tx
+            rows = []
+            for _ in range(60):  # up to 15 s: jit warm + pump
+                out = json.loads(_get(
+                    server + "/api/stream/rows?since=0")[2])
+                rows = out.get("rows", [])
+                if rows:
+                    break
+                time.sleep(0.25)
+            stop = _post(server + "/api/remote",
+                         {**a, "command": "stop_tx"})
+            assert stop["response"] == "ok"
+            assert rows, f"agent TX never reached the waterfall: {out}"
+        finally:
+            _post(server + "/api/stream/stop", {})
+    finally:
+        agent._running = False
