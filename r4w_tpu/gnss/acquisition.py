@@ -223,7 +223,17 @@ def _aligned_metric(x, codes, phase, dop, noise_floor, sample_rate,
     PRN, segments of one code period starting at its found code phase
     are coherently correlated at the found Doppler and power-summed.
     Secondary-code sign flips land exactly on window edges, so the full
-    per-period coherent gain survives (|·|² is sign-invariant)."""
+    per-period coherent gain survives (|·|² is sign-invariant).
+
+    The window slew is SUB-SAMPLE: the received code period is
+    L·(1−fd/fc) samples, so over long integrations the code phase
+    drifts continuously (≈0.9 samples per 100 ms at ±3 kHz on E1) —
+    each window takes its integer start from floor(k·period) AND its
+    replica from the sub-phase bank entry nearest the residual
+    fraction. A single global sub-phase decorrelates once the total
+    drift approaches a sample (measured on the E1C C/N0-34 gate:
+    metrics eroded 3.5→2.3 from K=25 to K=100 with the global
+    sub-phase; per-window selection holds them)."""
     codes = jnp.asarray(codes, REAL_DTYPE)
     if codes.ndim == 2:
         codes = codes[:, None, :]
@@ -231,28 +241,38 @@ def _aligned_metric(x, codes, phase, dop, noise_floor, sample_rate,
     n = x.shape[-1]
     k_ref = max(1, min(cfg.coherent_periods, n // l) - 1)
     t = jnp.arange(l, dtype=REAL_DTYPE) / sample_rate
-    ks = jnp.arange(k_ref)
+    ks = jnp.arange(k_ref, dtype=REAL_DTYPE)
     best = jnp.zeros((p,), REAL_DTYPE)
-    # local search: ±half a Doppler bin and ±1 sample of code phase
-    # around the coarse peak, with code-Doppler-slewed segment starts
-    # (the code period at the receiver is L/(1+fd/fc) samples; over long
-    # integrations the drift exceeds a sample)
+    # local search: ±half a Doppler bin; code phase offsets at
+    # sub-phase granularity over ±2 samples (the coarse phase is a
+    # drift-midpoint estimate)
+    taus = np.arange(-2.0, 2.0 + 1e-9, 1.0 / s)
     for ddop in (-0.5, 0.0, 0.5):
         fd = dop + ddop * cfg.doppler_step_hz  # (P,)
-        period = l * (1.0 - fd / cfg.carrier_hz)  # samples, (P,)
-        starts = jnp.round(
-            ks[None, :] * period[:, None]).astype(jnp.int32)  # (P, K)
+        drift = -fd / cfg.carrier_hz * l  # samples gained per period
         carrier = cis(
             (-2 * jnp.pi * fd[:, None] * t[None, :]).astype(REAL_DTYPE)
         ).astype(IQ_DTYPE)  # (P, L)
-        for dtau in (-1, 0, 1):
-            idx = (phase.astype(jnp.int32)[:, None, None] + dtau
-                   + starts[:, :, None] + jnp.arange(l)[None, None, :])
+        for dtau in taus:
+            # absolute fractional start of window k (relative to the
+            # coarse integer phase)
+            pos = dtau + ks[None, :] * (l + drift[:, None])  # (P, K)
+            i0 = jnp.floor(pos)
+            sub_raw = jnp.round((pos - i0) * s).astype(jnp.int32)
+            i0 = i0.astype(jnp.int32) + sub_raw // s
+            # signal delayed by frac ↔ replica bank entry ADVANCED by
+            # s/S (sampled_code_bank samples w at (i + s/S)·ratio), so
+            # the matching sub-phase is the NEGATED residual
+            sub = jnp.mod(-sub_raw, s)  # (P, K) replica sub-phase
+            idx = (phase.astype(jnp.int32)[:, None, None]
+                   + i0[:, :, None] + jnp.arange(l)[None, None, :])
             segs = x[jnp.clip(idx, 0, n - 1)]  # (P, K, L)
             mixed = segs * carrier[:, None, :]
-            corr_r = jnp.einsum("pkl,psl->psk", mixed.real, codes)
-            corr_i = jnp.einsum("pkl,psl->psk", mixed.imag, codes)
-            pw = jnp.max(jnp.sum(corr_r**2 + corr_i**2, axis=-1), axis=1)
+            code_k = jnp.take_along_axis(
+                codes, sub[:, :, None], axis=1)  # (P, K, L)
+            corr_r = jnp.einsum("pkl,pkl->pk", mixed.real, code_k)
+            corr_i = jnp.einsum("pkl,pkl->pk", mixed.imag, code_k)
+            pw = jnp.sum(corr_r**2 + corr_i**2, axis=-1)  # (P,)
             best = jnp.maximum(best, pw)
     k_grid = max(1, min(cfg.coherent_periods, n // l))
     return best / jnp.maximum(noise_floor * k_ref / k_grid, 1e-30)

@@ -1,0 +1,90 @@
+"""Galileo E1C 8-PRN acceptance gate (BASELINE north star).
+
+Generates the reference's `e1c_8prn_60s_cn34_orbital.yaml` scenario —
+8 satellites at C/N0 34 dB-Hz, orbital Doppler, kT·NF noise — for K
+code periods and re-acquires every PRN with the production batched
+PCPS (sub-sample replica bank + alignment verification), plus two
+absent PRNs as a false-alarm control. Prints ONE JSON line.
+
+K defaults to 50 (200 ms): at C/N0 34 the worst-geometry PRN sits
+within ~0.1 of the K=25 detection threshold, while at K=50 the
+max-of-Gamma(K) threshold drops faster than code-Doppler drift erodes
+the peak (measured: PRN 2 metric 3.5->3.2 vs threshold 3.57->3.01).
+
+Run on the TPU:  timeout 1800 python tools/e1c_gate.py
+(~2.5 min generation + ~1.5 min acquisition through the tunnel).
+Reference role: cmd_gnss_scenario + PcpsAcquisition::acquire
+(main.rs:3929, acquisition.rs:104).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+YAML = "/root/reference/e1c_8prn_60s_cn34_orbital.yaml"
+
+
+def main(periods: int = 50, yaml_path: str = YAML) -> dict:
+    import jax
+
+    from r4w_tpu.core import hostio
+    from r4w_tpu.gnss import acquisition, scenario
+
+    t0 = time.time()
+    cfg = scenario.load_scenario_yaml(yaml_path)
+    gen = scenario.GnssScenario(cfg)
+    fs = cfg.sample_rate
+    n_per = int(round(fs * 4092 / 1.023e6))
+    rx = gen.generate(periods * n_per / fs, block_size=1 << 18)
+    rx = hostio.to_device(np.asarray(rx)[: periods * n_per])
+    gen_s = time.time() - t0
+
+    present = [s.prn for s in cfg.satellites]
+    absent = [p for p in (9, 30, 44) if p not in present][:2]
+    prns = present + absent
+    waves = [scenario._spread_waveform(
+        scenario.SatelliteConfig(signal="GalileoE1C", prn=p))
+        for p in prns]
+    codes = acquisition.sampled_code_bank(
+        waves, scenario.CHIP_RATE * scenario.SUBCHIP, fs, n_per,
+        n_subphases=4)
+    cfg_a = acquisition.PcpsConfig(
+        doppler_max_hz=5000.0, doppler_step_hz=125.0, threshold=1.0,
+        coherent_periods=periods)
+    t1 = time.time()
+    res = acquisition.acquire(rx, codes, prns, fs, cfg_a)
+    acq_s = time.time() - t1
+
+    det = np.asarray(res.detected)
+    met = np.asarray(res.peak_metric)
+    dop = np.asarray(res.doppler_hz)
+    n_present = len(present)
+    out = {
+        "metric": "e1c_cn34_acquired",
+        "value": int(det[:n_present].sum()),
+        "of": n_present,
+        "false_alarms": int(det[n_present:].sum()),
+        "device": str(jax.devices()[0]),
+        "periods": periods,
+        "gen_s": round(gen_s, 1),
+        "acquire_s": round(acq_s, 1),
+        "per_prn": [
+            {"prn": int(p), "present": i < n_present,
+             "detected": bool(det[i]), "metric": round(float(met[i]), 2),
+             "doppler_hz": round(float(dop[i]), 0)}
+            for i, p in enumerate(prns)],
+    }
+    return out
+
+
+if __name__ == "__main__":
+    periods = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    print(json.dumps(main(periods)))
