@@ -244,6 +244,30 @@ def bench_udp_rx():
     return result
 
 
+def bench_e1c_gate():
+    """Galileo E1C 8-PRN C/N0-34 acceptance (BASELINE north star):
+    generate the reference's orbital scenario for 200 ms and re-acquire
+    every PRN with the production PCPS + sub-sample-slewed alignment
+    refine; two absent PRNs as false-alarm control (tools/e1c_gate.py)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.e1c_gate import main as gate_main
+
+    out = gate_main(periods=50)
+    return {
+        "acquired": f"{out['value']}/{out['of']}",
+        "false_alarms": out["false_alarms"],
+        "worst_present_metric": min(
+            r["metric"] for r in out["per_prn"] if r["present"]),
+        "best_absent_metric": max(
+            r["metric"] for r in out["per_prn"] if not r["present"]),
+        "gen_s": out["gen_s"],
+        "acquire_s": out["acquire_s"],
+    }
+
+
 def bench_lora_sf7_demod():
     """Chained chirp-synthesize → dechirp-FFT-argmax demod loop."""
     import jax
@@ -648,6 +672,7 @@ BENCHES = {
     "udp_rx": bench_udp_rx,
     "lora_sweep": bench_lora_sweep,
     "pcps_gcorr": bench_pcps_gcorr,
+    "e1c_gate": bench_e1c_gate,
     "device_sweep": bench_device_sweep,
 }
 
@@ -747,6 +772,8 @@ BUDGETS = {
     # cold-process worst case measured 407 s (pallas AOT warmup + two
     # 67 MB tunnel transfers for encode prep)
     "viterbi_info_bits": 900.0,
+    # 200 ms scenario generation (~250 s) + acquisition (~65 s) + margin
+    "e1c_gate": 900.0,
 }
 DEFAULT_BUDGET = 600.0
 TUNNEL_INIT_ALLOWANCE = 900.0  # measured 83-221 s to first scalar (r2 probes)
@@ -812,7 +839,7 @@ ORDER = [
     "rotator", "cmul",
     "bpsk_mod", "viterbi_info_bits", "pcps_corr", "channel_awgn",
     "lora_sf7_demod", "udp_rx", "lora_sweep", "pcps_gcorr",
-    "device_sweep",
+    "e1c_gate", "device_sweep",
 ]
 
 

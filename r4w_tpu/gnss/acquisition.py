@@ -254,17 +254,22 @@ def _aligned_metric(x, codes, phase, dop, noise_floor, sample_rate,
             (-2 * jnp.pi * fd[:, None] * t[None, :]).astype(REAL_DTYPE)
         ).astype(IQ_DTYPE)  # (P, L)
         for dtau in taus:
-            # absolute fractional start of window k (relative to the
-            # coarse integer phase)
-            pos = dtau + ks[None, :] * (l + drift[:, None])  # (P, K)
-            i0 = jnp.floor(pos)
-            sub_raw = jnp.round((pos - i0) * s).astype(jnp.int32)
+            # start of window k relative to the coarse integer phase =
+            # k·L (exact int) + the small slew dtau + k·drift. Keeping
+            # the k·L term OUT of the float math is load-bearing: at
+            # K=100 the absolute position reaches ~2e6 samples where
+            # the f32 ulp is 0.25 — the fractional part (which selects
+            # the sub-phase) would be noise.
+            slew = dtau + ks[None, :] * drift[:, None]  # (P, K), small
+            i0 = jnp.floor(slew)
+            sub_raw = jnp.round((slew - i0) * s).astype(jnp.int32)
             i0 = i0.astype(jnp.int32) + sub_raw // s
             # signal delayed by frac ↔ replica bank entry ADVANCED by
             # s/S (sampled_code_bank samples w at (i + s/S)·ratio), so
             # the matching sub-phase is the NEGATED residual
             sub = jnp.mod(-sub_raw, s)  # (P, K) replica sub-phase
             idx = (phase.astype(jnp.int32)[:, None, None]
+                   + (ks.astype(jnp.int32) * l)[None, :, None]
                    + i0[:, :, None] + jnp.arange(l)[None, None, :])
             segs = x[jnp.clip(idx, 0, n - 1)]  # (P, K, L)
             mixed = segs * carrier[:, None, :]
