@@ -171,7 +171,6 @@ def bench_udp_rx():
         rx = NativeUdpReceiver(port=0, ring_samples=1 << 22)
         path = "native"
     except Exception:  # noqa: BLE001 — fall back to the Python source
-        from r4w_tpu.benchmark import BenchmarkReceiver  # noqa: F401
         from r4w_tpu.net import UdpConfig, UdpSource
 
         rx = None
@@ -183,6 +182,10 @@ def bench_udp_rx():
     chunk_len = 8000
     chunk = (np.exp(2j * np.pi * 0.01 * np.arange(chunk_len))
              .astype(np.complex64))
+    # ONE sink for all ladder trials: a fresh sink restarts its
+    # sequence counter at 0, which the receiver counts as a gap and
+    # pollutes the recorded seq_gaps of later trials
+    sink = UdpSink("127.0.0.1", port)
 
     def trial(rate_msps: float, secs: float = 2.0):
         """Paced sender at rate_msps (the reference's benchmark paces
@@ -192,7 +195,6 @@ def bench_udp_rx():
         done = {"flag": False}
 
         def sender():
-            sink = UdpSink("127.0.0.1", port)
             t_next = time.perf_counter()
             for _ in range(n_chunks):
                 sink.send(chunk)
@@ -200,7 +202,6 @@ def bench_udp_rx():
                 delay = t_next - time.perf_counter()
                 if delay > 0:
                     time.sleep(delay)
-            sink.close()
             done["flag"] = True
 
         th = threading.Thread(target=sender, daemon=True)
@@ -237,6 +238,7 @@ def bench_udp_rx():
                   "seq_gaps": gaps() - g0}
         if pct >= 99.0:
             break
+    sink.close()
     if rx is not None:
         rx.close()
     else:
@@ -256,6 +258,8 @@ def bench_e1c_gate():
     from tools.e1c_gate import main as gate_main
 
     out = gate_main(periods=50)
+    if out.get("skipped"):
+        return {"skipped": out["skipped"]}
     return {
         "acquired": f"{out['value']}/{out['of']}",
         "false_alarms": out["false_alarms"],

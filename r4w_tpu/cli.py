@@ -718,7 +718,9 @@ def cmd_blocks(args):
         print(_json.dumps(rows, indent=1))
         return
     counts = reg.categories()
-    if not args.search and not args.category:
+    # --jit falls through to the per-block listing (so the probed tags
+    # are actually shown); the bare command prints the category summary
+    if not args.search and not args.category and not tags:
         total = sum(counts.values())
         print(f"{total} blocks in {len(counts)} categories "
               f"(use --category/--search to filter):")

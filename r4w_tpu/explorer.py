@@ -593,15 +593,17 @@ class _StreamSession:
                 chunk = self._src.recv_batch(128)
                 if chunk.size == 0:
                     continue
-                buf = np.concatenate([self._buf, chunk])
-                while buf.size >= block:
-                    rows = self._wf.compute(buf[:block])
+                # commit self._buf after EVERY block so a mid-buffer
+                # exception can't replay already-emitted rows on the
+                # next iteration (duplicate spectra to clients)
+                self._buf = np.concatenate([self._buf, chunk])
+                while self._buf.size >= block:
+                    rows = self._wf.compute(self._buf[:block])
                     with self._lock:
                         for r in rows:
                             self._rows.append(np.round(r, 1))
                             self._count += 1
-                    buf = buf[block:]
-                self._buf = buf
+                    self._buf = self._buf[block:]
             except Exception as e:  # noqa: BLE001 — keep the pump
                 # alive and surface the error through /api/stream/rows
                 self.error = f"{type(e).__name__}: {e}"[:200]
@@ -857,7 +859,12 @@ class _Handler(BaseHTTPRequestHandler):
             if s is None:
                 self._json({"error": "stream not started"})
                 return
-            self._json(s.rows_since(int(q.get("since", ["0"])[0])))
+            try:
+                since = int(float(q.get("since", ["0"])[0]))
+            except ValueError:
+                self._json({"error": "since must be a number"})
+                return
+            self._json(s.rows_since(since))
             return
         self._json({"error": "not found"}, 404)
 

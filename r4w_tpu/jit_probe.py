@@ -2,8 +2,12 @@
 
 Probes every block in a BlockRegistry by synthesizing template inputs
 from its signature and abstractly tracing it under `jax.eval_shape`
-(trace only — no compile, no device execution, so probing the whole
-523-block catalog takes seconds on CPU). The result is the `jit_safe`
+(trace only — no compile, no execution; probing the whole 523-block
+catalog takes ~a minute on CPU). Templates are host numpy arrays and
+importing this module touches no device; note that blocks which
+dispatch on `jax.default_backend()` (e.g. the FIR fast-path choice)
+will initialize the backend when probed — on a tunneled-TPU host
+that first probe pays the tunnel init. The result is the `jit_safe`
 tag surfaced through `BlockRegistry.jit_safety()` and `/api/blocks`:
 
   "jit"     — the block traced successfully with array inputs and
@@ -31,7 +35,6 @@ import os
 import tempfile
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -83,25 +86,31 @@ _N = 512
 # values), matching how pipeline._call_block feeds blocks.
 
 
+# Templates are HOST numpy arrays: jax.eval_shape abstracts them
+# without touching any device, so importing/probing stays free of
+# backend (tunnel) init — the "no device" contract of the probe.
+# (jnp templates would commit buffers to the default device at import.)
+
+
 def _iq(n=_N):
-    return jnp.zeros((n,), jnp.complex64)
+    return np.zeros((n,), np.complex64)
 
 
 def _f32(n=_N):
-    return jnp.zeros((n,), jnp.float32)
+    return np.zeros((n,), np.float32)
 
 
 def _bits(n=_N):
-    return jnp.zeros((n,), jnp.int32)
+    return np.zeros((n,), np.int32)
 
 
 _BY_NAME: dict[str, list] = {
-    "key": [jax.random.key(0)],
+    "key": [_Lazy(lambda: jax.random.key(0))],  # device init only when a key-taking block is probed
     "x": [_iq(), _f32()],
-    "y": [_iq(), _f32(), jnp.zeros((16, 4), jnp.complex64)],
+    "y": [_iq(), _f32(), np.zeros((16, 4), np.complex64)],
     # a/b are signals for correlators but coefficient vectors for IIR
     # designs — traced arrays are tried first, static numpy second.
-    "a": [_iq(), _f32(), jnp.zeros((8, 8), jnp.float32),
+    "a": [_iq(), _f32(), np.zeros((8, 8), np.float32),
           _Static(np.array([1.0, -0.5]))],
     "b": [_iq(), _f32(), _Static(np.array([0.2, 0.3]))],
     "iq": [_iq()],
@@ -117,8 +126,8 @@ _BY_NAME: dict[str, list] = {
     "data": [_bits(), _iq()],
     "symbols": [_iq(), _bits()],
     "llrs": [_f32()],
-    "words": [jnp.zeros((8,), jnp.int32)],
-    "payload": [jnp.zeros((16,), jnp.int32)],
+    "words": [np.zeros((8,), np.int32)],
+    "payload": [np.zeros((16,), np.int32)],
     "frame": [_iq(), _bits()],
     "pulses": [_f32()],
     "phase": [_f32()],
@@ -126,11 +135,11 @@ _BY_NAME: dict[str, list] = {
     "received": [_iq(), _f32()],
     "measurements": [_f32()],
     "values": [_f32()],
-    "taps": [jnp.zeros((31,), jnp.float32)],
-    "h": [_iq(), jnp.zeros((4,), jnp.complex64),
-          jnp.zeros((4, 4), jnp.complex64)],
+    "taps": [np.zeros((31,), np.float32)],
+    "h": [_iq(), np.zeros((4,), np.complex64),
+          np.zeros((4, 4), np.complex64)],
     "xs": [_f32()],
-    "cube": [jnp.zeros((4, 8, 64), jnp.complex64)],
+    "cube": [np.zeros((4, 8, 64), np.complex64)],
     "sample_rate": [48000.0],
     "fs": [48000.0],
     "freq_hz": [1000.0],
@@ -141,16 +150,16 @@ _BY_NAME: dict[str, list] = {
     "index": [1],
     "seed": [0],
     "noise": [_f32(), 0.1],
-    "frames": [jnp.zeros((4, 64), jnp.int32)],
+    "frames": [np.zeros((4, 64), np.int32)],
     "pa_in": [_iq()],
     "pa_out": [_iq()],
-    "tx_pilots": [jnp.zeros((64,), jnp.complex64)],
-    "rx_pilots": [jnp.zeros((64,), jnp.complex64)],
-    "delays": [jnp.zeros((4,), jnp.float32)],
-    "angles": [jnp.zeros((8,), jnp.float32)],
+    "tx_pilots": [np.zeros((64,), np.complex64)],
+    "rx_pilots": [np.zeros((64,), np.complex64)],
+    "delays": [np.zeros((4,), np.float32)],
+    "angles": [np.zeros((8,), np.float32)],
     "busy_timeline": [_bits()],
-    "demands_bits": [jnp.zeros((8,), jnp.float32)],
-    "boundary_measurements": [jnp.zeros((8, 64), jnp.float32)],
+    "demands_bits": [np.zeros((8,), np.float32)],
+    "boundary_measurements": [np.zeros((8, 64), np.float32)],
     "digits": ["159"],
     "name": ["qpsk", "repetition", "sin"],
     "text": ["hello"],
@@ -159,8 +168,8 @@ _BY_NAME: dict[str, list] = {
     "model": ["fspl"],
     "profile": ["EPA"],
     "interp": [4],
-    "q": [jnp.zeros((4,), jnp.float32)],
-    "mag_body": [jnp.zeros((16, 3), jnp.float32)],
+    "q": [np.zeros((4,), np.float32)],
+    "mag_body": [np.zeros((16, 3), np.float32)],
     "tags": [_Static([(0, {"len": 8})])],
     "tags_a": [_Static([(0, {"len": 8})])],
     "tags_b": [_Static([(8, {"len": 8})])],
@@ -183,7 +192,7 @@ _BY_NAME: dict[str, list] = {
 }
 
 # Generic typed fallbacks for names with no entry above.
-_FALLBACKS = [_iq(), _f32(), _bits(), jnp.zeros((4, 64), jnp.complex64),
+_FALLBACKS = [_iq(), _f32(), _bits(), np.zeros((4, 64), np.complex64),
               48000.0, 8]
 
 

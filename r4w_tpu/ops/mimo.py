@@ -117,8 +117,11 @@ def waterfilling(channel_gains, total_power: float,
     mu_k = (total_power + csum) / k
     valid = mu_k > inv_sorted               # level covers channel k
     kstar = jnp.max(jnp.where(valid, jnp.arange(1, n + 1), 0))
-    mu = (total_power + csum[kstar - 1]) / kstar.astype(REAL_DTYPE)
-    return jnp.maximum(mu - inv, 0.0)
+    # total_power <= 0 leaves no valid level (kstar = 0): allocate
+    # nothing rather than dividing by zero
+    ks = jnp.maximum(kstar, 1)
+    mu = (total_power + csum[ks - 1]) / ks.astype(REAL_DTYPE)
+    return jnp.where(kstar > 0, jnp.maximum(mu - inv, 0.0), 0.0)
 
 
 # ----------------------------------------------------- link adaptation

@@ -35,13 +35,30 @@ def additive_scramble(bits, taps: int, seed: int, nbits: int):
     return b ^ jnp.asarray(ks, jnp.int32)
 
 
+def _pn_host(bits, taps: int, seed: int, nbits: int, feed_output: bool):
+    """Bit-serial fallback for registers wider than a uint32 carry —
+    arbitrary-width Python-int state (host-side, 1-D, not jittable)."""
+    b = np.asarray(bits).astype(np.int64).reshape(-1)
+    mask = (1 << nbits) - 1
+    state = seed & mask
+    out = np.zeros_like(b)
+    for i in range(b.shape[0]):
+        fb = bin(state & taps).count("1") & 1
+        out[i] = b[i] ^ fb
+        state = ((state << 1) | int(out[i] if feed_output else b[i])) & mask
+    return jnp.asarray(out, jnp.int32)
+
+
 def _pn_scan(bits, taps: int, seed: int, nbits: int, feed_output: bool):
     """Shared lax.scan core of the multiplicative (de)scrambler: the
     nbits-wide LFSR state rides the scan carry as a uint32 word and the
     feedback parity is one hardware population-count — the jit/vmap
-    form of pn_scrambler.rs's bit loop (nbits <= 31)."""
-    if not 0 < nbits < 32:
-        raise ValueError(f"nbits must be 1..31, got {nbits}")
+    form of pn_scrambler.rs's bit loop. Registers wider than 31 bits
+    fall back to the host bit-serial loop (correct, not jittable)."""
+    if nbits <= 0:
+        raise ValueError(f"nbits must be positive, got {nbits}")
+    if nbits >= 32:
+        return _pn_host(bits, taps, seed, nbits, feed_output)
     b = jnp.asarray(bits, jnp.uint32)
     mask = jnp.uint32((1 << nbits) - 1)
     taps_u = jnp.uint32(taps)

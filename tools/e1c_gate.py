@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
-YAML = "/root/reference/e1c_8prn_60s_cn34_orbital.yaml"
+# Overridable: the scenario file ships with the reference checkout
+# (R4W_E1C_YAML env var points elsewhere on machines without it)
+YAML = os.environ.get(
+    "R4W_E1C_YAML", "/root/reference/e1c_8prn_60s_cn34_orbital.yaml")
 
 
 def main(periods: int = 50, yaml_path: str = YAML) -> dict:
@@ -38,6 +41,10 @@ def main(periods: int = 50, yaml_path: str = YAML) -> dict:
     from r4w_tpu.core import hostio
     from r4w_tpu.gnss import acquisition, scenario
 
+    if not os.path.exists(yaml_path):
+        return {"metric": "e1c_cn34_acquired", "value": None,
+                "skipped": f"scenario YAML not found: {yaml_path} "
+                           "(set R4W_E1C_YAML)"}
     t0 = time.time()
     cfg = scenario.load_scenario_yaml(yaml_path)
     gen = scenario.GnssScenario(cfg)
