@@ -171,3 +171,16 @@ def test_gold_code_generator_alias_properties():
     n = np.asarray(sc.gold_code_generator(5, 2, n=100))
     assert n.shape[0] == 100
     np.testing.assert_array_equal(n[:31], code)  # tiled
+
+
+def test_pn_wide_register_host_fallback():
+    """Registers >= 32 bits use the arbitrary-width host loop (the
+    scan carry is uint32) — same contract either path."""
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, 120)
+    taps, seed, nbits = 0x100000057, 0x1234567890, 33
+    line = np.asarray(sc.pn_scramble(bits, taps, seed, nbits))
+    want = _pn_reference(bits, taps, seed, nbits, feed_output=True)
+    np.testing.assert_array_equal(line, want)
+    back = np.asarray(sc.pn_descramble(line, taps, seed, nbits))
+    np.testing.assert_array_equal(back, bits)

@@ -163,3 +163,9 @@ class TestMapDecode:
             assert np.abs(llr[errors]).mean() < np.abs(llr[~errors]).mean()
         # and decoding still mostly correct
         assert errors.mean() < 0.05
+
+
+def test_waterfilling_zero_power_allocates_nothing():
+    p = np.asarray(mimo.waterfilling([1.0, 0.5, 0.1], total_power=0.0))
+    np.testing.assert_array_equal(p, 0.0)
+    assert np.all(np.isfinite(p))
