@@ -564,6 +564,37 @@ class GnssScenario:
         self._t0 = t1
         return out
 
+    # ------------------------------------------------- checkpoint/resume
+
+    def state(self) -> dict:
+        """Serializable generator state (JSON-safe): elapsed time, f64
+        carrier-phase carry, Doppler carry, and the PRNG key. With the
+        same config and block sizes, generate(restore(state)) continues
+        a long capture bit-identically across processes — the
+        checkpoint/resume role of SURVEY §5.4 for 60+ s scenarios."""
+        import jax
+
+        return {
+            "t0": float(self._t0),
+            "theta": [float(v) for v in self._theta],
+            "dop_prev": (None if self._dop_prev is None
+                         else [float(v) for v in self._dop_prev]),
+            "key_data": np.asarray(
+                jax.random.key_data(self._key)).tolist(),
+        }
+
+    def restore(self, st: dict) -> "GnssScenario":
+        """Restore a `state()` snapshot (same ScenarioConfig)."""
+        import jax
+
+        self._t0 = float(st["t0"])
+        self._theta = np.asarray(st["theta"], np.float64)
+        self._dop_prev = (None if st["dop_prev"] is None
+                          else np.asarray(st["dop_prev"], np.float64))
+        self._key = jax.random.wrap_key_data(
+            np.asarray(st["key_data"], np.uint32))
+        return self
+
     def generate(self, duration_s: float | None = None,
                  block_size: int = 1 << 20) -> np.ndarray:
         from r4w_tpu.core.hostio import to_host

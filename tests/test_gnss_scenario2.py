@@ -294,3 +294,37 @@ def test_mach3_yaml_full_parse():
     assert not cfg.environment.multipath_enabled
     assert cfg.receiver.antenna == "patch"
     assert cfg.receiver.antenna_peak_gain_dbi == 5.0
+
+
+# ------------------------------------------------- checkpoint/resume
+
+
+def test_scenario_checkpoint_resume_bit_identical():
+    """generate → state() → (fresh scenario) restore → generate
+    continues the capture bit-identically (SURVEY §5.4 persistence:
+    long scenario runs survive process restarts)."""
+    import json
+
+    sat = scenario.SatelliteConfig(signal="GalileoE1C", prn=5,
+                                   cn0_dbhz=40.0, doppler_hz=900.0,
+                                   range_m=2.2e7, orbital_dynamics=True)
+    cfg = scenario.ScenarioConfig(satellites=(sat,), sample_rate=4.092e6,
+                                  duration_s=0.1, seed=11)
+    blk = 1 << 16
+    fs = cfg.sample_rate
+    # checkpoints must land on block boundaries: per-block noise draws
+    # and Doppler-ramp endpoints depend on the block partitioning
+    dur2 = (2 * blk + 0.25) / fs  # exactly 2 blocks after int()
+
+    ref = scenario.GnssScenario(cfg)
+    whole = np.asarray(ref.generate(2 * dur2, block_size=blk))
+
+    g1 = scenario.GnssScenario(cfg)
+    first = np.asarray(g1.generate(dur2, block_size=blk))
+    snap = json.loads(json.dumps(g1.state()))  # via-JSON roundtrip
+    g2 = scenario.GnssScenario(cfg).restore(snap)
+    second = np.asarray(g2.generate(dur2, block_size=blk))
+
+    resumed = np.concatenate([first, second])
+    assert resumed.shape == whole.shape
+    np.testing.assert_array_equal(resumed, whole)
