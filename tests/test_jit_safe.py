@@ -68,6 +68,15 @@ EXEMPLARS = [
     "map_decoder", "golay_correlator", "energy_detector",
     "am_demod", "gold_code", "linear_equalizer", "moving_average",
     "agc_attack_decay",
+    # second tranche: resamplers, channels, radar, OFDM-adjacent,
+    # long-tail catalog families (all classified jit, executed below)
+    "polyphase_decimator", "rational_resampler", "rayleigh_channel",
+    "phase_noise", "iq_imbalance", "welch_psd", "zadoff_chu",
+    "matched_filter_bank", "range_doppler", "crc_parallel",
+    "ssb_modem", "oqpsk_modulator", "blind_timing_recovery",
+    "freq_xlating_fft_filter", "interference_excision",
+    "antenna_array_response", "channel_estimator",
+    "covert_timing_encoder", "mute", "satellite_link_budget",
 ]
 
 
@@ -86,7 +95,7 @@ def test_registry_jit_safety_api(classified):
     assert reg.jit_safety("fir_filter") == (status, "")
 
 
-@pytest.mark.parametrize("name", EXEMPLARS[:10])
+@pytest.mark.parametrize("name", EXEMPLARS[:10] + EXEMPLARS[20:30])
 def test_jit_blocks_execute_compiled(classified, name):
     """Beyond tracing: exemplars run under jax.jit end-to-end."""
     reg, _ = classified
