@@ -816,11 +816,17 @@ def orchestrate(order, platform=None):
             budget = BUDGETS.get(name, DEFAULT_BUDGET) + TUNNEL_INIT_ALLOWANCE
         if res is None:
             results[name] = {"error": "watchdog timeout", "bench": name}
-            if spawns >= MAX_CHILD_SPAWNS:
-                # give up on remaining benches too
+            # Early tunnel-dead bail: if NOTHING has succeeded yet and
+            # the first bench exhausted its retries, the tunnel is in
+            # the hard-outage mode (observed: even a one-op canary
+            # hangs for hours) — walking every remaining bench through
+            # its own watchdog cycles would burn ~2 h to learn nothing.
+            tunnel_dead = device_seen is None
+            if spawns >= MAX_CHILD_SPAWNS or tunnel_dead:
+                reason = ("skipped (tunnel unresponsive)" if tunnel_dead
+                          else "skipped (child unavailable)")
                 for rest in order[order.index(name) + 1:]:
-                    results[rest] = {"error": "skipped (child unavailable)",
-                                     "bench": rest}
+                    results[rest] = {"error": reason, "bench": rest}
                 break
         else:
             results[name] = res
