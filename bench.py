@@ -272,6 +272,43 @@ def bench_e1c_gate():
     }
 
 
+def bench_gps_pvt_fix():
+    """GPS L1 C/A IQ→PVT end-to-end fix: generated scenario →
+    acquisition → pseudoranges → solved position error in meters
+    (tools/gps_pvt_fix.py; gate err < 50 m with all 6 SVs acquired)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.gps_pvt_fix import main as pvt_main
+
+    out = pvt_main()
+    return {"error_m": out["value"], "pass": out["pass"],
+            "acquired": f"{out['acquired']}/{out['of']}",
+            "clock_bias_m": out["clock_bias_m"],
+            "gen_s": out["gen_s"], "acquire_s": out["acquire_s"]}
+
+
+def bench_e1c_tracking():
+    """Galileo E1C acquisition→tracking handoff: 8 DLL/PLL channels
+    seeded from the PCPS states hold lock across the C/N0-34 scenario
+    (tools/e1c_tracking.py; gate >= 6/8 tracked, C/N0 within 6 dB)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.e1c_tracking import main as trk_main
+
+    out = trk_main(periods=50)
+    if out.get("skipped"):
+        return {"skipped": out["skipped"]}
+    return {"tracked": f"{out['value']}/{out['of']}",
+            "acquired": out["acquired"],
+            "cn0_mean_dbhz": out["cn0_mean_dbhz"],
+            "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
+            "track_s": out["track_s"]}
+
+
 def bench_lora_sf7_demod():
     """Chained chirp-synthesize → dechirp-FFT-argmax demod loop."""
     import jax
@@ -621,7 +658,9 @@ def bench_pcps_gcorr():
                                 axis=-1)[..., :n]
             pw = surf.real**2 + surf.imag**2
             peak = jnp.max(pw)
-            return x * (1.0 + 0.0 * peak)
+            # non-degenerate serial dependency: 0.0*peak could be
+            # algebraically eliminated, dead-coding the whole loop body
+            return x * (1.0 + 1e-12 * peak)
 
         x = lax.fori_loop(0, iters, body, x0)
         return jnp.sum(x.real**2 + x.imag**2)
@@ -659,7 +698,24 @@ def bench_device_sweep(budget_s: float = 900.0):
             "elapsed_s": round(time.perf_counter() - t0, 1)}
 
 
+def bench_canary():
+    """One-op tunnel liveness probe: a single 128x128 jit through the
+    device, synced by device_get. Pays tunnel init; proves nothing
+    about throughput — exists so the orchestrator can decide TPU vs
+    degraded-CPU in <=2 bounded attempts instead of walking every
+    bench through its own watchdog (the r3 failure mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = np.ones((128, 128), np.float32)
+    s = float(jax.device_get(jax.jit(lambda a: jnp.sum(a * a))(x)))
+    assert s == 128 * 128
+    return {"ok": True}
+
+
 BENCHES = {
+    "canary": bench_canary,
     "fft1024": bench_fft1024,
     "fft256": bench_fft256,
     "fft2048": bench_fft2048,
@@ -677,6 +733,8 @@ BENCHES = {
     "lora_sweep": bench_lora_sweep,
     "pcps_gcorr": bench_pcps_gcorr,
     "e1c_gate": bench_e1c_gate,
+    "gps_pvt_fix": bench_gps_pvt_fix,
+    "e1c_tracking": bench_e1c_tracking,
     "device_sweep": bench_device_sweep,
 }
 
@@ -767,140 +825,322 @@ class _Child:
             pass
 
 
-# per-bench watchdogs (s); the first TPU bench additionally gets the
-# tunnel-init allowance folded in by the orchestrator
+# --------------------------------------------------------------------
+# Orchestration v2 (round-4 redesign — the r2/r3 records were lost to
+# unbounded watchdog arithmetic, so capture is now deadline-driven):
+#   1. ONE bounded canary decides TPU vs degraded in <=2 x CANARY_CAP.
+#   2. A global wall-clock deadline (env R4W_BENCH_DEADLINE_S, default
+#      1140 s) derates every per-bench watchdog; benches that no longer
+#      fit are skipped loudly, slowest-first.
+#   3. Results flush incrementally to docs/bench_records/last_run.json
+#      and a SIGTERM/SIGINT/atexit handler prints the headline JSON
+#      with whatever completed — a driver kill still leaves a record.
+#   4. The slow acceptance runs (e1c_gate, device_sweep, ...) are
+#      cacheable: a fresh pass updates docs/bench_records/
+#      acceptance_cache.json; when the deadline can't fit a fresh run,
+#      the age-stamped cached result is reported (marked "cached").
+# --------------------------------------------------------------------
+
+# nominal per-bench watchdogs (s), assuming a warmed healthy tunnel
 BUDGETS = {
-    "lora_sweep": 1200.0,
-    "device_sweep": 1500.0,
-    "lora_sf7_demod": 900.0,
-    # cold-process worst case measured 407 s (pallas AOT warmup + two
-    # 67 MB tunnel transfers for encode prep)
-    "viterbi_info_bits": 900.0,
-    # 200 ms scenario generation (~250 s) + acquisition (~65 s) + margin
-    "e1c_gate": 900.0,
+    "lora_sweep": 300.0,       # measured 69 s warm
+    "device_sweep": 900.0,     # measured 720 s healthy
+    "lora_sf7_demod": 240.0,
+    "viterbi_info_bits": 480.0,  # pallas AOT warmup ~150 s + transfers
+    "e1c_gate": 600.0,         # gen ~250 s + acquire ~65 s + margin
+    "gps_pvt_fix": 600.0,
+    "e1c_tracking": 600.0,
+    "udp_rx": 180.0,
 }
-DEFAULT_BUDGET = 600.0
-TUNNEL_INIT_ALLOWANCE = 900.0  # measured 83-221 s to first scalar (r2 probes)
-MAX_CHILD_SPAWNS = 4
+DEFAULT_BUDGET = 240.0
+TUNNEL_INIT_ALLOWANCE = 300.0  # canary pays init; first real bench gets this
+CANARY_CAP = 240.0             # per attempt; two attempts max
+EMIT_RESERVE = 30.0            # always keep this much for the final emit
+DEADLINE_S = float(os.environ.get("R4W_BENCH_DEADLINE_S", "1140"))
+
+# expected fresh cost (s) of the cacheable acceptance runs — used to
+# decide fresh-vs-cached against the remaining global budget
+CACHEABLE = {
+    "e1c_gate": 450.0,
+    "device_sweep": 780.0,
+    "gps_pvt_fix": 420.0,
+    "e1c_tracking": 420.0,
+}
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(_HERE, "docs", "bench_records",
+                          "acceptance_cache.json")
+PARTIAL_PATH = os.path.join(_HERE, "docs", "bench_records",
+                            "last_run.json")
 
 
-def orchestrate(order, platform=None):
-    """Run the bench list with watchdogs/retries. Returns (results,
-    device_seen) where results[name] is the child dict or an error."""
-    results = {}
-    device_seen = None
-    child = _Child(platform)
-    spawns = 1
-    warmed = False
-    for name in order:
-        budget = BUDGETS.get(name, DEFAULT_BUDGET)
-        if not warmed:
-            budget += TUNNEL_INIT_ALLOWANCE
-        attempts = 0
-        res = None
-        while attempts < 2:
-            attempts += 1
-            res = child.run(name, budget)
-            if res is not None:
-                break
-            # hang: kill, backoff, respawn (if allowed), retry once
-            child.kill()
-            print(f"# bench {name} hung (> {budget:.0f}s), "
-                  f"restarting child", file=sys.stderr, flush=True)
-            if spawns >= MAX_CHILD_SPAWNS:
-                break
-            time.sleep(20 * spawns)
-            child = _Child(platform)
-            spawns += 1
-            warmed = False
-            budget = BUDGETS.get(name, DEFAULT_BUDGET) + TUNNEL_INIT_ALLOWANCE
-        if res is None:
-            results[name] = {"error": "watchdog timeout", "bench": name}
-            # Early tunnel-dead bail: if NOTHING has succeeded yet and
-            # the first bench exhausted its retries, the tunnel is in
-            # the hard-outage mode (observed: even a one-op canary
-            # hangs for hours) — walking every remaining bench through
-            # its own watchdog cycles would burn ~2 h to learn nothing.
-            tunnel_dead = device_seen is None
-            if spawns >= MAX_CHILD_SPAWNS or tunnel_dead:
-                reason = ("skipped (tunnel unresponsive)" if tunnel_dead
-                          else "skipped (child unavailable)")
-                for rest in order[order.index(name) + 1:]:
-                    results[rest] = {"error": reason, "bench": rest}
-                break
-        else:
-            results[name] = res
-            device_seen = res.get("device", device_seen)
-            warmed = True
-            print(f"# {name}: "
-                  + json.dumps({k: v for k, v in res.items()
-                                if k not in ("bench",)}),
-                  file=sys.stderr, flush=True)
+class _Run:
+    """Mutable capture state shared with the signal/atexit emitters."""
+
+    def __init__(self):
+        self.t_end = time.time() + DEADLINE_S
+        self.results = {}
+        self.device_seen = None
+        self.tunnel_dead = False
+        self.cpu_results = {}
+        self.emitted = False
+
+    def remaining(self):
+        return self.t_end - time.time() - EMIT_RESERVE
+
+
+RUN = _Run()
+
+
+def _load_cache():
     try:
-        child.run("quit", 1.0)
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store_cache(name, res):
+    try:
+        cache = _load_cache()
+        cache[name] = {"result": {k: v for k, v in res.items()
+                                  if k not in ("bench",)},
+                       "recorded_unix": round(time.time(), 1)}
+        os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except Exception as e:  # cache is best-effort, never fatal
+        print(f"# cache store failed: {e}", file=sys.stderr, flush=True)
+
+
+def _flush_partial():
+    try:
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump({"results": RUN.results, "device": RUN.device_seen,
+                       "cpu_fallback": RUN.cpu_results,
+                       "tunnel_dead": RUN.tunnel_dead}, f, indent=1)
     except Exception:
         pass
-    child.kill()
-    return results, device_seen
 
 
-ORDER = [
-    "fft1024", "fft256", "fft2048", "fft4096", "fir32", "fir128",
-    "rotator", "cmul",
-    "bpsk_mod", "viterbi_info_bits", "pcps_corr", "channel_awgn",
-    "lora_sf7_demod", "udp_rx", "lora_sweep", "pcps_gcorr",
-    "e1c_gate", "device_sweep",
-]
-
-
-def main():
-    quick = "--quick" in sys.argv
-    order = ORDER[:3] if quick else ORDER
-    results, device = orchestrate(order)
-
-    fft = results.get("fft1024", {})
-    tpu_ok = (device is not None and "Msps" in fft
-              and "TPU" in (fft.get("device") or ""))
+def _build_headline():
+    fft = RUN.results.get("fft1024", {})
+    tpu_ok = ("Msps" in fft and "TPU" in (fft.get("device") or ""))
 
     suite = {}
-    for name, res in results.items():
+    for name, res in RUN.results.items():
         entry = {k: v for k, v in res.items() if k != "bench"}
         if "Msps" in entry and name in GR_BASELINES:
-            entry["vs_gnuradio"] = round(entry["Msps"] / GR_BASELINES[name], 1)
+            entry["vs_gnuradio"] = round(
+                entry["Msps"] / GR_BASELINES[name], 1)
         suite[name] = entry
 
     if tpu_ok:
         msps = fft["Msps"]
-        out = {
+        return {
             "metric": "fft1024_throughput",
             "value": msps,
             "unit": "Msamples/s",
             "vs_baseline": round(msps / BASELINE_FFT1024_MSPS, 2),
             "extra": {"suite": suite, "device": fft["device"]},
-        }
-    else:
-        # TPU never answered: emit a LOUD degraded record — never a CPU
-        # number in the headline (round-2 lesson).
-        cpu_results, _ = orchestrate(
-            ["fft1024", "fft4096", "fir32", "viterbi_info_bits"],
-            platform="cpu")
-        out = {
-            "metric": "fft1024_throughput",
-            "value": None,
-            "unit": "Msamples/s",
-            "vs_baseline": None,
-            "degraded": True,
-            "extra": {
-                "reason": "TPU unreachable after retries; CPU numbers "
-                          "below are NOT comparable to the TPU baseline",
-                "suite": suite,
-                "cpu_fallback": {
-                    n: {k: v for k, v in r.items() if k != "bench"}
-                    for n, r in cpu_results.items()},
-            },
-        }
-    print(json.dumps(out))
+        }, True
+    # TPU never answered (or fft1024 never completed): LOUD degraded
+    # record — never a CPU number in the headline (round-2 lesson).
+    return {
+        "metric": "fft1024_throughput",
+        "value": None,
+        "unit": "Msamples/s",
+        "vs_baseline": None,
+        "degraded": True,
+        "extra": {
+            "reason": ("TPU tunnel unresponsive (canary failed twice)"
+                       if RUN.tunnel_dead else
+                       "fft1024 did not complete before the deadline"),
+            "suite": suite,
+            "cpu_fallback": {
+                n: {k: v for k, v in r.items() if k != "bench"}
+                for n, r in RUN.cpu_results.items()},
+        },
+    }, False
+
+
+def _emit_final():
+    """Idempotent: print the headline JSON line exactly once."""
+    if RUN.emitted:
+        return 1
+    RUN.emitted = True
+    out, tpu_ok = _build_headline()
+    _flush_partial()
+    print(json.dumps(out), flush=True)
     return 0 if tpu_ok else 1
+
+
+def _signal_emit(signum, frame):  # noqa: ARG001 — signal signature
+    print(f"# signal {signum}: emitting partial record",
+          file=sys.stderr, flush=True)
+    rc = _emit_final()
+    os._exit(rc)
+
+
+class _Orchestrator:
+    def __init__(self, platform=None):
+        self.platform = platform
+        self.child = None
+        self.spawns = 0
+        self.warmed = False
+
+    def _ensure_child(self):
+        if self.child is None:
+            self.child = _Child(self.platform)
+            self.spawns += 1
+            self.warmed = False
+
+    def _restart_child(self, backoff_s):
+        if self.child is not None:
+            self.child.kill()
+            self.child = None
+        time.sleep(min(backoff_s, max(0.0, RUN.remaining())))
+        self._ensure_child()
+
+    def run_one(self, name, budget, retries=1):
+        """Run one bench with the given watchdog; None on hang."""
+        self._ensure_child()
+        for attempt in range(retries + 1):
+            res = self.child.run(name, budget)
+            if res is not None:
+                self.warmed = True
+                return res
+            print(f"# bench {name} hung (> {budget:.0f}s), "
+                  f"restarting child", file=sys.stderr, flush=True)
+            if attempt < retries:
+                if RUN.remaining() < budget:
+                    budget = max(30.0, RUN.remaining())
+                    if budget <= 30.0:
+                        break
+                self._restart_child(15.0 * self.spawns)
+        return None
+
+    def close(self):
+        if self.child is not None:
+            try:
+                self.child.run("quit", 1.0)
+            except Exception:
+                pass
+            self.child.kill()
+            self.child = None
+
+
+def _record(name, res):
+    RUN.results[name] = res
+    if isinstance(res, dict) and res.get("device"):
+        RUN.device_seen = res["device"]
+    shown = {k: v for k, v in res.items() if k != "bench"}
+    print(f"# {name}: {json.dumps(shown)}", file=sys.stderr, flush=True)
+    _flush_partial()
+
+
+def run_suite(order):
+    """Canary-gated, deadline-derated capture on the ambient device."""
+    # test hook: R4W_BENCH_PLATFORM=cpu exercises the full orchestration
+    # without the TPU tunnel (headline stays degraded — device != TPU)
+    orch = _Orchestrator(os.environ.get("R4W_BENCH_PLATFORM") or None)
+
+    # Phase 1: tunnel canary — two bounded attempts, then verdict.
+    cap = min(CANARY_CAP, max(45.0, RUN.remaining()))
+    res = orch.run_one("canary", cap, retries=1)
+    if res is None or "error" in res:
+        RUN.tunnel_dead = True
+        _record("canary", res or {"error": "watchdog timeout"})
+        orch.close()
+        return
+    _record("canary", res)
+
+    # Phase 2: the suite, slow cacheable tail last, each bench derated
+    # against the global deadline.
+    cache = _load_cache()
+    first_real = True
+    for name in order:
+        remaining = RUN.remaining()
+        nominal = BUDGETS.get(name, DEFAULT_BUDGET)
+        if first_real:
+            nominal += TUNNEL_INIT_ALLOWANCE  # canary init can be partial
+        if name in CACHEABLE and (remaining < CACHEABLE[name]
+                                  or remaining < nominal):
+            entry = cache.get(name)
+            if entry:
+                res = dict(entry["result"])
+                res["cached"] = True
+                res["cache_age_h"] = round(
+                    (time.time() - entry["recorded_unix"]) / 3600.0, 1)
+                _record(name, res)
+            else:
+                _record(name, {"error": "skipped (global deadline, "
+                                        "no cached record)"})
+            continue
+        if remaining < min(nominal, 60.0):
+            _record(name, {"error": "skipped (global deadline)"})
+            continue
+        budget = min(nominal, remaining)
+        res = orch.run_one(name, budget,
+                           retries=1 if RUN.remaining() > budget else 0)
+        if res is None:
+            _record(name, {"error": "watchdog timeout"})
+            # a hang mid-suite: if nothing has answered since, treat
+            # the tunnel as wedged and stop burning the deadline
+            if RUN.remaining() < 120.0:
+                for rest in order[order.index(name) + 1:]:
+                    _record(rest, {"error": "skipped (global deadline)"})
+                break
+            continue
+        first_real = False
+        _record(name, res)
+        if name in CACHEABLE and "error" not in res:
+            _store_cache(name, res)
+    orch.close()
+
+
+def run_cpu_fallback():
+    """Time-boxed CPU numbers for the degraded record (clearly labeled,
+    never comparable to the TPU baseline)."""
+    orch = _Orchestrator(platform="cpu")
+    for name in ("fft1024", "fft4096", "fir32", "cmul"):
+        budget = min(150.0, RUN.remaining())
+        if budget < 30.0:
+            break
+        res = orch.run_one(name, budget, retries=0)
+        if res is not None:
+            RUN.cpu_results[name] = res
+            _flush_partial()
+    orch.close()
+
+
+ORDER = [
+    "fft1024", "fft256", "fft2048", "fft4096", "fir32", "fir128",
+    "rotator", "cmul",
+    "bpsk_mod", "pcps_corr", "channel_awgn", "lora_sf7_demod",
+    "udp_rx", "pcps_gcorr", "lora_sweep", "viterbi_info_bits",
+    # cacheable acceptance tail (slowest last)
+    "gps_pvt_fix", "e1c_tracking", "e1c_gate", "device_sweep",
+]
+
+
+def main():
+    import atexit
+    import signal
+
+    signal.signal(signal.SIGTERM, _signal_emit)
+    signal.signal(signal.SIGINT, _signal_emit)
+    atexit.register(_emit_final)
+
+    quick = "--quick" in sys.argv
+    order = ORDER[:3] if quick else ORDER
+    run_suite(order)
+
+    fft = RUN.results.get("fft1024", {})
+    tpu_ok = ("Msps" in fft and "TPU" in (fft.get("device") or ""))
+    if not tpu_ok:
+        run_cpu_fallback()
+    return _emit_final()
 
 
 if __name__ == "__main__":

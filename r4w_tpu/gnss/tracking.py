@@ -36,6 +36,21 @@ class TrackingConfig:
     el_spacing: float = 0.5  # chips
     block_period: float = 0.001  # seconds per update (1 ms)
     carrier_hz: float = GPS_L1_HZ
+    # Costas (decision-insensitive) phase discriminator: atan(Q/I)
+    # instead of atan2(Q, I). Required whenever the prompt sign can
+    # flip per block — GPS 20 ms nav bits, the Galileo E1C 25-chip
+    # secondary code (tracking.rs pll_discriminator role). Default ON:
+    # a full-quadrant atan2 loop at design bandwidth would chase each
+    # 180° data flip and scramble the demodulated bits. Set False only
+    # for a pilot channel whose overlay has been wiped.
+    costas: bool = True
+    # FLL (cross-product) frequency-assist gain. Essential during
+    # pull-in (removes the acquisition Doppler-bin quantization fast),
+    # but at low C/N0 the squared cross-product is noisy — ~9 Hz 1σ
+    # per 4 ms block at 34 dB-Hz — and a 0.3 gain injects a multi-Hz
+    # random walk into the carrier NCO. Set 0.0 for a locked/narrow
+    # stage once the frequency is pulled in.
+    fll_gain: float = 0.3
 
     @property
     def block_size(self) -> int:
@@ -112,11 +127,19 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
         ph = st.carrier_freq * t_in_block + st.carrier_phase
         carrier = cis(-2 * jnp.pi * ph.astype(REAL_DTYPE))
         stripped = block * carrier.astype(IQ_DTYPE)
-        # E/P/L code replicas via gathers
+        # E/P/L code replicas via linearly-interpolated gathers: a
+        # nearest-sample (floor) gather misaligns the replica by up to
+        # one code sample, which on a steep ACF (BOC/CBOC: zero at ±2
+        # subchips) costs up to ~2.5 dB and amplitude-modulates the
+        # prompt as the truncation phase wanders — fatal at low C/N0.
         chip = st.code_phase + i_idx / spc
         def corr(offset):
-            idx = jnp.mod(chip + offset, cfg.code_length).astype(jnp.int32)
-            c = code[idx]
+            pos = jnp.mod(chip + offset, cfg.code_length)
+            i0 = jnp.floor(pos)
+            w = (pos - i0).astype(REAL_DTYPE)
+            i0 = i0.astype(jnp.int32)
+            i1 = jnp.where(i0 + 1 >= cfg.code_length, 0, i0 + 1)
+            c = code[i0] * (1.0 - w) + code[i1] * w
             v = jnp.sum(stripped * c)
             return v
         half = cfg.el_spacing / 2.0
@@ -128,7 +151,15 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
         dll_disc = jnp.where(
             e_mag + l_mag > 0, (e_mag - l_mag) / jnp.maximum(e_mag + l_mag, 1e-12), 0.0
         )
-        pll_disc = jnp.arctan2(prompt.imag, prompt.real) / (2.0 * jnp.pi)
+        if cfg.costas:
+            # atan(Q/I): invariant to per-block sign flips (data bits /
+            # secondary code). atan2(|I| form keeps the full quadrant
+            # math without a divide-by-zero guard.
+            pll_disc = jnp.arctan2(
+                prompt.imag * jnp.sign(prompt.real),
+                jnp.abs(prompt.real)) / (2.0 * jnp.pi)
+        else:
+            pll_disc = jnp.arctan2(prompt.imag, prompt.real) / (2.0 * jnp.pi)
         # FLL cross-product: frequency error in Hz from successive prompts
         # (Costas-insensitive: square to remove data-bit flips)
         cross = (prompt * jnp.conj(st.prev_prompt)) ** 2
@@ -138,20 +169,36 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
             / (2.0 * 2.0 * jnp.pi * cfg.block_period),
             0.0,
         )
-        # loop filters (2nd order DLL, 3rd order PLL + FLL assist)
+        # loop filters (2nd order DLL, 3rd order PLL + FLL assist).
+        # The PLL is a phase-STEPPING NCO: the proportional term is a
+        # direct phase step (pk1, cycles per unit disc) while the
+        # integral terms trim frequency (pk2/T, Hz) and acceleration
+        # (pk3/T², Hz/s). Applying pk1 to frequency instead — as a
+        # naive transliteration of the per-sample reference loop does —
+        # shrinks the effective bandwidth by ~1/T and the loop then
+        # freezes at whatever phase error exists when the FLL pins the
+        # frequency (measured: E1C channels parked at 80-110° forever).
+        t_blk = cfg.block_period
         dll_int = st.dll_int + dk2 * dll_disc
         code_corr = dk1 * dll_disc + dll_int
-        pll_int1 = st.pll_int1 + pk2 * pll_disc
-        pll_int2 = st.pll_int2 + pk3 * pll_disc
-        carr_corr = pk1 * pll_disc + pll_int1 + pll_int2 + 0.3 * freq_err_hz
-        # NCO updates (tracking.rs:247-257)
+        pll_acc = st.pll_int2 + (pk3 / (t_blk * t_blk)) * pll_disc
+        new_carrier_freq = (st.carrier_freq + (pk2 / t_blk) * pll_disc
+                            + pll_acc * t_blk
+                            + cfg.fll_gain * freq_err_hz)
+        pll_int1 = st.pll_int1  # retained for state-shape stability
+        pll_int2 = pll_acc
+        # NCO updates (tracking.rs:247-257). disc > 0 means E > L,
+        # i.e. the replica runs AHEAD of the signal (see dll_s_curve:
+        # positive replica offset → positive disc), so the correction
+        # must RETARD the code phase — subtract, don't add (a wrong
+        # sign here diverges at ~dk1·disc chips/block, measured).
         new_code_phase = jnp.mod(
-            st.code_phase + bs / spc + code_corr * cfg.el_spacing,
+            st.code_phase + bs / spc - code_corr * cfg.el_spacing,
             cfg.code_length,
         )
-        new_carrier_freq = st.carrier_freq + carr_corr
         new_carrier_phase = jnp.mod(
-            st.carrier_phase + st.carrier_freq * cfg.block_period, 1.0
+            st.carrier_phase + st.carrier_freq * t_blk
+            + pk1 * pll_disc, 1.0
         )
         code_doppler = new_carrier_freq * cfg.chipping_rate / cfg.carrier_hz
         new_state = TrackingState(
