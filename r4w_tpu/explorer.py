@@ -598,7 +598,15 @@ class _StreamSession:
                 # next iteration (duplicate spectra to clients)
                 self._buf = np.concatenate([self._buf, chunk])
                 while self._buf.size >= block:
-                    rows = self._wf.compute(self._buf[:block])
+                    try:
+                        rows = self._wf.compute(self._buf[:block])
+                    except Exception:
+                        # drop the offending block before re-raising:
+                        # retrying the same block forever would grow
+                        # self._buf without bound while recv_batch
+                        # keeps appending (busy-spin + memory leak)
+                        self._buf = self._buf[block:]
+                        raise
                     with self._lock:
                         for r in rows:
                             self._rows.append(np.round(r, 1))
@@ -737,7 +745,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _local_origin_ok(self) -> bool:
+        """Reject cross-origin POSTs: the explorer binds to localhost,
+        but any webpage the operator visits can still fire
+        fetch('http://127.0.0.1:PORT/api/remote', ...) — and /api/remote
+        relays to arbitrary agent hosts (CSRF→SSRF). Browsers always
+        attach an Origin header to cross-origin fetches; same-origin
+        requests carry the explorer's own host or no Origin (curl)."""
+        origin = self.headers.get("Origin")
+        if origin is None:
+            return True  # non-browser client (curl, tests)
+        host = urllib.parse.urlparse(origin).hostname
+        return host in ("127.0.0.1", "localhost", "::1")
+
     def do_POST(self):  # noqa: N802 (stdlib API)
+        if not self._local_origin_ok():
+            self._json({"error": "cross-origin POST rejected"}, 403)
+            return
         parsed = urllib.parse.urlparse(self.path)
         n = int(self.headers.get("Content-Length", 0) or 0)
         body = self.rfile.read(n).decode() if n else ""

@@ -223,7 +223,15 @@ def viterbi_decode_mxu(received, constraint: int = 7,
     bm = jnp.einsum("ltr,cr->tcl", rx, expected)      # (T, C, L)
 
     t_pad = -t_real % chunk
-    l_pad = -l0 % 128
+    # Lanes must pad to a multiple of the kernel's lane-block width lb
+    # = min(2048, lanes), not just 128: e.g. 2100 lanes padded to 2176
+    # would fail viterbi_forward's lanes % lb == 0 with lb = 2048 (and
+    # viterbi_traceback would silently drop the remainder). ≤2048
+    # lanes round up to one exact block; beyond that, to a 2048
+    # multiple (bounded ≤2047 wasted lanes).
+    l128 = l0 + (-l0 % 128)
+    lb = min(2048, l128)
+    l_pad = (l128 + (-l128 % lb)) - l0
     if t_pad or l_pad:
         bm = jnp.pad(bm, ((0, t_pad), (0, 0), (0, l_pad)))
     dec, _ = viterbi_forward(bm, constraint, tuple(polys),

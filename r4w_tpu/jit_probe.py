@@ -289,8 +289,15 @@ def synthesize(fn, max_tries: int = 192):
     def attempt(chosen):
         nonlocal err, err_rank, tries
         tries += 1
-        kwargs = {k: (v.make() if isinstance(v, _Lazy) else v)
-                  for k, v in chosen}
+        kwargs = {}
+        fresh_fds = []
+        for k, v in chosen:
+            if isinstance(v, _Lazy):
+                v = v.make()
+                if v is not None and isinstance(v, int) \
+                        and not isinstance(v, bool):
+                    fresh_fds.append(v)  # _devnull_fd products
+            kwargs[k] = v
         arr_kw, sta_kw = split_kwargs(kwargs)
         try:
             out = jax.eval_shape(
@@ -299,6 +306,14 @@ def synthesize(fn, max_tries: int = 192):
         except Exception as e:  # noqa: BLE001 — probe keeps trying
             if rank(e) > err_rank:
                 err, err_rank = e, rank(e)
+            # a failed attempt almost never consumed its fd template —
+            # close what we opened or a full-catalog probe leaks one
+            # descriptor per fd-taking retry (ADVICE r3)
+            for fd in fresh_fds:
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass  # the block did adopt-and-close before failing
             return None
 
     def explore(idx, chosen, deviations):

@@ -309,3 +309,28 @@ def test_viterbi_mxu_other_trellis_and_1d():
     got = np.asarray(viterbi_decode_mxu(jnp.asarray(coded), 5, (0o23, 0o35)))
     assert got.shape == (180,)
     assert (got == bits).all()
+
+
+@pytest.mark.slow
+def test_viterbi_mxu_lane_count_beyond_one_block():
+    """Regression (ADVICE r3): lane counts > 2048 that are not a 2048
+    multiple (e.g. 2100 → 128-padded 2176) used to fail the kernel's
+    lanes % lane_block assert in viterbi_forward; the traceback would
+    silently drop the remainder. Lanes must pad to a lane_block
+    multiple and decode bit-exactly."""
+    import numpy as np
+
+    from r4w_tpu.fec.convolutional import (conv_encode, viterbi_decode,
+                                           viterbi_decode_mxu)
+
+    rng = np.random.default_rng(11)
+    lanes, n_info = 2100, 24
+    bits = rng.integers(0, 2, (lanes, n_info))
+    coded = np.asarray(conv_encode(jnp.asarray(bits), 5, (0o23, 0o35)))
+    soft = (1.0 - 2.0 * coded) + 0.3 * rng.standard_normal(coded.shape)
+    got = np.asarray(viterbi_decode_mxu(jnp.asarray(soft), 5,
+                                        (0o23, 0o35), soft=True))
+    ref = np.asarray(viterbi_decode(jnp.asarray(soft), 5, (0o23, 0o35),
+                                    soft=True))
+    assert got.shape == (lanes, n_info)
+    assert (got == ref).all()
