@@ -66,18 +66,25 @@ def tcm_encode(bits) -> tuple[jax.Array, jax.Array]:
     Bit pairs are (uncoded_high, coded_low) per symbol; two flush
     pairs terminate the trellis.
     """
-    b = np.asarray(bits, np.int32).reshape(-1, 2)
+    b = jnp.asarray(bits, jnp.int32).reshape(-1, 2)
     # flush: two zero coded bits drive the state to 0
-    coded_in = np.concatenate([b[:, 1], [0, 0]])
-    uncoded = np.concatenate([b[:, 0], [0, 0]])
-    nxt, out = _trellis()
-    s = 0
-    idx = np.zeros(len(coded_in), np.int32)
-    for i, (cb, ub) in enumerate(zip(coded_in, uncoded)):
-        idx[i] = 4 * ub + _SUBSET_MAP[out[s, cb]]
-        s = nxt[s, cb]
-    points = to_device(_points_host())[jnp.asarray(idx)]
-    return jnp.asarray(idx), points.astype(IQ_DTYPE)
+    zeros2 = jnp.zeros(2, jnp.int32)
+    coded_in = jnp.concatenate([b[:, 1], zeros2])
+    uncoded = jnp.concatenate([b[:, 0], zeros2])
+    nxt_t, out_t = _trellis()
+    nxt = jnp.asarray(nxt_t)
+    out = jnp.asarray(out_t)
+    sub = jnp.asarray(_SUBSET_MAP)
+
+    def step(s, inp):
+        cb, ub = inp
+        sym = 4 * ub + sub[out[s, cb]]
+        return nxt[s, cb], sym
+
+    _, idx = lax.scan(step, jnp.asarray(0, jnp.int32),
+                      (coded_in, uncoded))
+    points = to_device(_points_host())[idx]
+    return idx, points.astype(IQ_DTYPE)
 
 
 def tcm_decode(rx_symbols) -> jax.Array:

@@ -196,6 +196,270 @@ _FALLBACKS = [_iq(), _f32(), _bits(), np.zeros((4, 64), np.complex64),
               48000.0, 8]
 
 
+def _pilot_pattern():
+    from r4w_tpu.ops.ofdm import PilotPattern
+
+    return PilotPattern(positions=(0, 8, 16, 24),
+                        values=(1 + 0j, 1 + 0j, 1 + 0j, 1 + 0j),
+                        n_occupied=32)
+
+
+def _tle():
+    from r4w_tpu.ops.propagation import Tle
+
+    return Tle(inclination_deg=51.6, raan_deg=10.0, eccentricity=0.001,
+               arg_perigee_deg=30.0, mean_anomaly_deg=0.0,
+               mean_motion_rev_day=15.5)
+
+
+# Per-BLOCK template overrides: take precedence over _BY_NAME for the
+# named parameters. Used where a block's parameter structure can't be
+# guessed from the name alone (dict-valued params, coupled matrix
+# shapes, protocol objects, long-capture minimum lengths).
+_BY_BLOCK: dict[str, dict[str, list]] = {
+    "aes_stream_cipher": {"data": [_Static(b"\x00" * 64)],
+                          "key": [_Static(b"0123456789abcdef" * 2)],
+                          "nonce": [_Static(b"0123456789abcdef")]},
+    "avalanche_transceiver_correlator": {
+        "x": [np.zeros(1 << 16, np.float32)], "fs": [48000.0]},
+    "digital_twin_state_observer": {
+        # x̂' = Ax̂ + Bu + L*(y − Cx̂) with elementwise L: square C,
+        # y rows matching the state size
+        "measurements": [np.zeros((16, 4), np.float32)],
+        "a": [_Static(np.eye(4, dtype=np.float32))],
+        "b": [_Static(np.zeros((4, 2), np.float32))],
+        "c": [_Static(np.eye(4, dtype=np.float32))],
+        "l_gain": [_Static(0.1)]},
+    "inertial_nav_processor": {
+        "accel_body": [np.zeros((32, 3), np.float32)],
+        "gyro_rad_s": [np.zeros((32, 3), np.float32)],
+        "dt": [0.01]},
+    "quaternion_attitude_tracker": {
+        "gyro_rad_s": [np.zeros((32, 3), np.float32)],
+        "accel_mps2": [np.zeros((32, 3), np.float32)],
+        "dt": [0.01]},
+    "lorawan_mac_scheduler": {
+        "dev_airtimes_s": [_Static({"dev0": 0.06, "dev1": 0.12})]},
+    "mimo_detector": {
+        "y": [np.zeros((16, 4), np.complex64)],  # (T, Nr)
+        "h": [np.zeros((4, 4), np.complex64)],
+        "noise_var": [0.1]},
+    "multipath_equalizer_sparse": {
+        "taps": [_Static([(0, 1.0 + 0j), (5, 0.3 + 0j)])]},
+    "noaa_weather_decoder": {
+        "audio": [np.zeros(1 << 16, np.float32)]},
+    "ofdm_channel_est": {"pattern": [_Lazy(_pilot_pattern)],
+                         "rx_occupied": [np.zeros((4, 32), np.complex64)]},
+    "ofdm_frame_equalizer": {"pattern": [_Lazy(_pilot_pattern)],
+                             "rx_occupied": [np.zeros((4, 32),
+                                                      np.complex64)]},
+    "protocol_formatter": {"fields": [_Static({"k": "v"})]},
+    "protocol_frame_parser": {"data": [_Static(b"k=v\n")]},
+    "rf_signal_router": {
+        "signal_ports": [_Static({"a": np.zeros(64, np.complex64)})],
+        "route_table": [_Static({"a": "a"})]},
+    "satellite_link_predictor": {"tle": [_Lazy(_tle)],
+                                 "site_ecef_m": [np.zeros(3, np.float64)],
+                                 "t_grid_s": [np.zeros(16, np.float64)]},
+    "satellite_tle_propagator": {"tle": [_Lazy(_tle)],
+                                 "t_since_epoch_s": [np.zeros(
+                                     16, np.float64)]},
+    "spectrogram_anomaly_detector": {
+        "spec_db": [np.zeros((48, 128), np.float32)]},
+    "waveform_diversity_scheduler": {
+        "env_report": [_Static({"snr_db": 12.0, "doppler_hz": 100.0,
+                                "interference": 0.1})]},
+    # protocol codecs: encoders take config STRINGS; decoders need a
+    # VALID frame (zeros won't parse), produced by the paired encoder
+    "acars": {
+        "registration": [_Static("N12345")], "label": [_Static("H1")],
+        "text": [_Static("HELLO WORLD")],
+        "block": [_Lazy(lambda: __import__(
+            "r4w_tpu.ops.protocols", fromlist=["acars_encode"]
+        ).acars_encode("N12345", "H1", "HELLO WORLD"))]},
+    "ais": {
+        "sentence": [_Lazy(lambda: __import__(
+            "r4w_tpu.ops.protocols", fromlist=["ais_encode_position"]
+        ).ais_encode_position(265547250, 57.66, 11.84))]},
+    "aprs": {
+        "source": [_Static("N0CALL")], "payload": [_Static(">test")],
+        "levels": [_Lazy(lambda: np.asarray(__import__(
+            "r4w_tpu.ops.protocols", fromlist=["aprs_encode"]
+        ).aprs_encode("N0CALL", ">test")))]},
+    "ax25": {
+        "frame": [_Lazy(lambda: __import__(
+            "r4w_tpu.ops.protocols", fromlist=["Ax25Frame"]
+        ).Ax25Frame(dest="APRS", source="N0CALL", info=b"HI"))],
+        "levels": [_Lazy(lambda: np.asarray(__import__(
+            "r4w_tpu.ops.protocols", fromlist=["ax25_encode", "Ax25Frame"]
+        ).ax25_encode(__import__(
+            "r4w_tpu.ops.protocols", fromlist=["Ax25Frame"]
+        ).Ax25Frame(dest="APRS", source="N0CALL", info=b"HI"))))]},
+    "stap": {
+        "snapshots": [np.zeros((64, 8), np.complex64)],  # (K, N·M)
+        "target_steering": [np.zeros(8, np.complex64)],
+        "w": [np.zeros(8, np.complex64)],
+        "cell_data": [np.zeros((16, 8), np.complex64)]},
+    "mod_mil-std-188-110": {
+        # one full 110A frame needs far more than the generic 512:
+        # preamble + autobaud probes span tens of thousands of samples
+        "samples": [np.zeros(1 << 16, np.complex64)]},
+    "mr_spectroscopy_processor": {
+        # metabolite chemical shifts are design-time constants; the
+        # peak bins derive from them statically
+        "metabolite_hz": [_Static((100.0, 250.0, 400.0))]},
+    # structured-shape numeric blocks (converted to jnp in r4; the
+    # generic 1-D templates don't satisfy their coupled shapes)
+    "acoustic_gunshot_localizer": {
+        "mic_signals": [np.zeros((4, 512), np.complex64)],
+        "mic_positions_m": [_Static(np.asarray(
+            [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]],
+            np.float32))],
+        "fs": [48000.0]},
+    "acoustic_impedance_tomographer": {
+        "boundary_measurements": [np.zeros((8, 64), np.float32)],
+        "angles_deg": [np.linspace(0, 180, 8).astype(np.float32)]},
+    "adaptive_power_controller": {
+        "gains": [np.eye(4, dtype=np.float32) * 0.9 + 0.01],
+        "noise": [np.full(4, 1e-3, np.float32)],
+        "target_db": [10.0]},
+    "fastica": {"mixtures": [np.zeros((2, 512), np.float32)]},
+    "mmwave_beam_search": {"h": [np.zeros(16, np.complex64)]},
+    "omp": {"measurement_matrix": [np.zeros((64, 128), np.float32)],
+            "y": [np.zeros(64, np.float32)],
+            "sparsity": [3]},
+    "rdf_network_triangulator": {
+        "stations_xy": [np.zeros((4, 2), np.float32)],
+        "bearings_deg": [np.asarray([0.0, 45.0, 90.0, 135.0],
+                                    np.float32)]},
+    "rf_environment_mapper": {
+        "powers_dbm": [np.full(6, -60.0, np.float32)],
+        "positions_xy": [np.zeros((6, 2), np.float32)]},
+    "trilateration": {
+        "anchors": [_Static(np.asarray(
+            [[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]],
+            np.float32))],
+        "ranges": [np.full(4, 8.0, np.float32)]},
+    "spectral_mask": {
+        "mask_points": [_Static([(0.0, 0.0), (10e3, -20.0),
+                                 (100e3, -40.0)])]},
+    "spectral_mask_painter": {
+        "mask_points": [_Static([(0.0, 0.0), (10e3, -20.0),
+                                 (100e3, -40.0)])]},
+    "ofdm_pilot_interpolator": {
+        "positions": [_Static((0, 8, 16, 24))],
+        "values": [_Static((1 + 0j, 1 + 0j, 1 + 0j, 1 + 0j))],
+        "n_occupied": [32]},
+    "melp_vocoder": {
+        # synthesis params are an analysis product; frame/rate inside
+        # are static shape parameters, so the dict is a static template
+        "params": [_Static({
+            "lpc": np.tile(np.eye(11, dtype=np.float32)[0], (4, 1)),
+            "gain": np.full(4, 0.1, np.float32),
+            "pitch": np.full(4, 100.0, np.float32),
+            "voiced": np.asarray([True, False, True, False]),
+            "frame": 180, "sample_rate": 8000.0})]},
+}
+
+# Curated classifications: blocks whose probe attempt would touch OS
+# resources (network endpoints), plus blocks that are INHERENTLY
+# host-side with the machine-readable reason class explaining why —
+# separating "host by contract" from "just not converted yet"
+# (VERDICT r3 #2). Classes: host:io, host:object (non-array protocol/
+# label outputs), host:dynamic-shape (data-dependent output length),
+# host:precision (needs f64 / CPU-only linear algebra).
+_KNOWN: dict[str, tuple[str, str]] = {
+    "tcp_sink": ("host", "host:io — network sink (connects a socket)"),
+    "tcp_source": ("host", "host:io — network source (binds a socket)"),
+    "udp_sink": ("host", "host:io — network sink (sends datagrams)"),
+    "udp_source": ("host", "host:io — network source (binds a socket)"),
+    # variable-count event/feature extraction (device scan cores feed
+    # a host extraction of data-dependent length)
+    "acoustic_emission_sensor": (
+        "host", "host:dynamic-shape — variable hit list (deadtime scan "
+                "runs on device)"),
+    "vibration_order_tracker": (
+        "host", "host:dynamic-shape — resample grid length = shaft "
+                "revolutions (data-dependent)"),
+    "lightning_stroke_analyzer": (
+        "host", "host:dynamic-shape — variable stroke list (refractory "
+                "scan runs on device)"),
+    "oscilloscope_trigger": (
+        "host", "host:dynamic-shape — variable trigger-capture count "
+                "(refractory scan runs on device)"),
+    "spurious_emission_scanner": (
+        "host", "host:dynamic-shape — variable spur list"),
+    "otdr_pulse_analyzer": (
+        "host", "host:dynamic-shape — variable fiber-event list"),
+    "pulse_descriptor_extractor": (
+        "host", "host:dynamic-shape — variable PDW count"),
+    "multipath_profile_extractor": (
+        "host", "host:dynamic-shape — variable tap list"),
+    "propagation_mode_sounder": (
+        "host", "host:dynamic-shape — variable mode list"),
+    "satellite_link_predictor": (
+        "host", "host:dynamic-shape — variable visibility windows "
+                "(propagation itself is jit: satellite_tle_propagator)"),
+    "ecg_qrs_detector": (
+        "host", "host:dynamic-shape — variable R-peak list (integrator "
+                "+ refractory scan run on device)"),
+    "emg_decomposition": (
+        "host", "host:dynamic-shape — variable firing lists per unit"),
+    "pocsag_decoder": (
+        "host", "host:dynamic-shape — variable message list"),
+    "sync_word_detector": (
+        "host", "host:dynamic-shape — variable match-offset list "
+                "(correlation core is jit: sync_word_correlate)"),
+    "csma_ca_mac": (
+        "host", "host:dynamic-shape — contention walk terminates on "
+                "data (MAC simulation)"),
+    # label / protocol-object outputs
+    "interference_classifier": (
+        "host", "host:object — returns a classification label"),
+    "radar_waveform_classifier": (
+        "host", "host:object — returns a classification label"),
+    "seismograph_event_classifier": (
+        "host", "host:object — returns a classification label"),
+    "ecg_arrhythmia_classifier": (
+        "host", "host:object — returns a rhythm label"),
+    "dtmf_detector": (
+        "host", "host:object — returns the dialed string (Goertzel "
+                "bank is jit inside)"),
+    "carrier_aggregation_scheduler": (
+        "host", "host:object — returns a per-user schedule dict"),
+    "lorawan_mac_scheduler": (
+        "host", "host:object — returns a per-device schedule dict"),
+    "telemetry_framer": (
+        "host", "host:object — returns framed bytes"),
+    "frequency_hopping_controller": (
+        "host", "host:object — stateful hop-sequence controller"),
+    # precision / backend limits
+    "pvt_solver": (
+        "host", "host:precision — f64 ECEF geodesy (sub-meter residuals "
+                "exceed f32; jax x64 disabled)"),
+    "prony_method": (
+        "host", "host:precision — polynomial rooting needs nonsymmetric "
+                "eig (CPU-only in XLA)"),
+    "modal_analysis_prony": (
+        "host", "host:precision — polynomial rooting needs nonsymmetric "
+                "eig (CPU-only in XLA)"),
+    "speech_formant_tracker": (
+        "host", "host:precision — LPC polynomial rooting needs "
+                "nonsymmetric eig (CPU-only in XLA)"),
+    "power_quality_event_classifier": (
+        "host", "host:object — returns labeled event list"),
+    "modulation_classifier": (
+        "host", "host:object — returns a classification label "
+                "(cumulant features are jit inside)"),
+    "ccsds_frame": (
+        "host", "host:object — byte-frame assembly with CRC "
+                "(protocol framing)"),
+    "packet_encoder": (
+        "host", "host:object — byte-frame assembly with CRC "
+                "(protocol framing)"),
+}
+
+
 # OS-resource params: only the curated candidate — a wrong-typed
 # fallback (bare int) is an fd-safety hazard, not just a failed try.
 _NO_FALLBACK = {"path", "filename", "fname", "fd"}
@@ -236,7 +500,7 @@ def _has_array(tree) -> bool:
         for leaf in jax.tree_util.tree_leaves(tree))
 
 
-def synthesize(fn, max_tries: int = 192):
+def synthesize(fn, max_tries: int = 192, overrides=None):
     """Find (args, kwargs) that `jax.eval_shape`-trace `fn`.
 
     Arrays are traced; everything else is closed over statically.
@@ -267,7 +531,8 @@ def synthesize(fn, max_tries: int = 192):
                 return {f"arg{i}": v for i, v in enumerate(xs)}, out
             except Exception:  # noqa: BLE001 — try the next dtype
                 continue
-    slots = [(_p.name, _candidates(_p.name)) for _p in required]
+    slots = [(_p.name, (overrides or {}).get(_p.name)
+              or _candidates(_p.name)) for _p in required]
     err: Exception | None = None
     err_rank = -1
     tries = 0
@@ -353,34 +618,97 @@ def synthesize(fn, max_tries: int = 192):
     raise err or TypeError("no template inputs found")
 
 
-def probe(fn) -> tuple[str, str]:
-    """Classify one callable: ("jit" | "host" | "unknown", reason)."""
+def probe(fn, overrides=None) -> tuple[str, str]:
+    """Classify one callable: ("jit" | "host" | "unknown", reason).
+
+    Host reasons carry a machine-readable class prefix:
+      host:dynamic — data-dependent Python control flow
+      host:pull    — pulls traced arrays to host (np.asarray/.item)
+      host:object  — consumes/produces non-array Python objects
+      host:io      — OS/network resources (curated, see _KNOWN)
+      host:viz     — plotting/rendering (category overlay)
+    """
     try:
-        kwargs, out = synthesize(fn)
+        kwargs, out = synthesize(fn, overrides=overrides)
     except jax.errors.ConcretizationTypeError:
-        return "host", "data-dependent control flow (concrete values)"
+        return "host", ("host:dynamic — data-dependent control flow "
+                        "(concrete values)")
     except jax.errors.TracerArrayConversionError:
-        return "host", "pulls traced arrays to host"
+        return "host", "host:pull — pulls traced arrays to host"
     except Exception as e:  # noqa: BLE001 — anything else: no claim
         if "returned a value of type" in str(e):
-            return "host", "returns a non-array object"
+            return "host", "host:object — returns a non-array object"
         return "unknown", f"{type(e).__name__}: {e}"[:120]
     if not _has_array(out):
-        return "host", "returns no array output"
+        return "host", "host:object — returns no array output"
     return "jit", ""
+
+
+# methods probed, in order, when a factory returns a non-callable
+# object (modem/waveform instances, stateful trackers)
+_OBJ_METHODS = ("process", "step", "compute", "apply", "run",
+                "filter", "demodulate", "push", "update")
 
 
 def probe_block(info) -> tuple[str, str]:
     """Classify a registry BlockInfo (factory may itself need params)."""
+    known = _KNOWN.get(info.name)
+    if known is not None:
+        return known
+    overrides = _BY_BLOCK.get(info.name)
     try:
         fn = info.factory()
     except TypeError:
         return "unknown", "factory requires parameters"
     except Exception as e:  # noqa: BLE001
         return "unknown", f"factory: {type(e).__name__}"[:120]
-    if not callable(fn):
-        return "host", "factory returns a non-callable object"
-    return probe(fn)
+    if callable(fn):
+        return _overlay(info, *probe(fn, overrides))
+    # (encode, decode)-style function pairs: jit only if EVERY element
+    # traces; otherwise the worst element's verdict + detail wins
+    if isinstance(fn, (tuple, list)) and fn \
+            and all(callable(e) for e in fn):
+        order = {"jit": 0, "host": 1, "unknown": 2}
+        tags = [probe(e, overrides) for e in fn]
+        worst = max(tags, key=lambda t: order[t[0]])
+        if worst[0] == "jit":
+            return "jit", ""
+        detail = ", ".join(
+            f"{getattr(e, '__name__', f'[{i}]')}:{t[0]}"
+            for i, (e, t) in enumerate(zip(fn, tags)))
+        return _overlay(info, worst[0], f"{worst[1]} ({detail})"[:160])
+    # objects: probe the first recognizable processing method
+    for meth in _OBJ_METHODS:
+        m = getattr(fn, meth, None)
+        if callable(m):
+            tag, reason = probe(m, overrides)
+            suffix = f" [via .{meth}]"
+            return _overlay(info, tag,
+                            (reason + suffix if reason else "")
+                            if tag != "jit" else "")
+    return _overlay(
+        info, "host",
+        "host:object — factory returns a non-callable object "
+        f"({type(fn).__name__}) with no processing method")
+
+
+def _overlay(info, tag, reason):
+    """Refine a host reason class from the registry category: sources/
+    sinks are host:io by role; waveform modem objects probed through
+    .modulate/.demodulate are host:framing (packet assembly and sync
+    decisions on host — their symbol-rate hot paths are jit inside)."""
+    if tag == "host":
+        from r4w_tpu.registry import BlockCategory
+
+        if info.category in (BlockCategory.SOURCE, BlockCategory.SINK):
+            detail = reason.split("— ", 1)[-1] if "— " in reason \
+                else reason
+            return tag, f"host:io — {info.category.value}: {detail}"
+        if "[via .demodulate]" in reason or "[via .modulate]" in reason:
+            detail = reason.split("— ", 1)[-1] if "— " in reason \
+                else reason
+            return tag, f"host:framing — {detail}"
+    return tag, reason
 
 
 def probe_registry(reg) -> dict[str, tuple[str, str]]:

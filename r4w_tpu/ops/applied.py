@@ -100,32 +100,57 @@ def cepstral_pitch(x, sample_rate: float, fmin: float = 60.0,
 
 def lpc_coefficients(x, order: int = 12):
     """LPC via Levinson-Durbin (speech_codec_lpc.rs). Returns (a, g):
-    prediction filter a (order+1, a[0]=1) and residual gain g."""
-    x = np.asarray(x, np.float64)
-    r = np.correlate(x, x, "full")[len(x) - 1:len(x) + order] / len(x)
-    a = np.zeros(order + 1)
-    a[0] = 1.0
-    e = r[0] if r[0] > 0 else 1e-12
-    for i in range(1, order + 1):
-        k = -(np.dot(a[:i], r[i:0:-1])) / e
-        a[:i + 1] = a[:i + 1] + k * a[i::-1]
-        e *= (1.0 - k * k)
-    return a.astype(np.float32), float(np.sqrt(max(e, 1e-12)))
+    prediction filter a (order+1, a[0]=1) and residual gain g.
+    jit-safe: the recursion is a static-order unrolled loop of
+    full-length masked updates."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    # autocorrelation lags 0..order via zero-padded FFT
+    f = jnp.fft.rfft(x, 2 * n)
+    ac = jnp.fft.irfft(f * jnp.conj(f), 2 * n)[: order + 1] / n
+    a = jnp.zeros(order + 1, jnp.float32).at[0].set(1.0)
+    e = jnp.maximum(ac[0], 1e-12)
+    for i in range(1, order + 1):  # static order: unrolled
+        k = -(a[:i] @ ac[i:0:-1]) / e
+        a = a.at[: i + 1].set(a[: i + 1] + k * a[i::-1])
+        e = e * (1.0 - k * k)
+    return a, jnp.sqrt(jnp.maximum(e, 1e-12))
+
+
+def _iir_all_pole(a, seg):
+    """y[t] = x[t] − Σ a[k]·y[t−k] (scipy lfilter([1], a, x) with
+    a[0] = 1) as a lax.scan with the order-K state carried."""
+    order = a.shape[0] - 1
+
+    def step(state, x_t):
+        y_t = x_t - jnp.dot(a[1:], state)
+        state = jnp.concatenate([y_t[None], state[:-1]])
+        return state, y_t
+
+    _, y = jax.lax.scan(step, jnp.zeros(order, seg.dtype), seg)
+    return y
 
 
 def lpc_analysis_synthesis(x, order: int = 12, frame: int = 240):
     """Frame-wise LPC vocoder loop: analyze → residual → resynthesize.
-    Returns the reconstruction (speech_codec_lpc.rs roundtrip)."""
-    from scipy.signal import lfilter
+    Returns the reconstruction (speech_codec_lpc.rs roundtrip).
+    jit-safe: frames batched by vmap, the synthesis IIR as a scan."""
+    x = jnp.asarray(x, jnp.float32)
+    n_frames = (x.shape[-1] - frame) // frame + 1 if x.shape[-1] >= frame \
+        else 0
+    if n_frames == 0:
+        return jnp.zeros_like(x)
+    segs = x[: n_frames * frame].reshape(n_frames, frame)
 
-    x = np.asarray(x, np.float64)
-    out = np.zeros_like(x)
-    for start in range(0, len(x) - frame + 1, frame):
-        seg = x[start:start + frame]
+    def per_frame(seg):
         a, _ = lpc_coefficients(seg, order)
-        resid = lfilter(a, [1.0], seg)      # inverse filter
-        out[start:start + frame] = lfilter([1.0], a, resid)  # synth
-    return out.astype(np.float32)
+        # inverse (FIR) filter: resid[t] = Σ a[k]·x[t−k]
+        resid = jnp.convolve(seg, a, mode="full")[: frame]
+        return _iir_all_pole(a, resid)
+
+    out = jax.vmap(per_frame)(segs).reshape(-1)
+    return jnp.concatenate(
+        [out, jnp.zeros(x.shape[-1] - out.shape[0], x.dtype)])
 
 
 # --------------------------------------------------------- vibration
@@ -155,14 +180,18 @@ def bearing_fault_metric(x, sample_rate: float, fault_hz: float,
     """Fault score: envelope-spectrum energy at the fault frequency and
     harmonics vs the local floor."""
     freqs, es = envelope_spectrum(x, sample_rate)
-    freqs = np.asarray(freqs)
-    es = np.asarray(es)
-    floor = np.median(es[freqs > 5.0])
-    score = 0.0
+    # frequency grid is static (shape-derived); harmonic masks are
+    # static too, so only the spectrum stays traced
+    fgrid = np.fft.rfftfreq(jnp.asarray(x).shape[-1], 1.0 / sample_rate)
+    floor = jnp.nanmedian(jnp.where(jnp.asarray(fgrid > 5.0), es,
+                                    jnp.nan))
+    score = jnp.asarray(0.0, es.dtype)
     for h in range(1, harmonics + 1):
-        mask = np.abs(freqs - h * fault_hz) <= tol_hz
+        mask = np.abs(fgrid - h * fault_hz) <= tol_hz
         if mask.any():
-            score += es[mask].max() / max(floor, 1e-12)
+            score = score + (jnp.max(jnp.where(jnp.asarray(mask), es,
+                                               -jnp.inf))
+                             / jnp.maximum(floor, 1e-12))
     return score / harmonics
 
 
@@ -172,14 +201,18 @@ def bearing_fault_metric(x, sample_rate: float, fault_hz: float,
 def trilaterate(anchors: np.ndarray, ranges: np.ndarray) -> np.ndarray:
     """Least-squares position from anchor ranges
     (trilateration_solver.rs): linearized about anchor 0."""
-    a = np.asarray(anchors, np.float64)
-    r = np.asarray(ranges, np.float64)
+    a = jnp.asarray(anchors, jnp.float32)
+    r = jnp.asarray(ranges, jnp.float32)
     p0, r0 = a[0], r[0]
     rows = a[1:] - p0
     b = 0.5 * (r0 ** 2 - r[1:] ** 2
-               + np.sum((a[1:] - p0) ** 2, axis=1))
-    sol, *_ = np.linalg.lstsq(rows, b, rcond=None)
-    return (p0 + sol).astype(np.float64)
+               + jnp.sum((a[1:] - p0) ** 2, axis=1))
+    # small fixed-dim LS via regularized normal equations (jit-safe)
+    dim = rows.shape[1]
+    sol = jnp.linalg.solve(
+        rows.T @ rows + 1e-9 * jnp.eye(dim, dtype=rows.dtype),
+        rows.T @ b)
+    return p0 + sol
 
 
 # ----------------------------------------------- source separation
@@ -188,26 +221,25 @@ def trilaterate(anchors: np.ndarray, ranges: np.ndarray) -> np.ndarray:
 def fastica_2x2(mixtures, iters: int = 64, seed: int = 0):
     """FastICA for two mixed real sources (blind_source_separation.rs):
     whiten then one rotation found by kurtosis maximization."""
-    x = np.asarray(mixtures, np.float64)  # (2, N)
-    x = x - x.mean(axis=1, keepdims=True)
+    x = jnp.asarray(mixtures, jnp.float32)  # (2, N)
+    x = x - jnp.mean(x, axis=1, keepdims=True)
     cov = x @ x.T / x.shape[1]
-    d, e = np.linalg.eigh(cov)
-    white = (e / np.sqrt(np.maximum(d, 1e-12))) @ e.T
+    d, e = jnp.linalg.eigh(cov)
+    white = (e / jnp.sqrt(jnp.maximum(d, 1e-12))) @ e.T
     z = white @ x
-    rng = np.random.default_rng(seed)
-    w = rng.standard_normal(2)
-    w /= np.linalg.norm(w)
-    for _ in range(iters):
+    rng = np.random.default_rng(seed)  # static init direction
+    w0 = rng.standard_normal(2).astype(np.float32)
+    w0 /= np.linalg.norm(w0)
+
+    def step(w, _):
         wz = w @ z
-        w_new = (z * wz ** 3).mean(axis=1) - 3.0 * w
-        w_new /= np.linalg.norm(w_new)
-        if abs(abs(w_new @ w) - 1.0) < 1e-10:
-            w = w_new
-            break
-        w = w_new
-    w2 = np.asarray([-w[1], w[0]])
-    sources = np.stack([w, w2]) @ z
-    return sources, np.stack([w, w2]) @ white
+        w_new = jnp.mean(z * wz ** 3, axis=1) - 3.0 * w
+        return w_new / jnp.linalg.norm(w_new), None
+
+    w, _ = jax.lax.scan(step, jnp.asarray(w0), None, length=iters)
+    w2 = jnp.stack([-w[1], w[0]])
+    basis = jnp.stack([w, w2])
+    return basis @ z, basis @ white
 
 
 # ------------------------------------------------ compressive sensing
@@ -216,20 +248,28 @@ def fastica_2x2(mixtures, iters: int = 64, seed: int = 0):
 def omp(measurement_matrix, y, sparsity: int):
     """Orthogonal Matching Pursuit (compressive_sensing.rs): recover a
     k-sparse vector from y = A·x."""
-    a = np.asarray(measurement_matrix, np.float64)
-    y = np.asarray(y, np.float64)
-    resid = y.copy()
-    support: list[int] = []
-    for _ in range(sparsity):
-        scores = np.abs(a.T @ resid)
-        scores[support] = -1.0
-        support.append(int(np.argmax(scores)))
-        sub = a[:, support]
-        coef, *_ = np.linalg.lstsq(sub, y, rcond=None)
-        resid = y - sub @ coef
-    x = np.zeros(a.shape[1])
-    x[support] = coef
-    return x, sorted(support)
+    a = jnp.asarray(measurement_matrix, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n = a.shape[1]
+    resid = y
+    sel = jnp.zeros(n, jnp.float32)  # 1.0 at selected columns
+    support = []
+    coef_full = jnp.zeros(n, jnp.float32)
+    for _ in range(sparsity):  # static sparsity: unrolled greedy
+        scores = jnp.abs(a.T @ resid)
+        scores = jnp.where(sel > 0, -1.0, scores)
+        j = jnp.argmax(scores)
+        support.append(j)
+        sel = sel.at[j].set(1.0)
+        # LS on the selected columns via MASKED normal equations:
+        # unselected rows/cols of the Gram are identity with zero rhs,
+        # so their coefficients are exactly 0 and the selected block
+        # solves A_Sᵀ A_S c = A_Sᵀ y — jit-safe (no fancy indexing).
+        am = a * sel[None, :]
+        g = am.T @ am + jnp.diag(1.0 - sel)
+        coef_full = jnp.linalg.solve(g, am.T @ y)
+        resid = y - am @ coef_full
+    return coef_full, jnp.sort(jnp.stack(support))
 
 
 # -------------------------------------- modulation classification

@@ -166,32 +166,29 @@ def lpc_coeffs_frame(frames, order: int):
     """Batched LPC via autocorrelation + Levinson-Durbin
     (melp_vocoder.rs analysis). frames: (F, N) → (F, order+1) coeffs
     and (F,) gains."""
-    f = np.asarray(frames, np.float64)
+    f = jnp.asarray(frames, jnp.float32)
     n = f.shape[-1]
-    acf = np.stack([
-        np.array([np.dot(f[i, :n - k], f[i, k:]) for k in range(order + 1)])
-        for i in range(f.shape[0])])
-    coeffs = np.zeros((f.shape[0], order + 1))
-    gains = np.zeros(f.shape[0])
-    for i in range(f.shape[0]):
-        r = acf[i]
-        if r[0] <= 0:
-            coeffs[i, 0] = 1.0
-            continue
-        a = np.zeros(order + 1)
-        a[0] = 1.0
-        e = r[0]
-        for m in range(1, order + 1):
-            k = -np.dot(a[:m], r[m:0:-1]) / e
-            # Levinson recursion: a_new[j] = a[j] + k*a[m-j]
-            a_new = a.copy()
-            for j in range(1, m):
-                a_new[j] = a[j] + k * a[m - j]
-            a_new[m] = k
-            a = a_new
-            e *= (1 - k * k)
-        coeffs[i] = a
-        gains[i] = np.sqrt(max(e, 1e-12))
+    # all lags for all frames in one FFT autocorrelation
+    sp = jnp.fft.rfft(f, 2 * n, axis=-1)
+    acf = jnp.fft.irfft(sp * jnp.conj(sp), 2 * n,
+                        axis=-1)[:, : order + 1]
+
+    def levinson(r):
+        a = jnp.zeros(order + 1, jnp.float32).at[0].set(1.0)
+        e = jnp.maximum(r[0], 1e-12)
+        for m in range(1, order + 1):  # static order: unrolled
+            k = -(a[:m] @ r[m:0:-1]) / e
+            # Levinson recursion incl. a_new[m] = k (a[0]·k term)
+            a = a.at[: m + 1].set(a[: m + 1] + k * a[m::-1])
+            e = e * (1.0 - k * k)
+        return a, jnp.sqrt(jnp.maximum(e, 1e-12))
+
+    coeffs, gains = jax.vmap(levinson)(acf)
+    # degenerate (silent) frames: identity filter, zero-ish gain
+    ok = acf[:, 0] > 0
+    coeffs = jnp.where(ok[:, None], coeffs,
+                       jnp.zeros_like(coeffs).at[:, 0].set(1.0))
+    gains = jnp.where(ok, gains, 0.0)
     return coeffs, gains
 
 
@@ -199,20 +196,26 @@ def melp_analyze(audio, sample_rate: float = 8000.0, frame: int = 180,
                  order: int = 10):
     """MELP-style analysis (melp_vocoder.rs): per-frame LPC + pitch +
     voicing + gain. Returns a dict of parameter tracks."""
-    a = np.asarray(audio, np.float64)
+    a = jnp.asarray(audio, jnp.float32)
     n_frames = a.shape[0] // frame
     frames = a[:n_frames * frame].reshape(n_frames, frame)
     coeffs, gains = lpc_coeffs_frame(frames, order)
-    pitch = np.zeros(n_frames)
-    voiced = np.zeros(n_frames, bool)
-    for i in range(n_frames):
-        f = frames[i] - frames[i].mean()
-        ac = np.correlate(f, f, "full")[frame - 1:]
-        lo, hi = int(sample_rate / 400), int(sample_rate / 60)
-        if hi < frame and ac[0] > 1e-9:
-            k = lo + np.argmax(ac[lo:hi])
-            voiced[i] = ac[k] / ac[0] > 0.35
-            pitch[i] = sample_rate / k if voiced[i] else 0.0
+    # batched pitch: one FFT autocorrelation over all frames, argmax
+    # in the 60-400 Hz lag band (was: per-frame Python loop)
+    fj = jnp.asarray(frames, jnp.float32)
+    fj = fj - jnp.mean(fj, axis=-1, keepdims=True)
+    sp = jnp.fft.rfft(fj, 2 * frame, axis=-1)
+    ac = jnp.fft.irfft(sp * jnp.conj(sp), 2 * frame, axis=-1)[:, :frame]
+    lo, hi = int(sample_rate / 400), int(sample_rate / 60)
+    if hi < frame:
+        k = lo + jnp.argmax(ac[:, lo:hi], axis=-1)
+        ratio = jnp.take_along_axis(ac, k[:, None], axis=-1)[:, 0] \
+            / jnp.maximum(ac[:, 0], 1e-9)
+        voiced = (ratio > 0.35) & (ac[:, 0] > 1e-9)
+        pitch = jnp.where(voiced, sample_rate / k, 0.0)
+    else:
+        voiced = jnp.zeros(n_frames, bool)
+        pitch = jnp.zeros(n_frames, jnp.float32)
     return {"lpc": coeffs, "gain": gains, "pitch": pitch,
             "voiced": voiced, "frame": frame,
             "sample_rate": sample_rate}
@@ -221,30 +224,36 @@ def melp_analyze(audio, sample_rate: float = 8000.0, frame: int = 180,
 def melp_synthesize(params, seed: int = 0):
     """MELP-style synthesis: pulse train (voiced) / noise (unvoiced)
     excitation through the LPC all-pole filter."""
-    rng = np.random.default_rng(seed)
     frame = params["frame"]
     fs = params["sample_rate"]
-    out = []
-    for i in range(params["lpc"].shape[0]):
-        a = params["lpc"][i]
-        g = params["gain"][i]
-        if params["voiced"][i] and params["pitch"][i] > 0:
-            period = int(fs / params["pitch"][i])
-            exc = np.zeros(frame)
-            exc[::max(period, 1)] = np.sqrt(period)
-        else:
-            exc = rng.standard_normal(frame)
-        # all-pole synthesis filter 1/A(z)
-        y = np.zeros(frame)
-        order = a.shape[0] - 1
-        for n in range(frame):
-            acc = exc[n] * g
-            for k in range(1, order + 1):
-                if n - k >= 0:
-                    acc -= a[k] * y[n - k]
-            y[n] = acc
-        out.append(y)
-    return jnp.asarray(np.concatenate(out).astype(np.float32))
+    lpc = jnp.asarray(params["lpc"], jnp.float32)     # (F, order+1)
+    gain = jnp.asarray(params["gain"], jnp.float32)
+    pitch = jnp.asarray(params["pitch"], jnp.float32)
+    voiced = jnp.asarray(params["voiced"], bool)
+    n_frames = lpc.shape[0]
+    order = lpc.shape[1] - 1
+    # static noise bank (seeded host RNG — design-time randomness)
+    rng = np.random.default_rng(seed)
+    noise = jnp.asarray(rng.standard_normal(
+        (n_frames, frame)).astype(np.float32))
+    t = jnp.arange(frame)
+
+    def synth(a, g, p, v, nz):
+        period = jnp.clip((fs / jnp.maximum(p, 1.0)).astype(jnp.int32),
+                          1, frame)
+        pulse = jnp.where(jnp.mod(t, period) == 0,
+                          jnp.sqrt(period.astype(jnp.float32)), 0.0)
+        exc = jnp.where(v & (p > 0), pulse, nz) * g
+
+        def step(state, x_t):
+            y_t = x_t - jnp.dot(a[1:], state)
+            return jnp.concatenate([y_t[None], state[:-1]]), y_t
+
+        _, y = jax.lax.scan(step, jnp.zeros(order, jnp.float32), exc)
+        return y
+
+    out = jax.vmap(synth)(lpc, gain, pitch, voiced, noise)
+    return out.reshape(-1)
 
 
 def formant_track(audio, sample_rate: float, frame: int = 256,

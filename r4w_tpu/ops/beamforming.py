@@ -154,8 +154,7 @@ def noma_decode_near(y, constellation, p_near: float = 0.2):
 def array_response(n_elems: int, angles_deg, spacing: float = 0.5):
     """Array manifold over a set of angles (antenna_array_response.rs):
     (n_angles, n_elems) steering matrix."""
-    a = jnp.asarray(np.atleast_1d(np.asarray(angles_deg, np.float64)),
-                    REAL_DTYPE)
+    a = jnp.atleast_1d(jnp.asarray(angles_deg, REAL_DTYPE))
     return steering_vector(n_elems, spacing, a)
 
 
@@ -192,12 +191,16 @@ def gsc_cancel(x, look_deg: float, spacing: float = 0.5,
     matrix + LMS adaptive branch. x: (N_elems, T)."""
     x = jnp.asarray(x, IQ_DTYPE)
     n = x.shape[0]
-    d_vec = _steer(n, look_deg, spacing) / n
+    # steering vector + blocking matrix are DESIGN-TIME math from the
+    # static look angle — build them in numpy so the block stays
+    # jit-safe when x is traced (the QR never sees a tracer)
+    ang = np.deg2rad(look_deg)
+    v = np.exp(1j * 2.0 * np.pi * spacing * np.sin(ang)
+               * np.arange(n)) / n
+    d_vec = jnp.asarray(v, IQ_DTYPE)
     main = jnp.einsum("n,nt->t", jnp.conj(d_vec), x)
     # blocking matrix: orthogonal complement of the steering vector
-    v = np.asarray(d_vec)
-    q, _ = np.linalg.qr(np.column_stack(
-        [v, np.eye(n)[:, : n - 1]]))
+    q, _ = np.linalg.qr(np.column_stack([v, np.eye(n)[:, : n - 1]]))
     b = jnp.asarray(q[:, 1:], IQ_DTYPE)            # (N, N-1)
     blocked = jnp.einsum("nm,nt->mt", jnp.conj(b), x)
 

@@ -116,9 +116,9 @@ def bci_alpha_blocking(eeg_eyes_closed, eeg_eyes_open, fs: float):
     """Simple SSVEP/alpha-blocking BCI decision
     (electroencephalogram_bci.rs): the alpha-power ratio between the
     two states."""
-    a_c = float(eeg_band_powers(eeg_eyes_closed, fs)["alpha"])
-    a_o = float(eeg_band_powers(eeg_eyes_open, fs)["alpha"])
-    return a_c / max(a_o, 1e-12)
+    a_c = eeg_band_powers(eeg_eyes_closed, fs)["alpha"]
+    a_o = eeg_band_powers(eeg_eyes_open, fs)["alpha"]
+    return a_c / jnp.maximum(a_o, 1e-12)
 
 
 # ------------------------------------------------------------- EMG
@@ -197,20 +197,23 @@ def species_features(audio, fs: float):
     """Call features for species classification
     (bioacoustic_species_classifier.rs): peak frequency, bandwidth,
     syllable rate."""
-    x = np.asarray(audio, float)
-    spec = np.abs(np.fft.rfft(x * np.hanning(x.shape[0]))) ** 2
-    f = np.fft.rfftfreq(x.shape[0], 1.0 / fs)
-    pk = f[np.argmax(spec)]
-    csum = np.cumsum(spec) / max(np.sum(spec), 1e-12)
-    bw = f[np.searchsorted(csum, 0.95)] - f[np.searchsorted(csum, 0.05)]
-    env = np.abs(x)
+    x = jnp.asarray(audio, REAL_DTYPE)
+    n = x.shape[0]
+    spec = jnp.abs(jnp.fft.rfft(
+        x * jnp.asarray(np.hanning(n), REAL_DTYPE))) ** 2
+    f = jnp.asarray(np.fft.rfftfreq(n, 1.0 / fs), REAL_DTYPE)
+    pk = f[jnp.argmax(spec)]
+    csum = jnp.cumsum(spec) / jnp.maximum(jnp.sum(spec), 1e-12)
+    bw = (f[jnp.searchsorted(csum, 0.95)]
+          - f[jnp.searchsorted(csum, 0.05)])
+    env = jnp.abs(x)
     k = max(1, int(0.01 * fs))
-    env = np.convolve(env, np.ones(k) / k, mode="same")
-    thr = 0.3 * env.max()
-    syl = np.sum(np.diff((env > thr).astype(int)) == 1)
-    rate = syl / (x.shape[0] / fs)
-    return {"peak_hz": float(pk), "bandwidth_hz": float(bw),
-            "syllable_rate_hz": float(rate)}
+    env = jnp.convolve(env, jnp.ones(k) / k, mode="same")
+    thr = 0.3 * jnp.max(env)
+    syl = jnp.sum(jnp.diff((env > thr).astype(jnp.int32)) == 1)
+    rate = syl / (n / fs)
+    return {"peak_hz": pk, "bandwidth_hz": bw,
+            "syllable_rate_hz": rate}
 
 
 BLOCKS = {

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,16 +234,19 @@ def power_control_converge(gains, noise, target_db: float,
     """Distributed Foschini–Miljanic iteration across interfering
     links: p ← target_lin · (interference+noise)/gain. gains: (L, L)
     with g[i,i] the wanted link."""
-    g = np.asarray(gains, float)
-    nl = np.asarray(noise, float)
+    g = jnp.asarray(gains, REAL_DTYPE)
+    nl = jnp.asarray(noise, REAL_DTYPE)
     target = 10.0 ** (target_db / 10.0)
-    p = np.ones(g.shape[0])
-    for _ in range(n_iter):
-        interf = g @ p - np.diag(g) * p + nl
-        p = target * interf / np.diag(g)
-    sinr = np.diag(g) * p / (g @ p - np.diag(g) * p + nl)
-    return jnp.asarray(p, REAL_DTYPE), \
-        jnp.asarray(10.0 * np.log10(sinr), REAL_DTYPE)
+    diag = jnp.diag(g)
+
+    def step(p, _):
+        interf = g @ p - diag * p + nl
+        return target * interf / diag, None
+
+    p, _ = jax.lax.scan(step, jnp.ones(g.shape[0], REAL_DTYPE), None,
+                        length=n_iter)
+    sinr = diag * p / (g @ p - diag * p + nl)
+    return p, 10.0 * jnp.log10(jnp.maximum(sinr, 1e-30))
 
 
 def timing_advance(rx_correlation_peak_idx: int, expected_idx: int,
@@ -330,19 +334,19 @@ def rf_route(signal_ports: dict, route_table: dict) -> dict:
 def spectral_mask(freq_offsets_hz, mask_points):
     """Piecewise-linear spectral emission mask evaluated at offsets
     (spectral_mask.rs). mask_points: [(offset_hz, limit_db)...]."""
-    pts = sorted(mask_points)
-    fo = np.abs(np.asarray(freq_offsets_hz, float))
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
-    return jnp.asarray(np.interp(fo, xs, ys), REAL_DTYPE)
+    pts = sorted(mask_points)  # mask is design-time config (static)
+    fo = jnp.abs(jnp.asarray(freq_offsets_hz, REAL_DTYPE))
+    xs = jnp.asarray([p[0] for p in pts], REAL_DTYPE)
+    ys = jnp.asarray([p[1] for p in pts], REAL_DTYPE)
+    return jnp.interp(fo, xs, ys).astype(REAL_DTYPE)
 
 
 def mask_compliance(psd_db, freqs_hz, mask_points):
     """Check a measured PSD against the mask
     (spectral_mask_painter.rs): returns (ok, worst_margin_db)."""
-    limit = np.asarray(spectral_mask(freqs_hz, mask_points))
-    margin = limit - np.asarray(psd_db)
-    return bool(np.all(margin >= 0.0)), float(margin.min())
+    limit = spectral_mask(freqs_hz, mask_points)
+    margin = limit - jnp.asarray(psd_db, REAL_DTYPE)
+    return jnp.all(margin >= 0.0), jnp.min(margin)
 
 
 def lpi_metrics(x, n_fft: int = 1024):

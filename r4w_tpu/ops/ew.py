@@ -179,19 +179,22 @@ def tdoa_localize(positions, tdoas_m, iters: int = 20):
     (emitter_localization.rs): positions (R, 2) receiver coordinates,
     tdoas_m (R-1,) range differences d_i - d_0 in meters (receiver 0 is
     the reference). Gauss-Newton iteration from the array centroid."""
-    p = np.asarray(positions, np.float64)
-    dd = np.asarray(tdoas_m, np.float64)
-    est = p.mean(0)
-    for _ in range(iters):
-        d = np.linalg.norm(p - est, axis=1)
+    p = jnp.asarray(positions, jnp.float32)
+    dd = jnp.asarray(tdoas_m, jnp.float32)
+
+    def gn_step(est, _):
+        d = jnp.linalg.norm(p - est, axis=1)
         f = (d[1:] - d[0]) - dd
         # jacobian of d_i - d_0 wrt position
-        u = (est - p) / np.maximum(d[:, None], 1e-9)
+        u = (est - p) / jnp.maximum(d[:, None], 1e-9)
         jac = u[1:] - u[0]
-        step, *_ = np.linalg.lstsq(jac, -f, rcond=None)
-        est = est + step
-        if np.linalg.norm(step) < 1e-9:
-            break
+        # 2 unknowns: normal equations (regularized) replace lstsq
+        jtj = jac.T @ jac + 1e-9 * jnp.eye(2, dtype=jnp.float32)
+        step = jnp.linalg.solve(jtj, -jac.T @ f)
+        return est + step, None
+
+    est, _ = jax.lax.scan(gn_step, jnp.mean(p, axis=0), None,
+                          length=iters)
     return est
 
 

@@ -282,16 +282,17 @@ def group_delay_equalizer_taps(target_delay: np.ndarray | list[float],
     ripple (group_delay_equalizer.rs): build the desired all-pass
     frequency response exp(-j*phi(w)) from the delay profile and window
     its IFFT."""
-    gd = np.asarray(target_delay, np.float64)
-    freqs = np.linspace(0.0, 1.0, gd.shape[0])
-    grid = np.interp(np.linspace(0, 1, nfft // 2 + 1), freqs, gd)
+    gd = jnp.asarray(target_delay, REAL_DTYPE)
+    freqs = jnp.linspace(0.0, 1.0, gd.shape[0])
+    grid = jnp.interp(jnp.linspace(0, 1, nfft // 2 + 1), freqs, gd)
     w = np.pi * np.linspace(0, 1, nfft // 2 + 1)
-    phi = -np.cumsum(grid) * (w[1] - w[0])            # phase = -∫ gd dw
-    h_half = np.exp(1j * phi)
-    full = np.concatenate([h_half, np.conj(h_half[-2:0:-1])])
-    imp = np.real(np.fft.ifft(full))
-    imp = np.roll(imp, n_taps // 2)[:n_taps] * np.hamming(n_taps)
-    return jnp.asarray(imp, REAL_DTYPE)
+    phi = -jnp.cumsum(grid) * np.float32(w[1] - w[0])  # phase = -∫gd dw
+    h_half = cis(phi.astype(REAL_DTYPE))
+    full = jnp.concatenate([h_half, jnp.conj(h_half[-2:0:-1])])
+    imp = jnp.real(jnp.fft.ifft(full))
+    imp = (jnp.roll(imp, n_taps // 2)[:n_taps]
+           * jnp.asarray(np.hamming(n_taps), REAL_DTYPE))
+    return imp.astype(REAL_DTYPE)
 
 
 def frequency_domain_oversampled_dft(x, nfft: int, oversample: int = 4):

@@ -68,15 +68,15 @@ def oscilloscope_trigger(x, level: float, slope: str = "rising",
 def jitter_analyze(edges_s, nominal_period_s: float):
     """Time-interval-error jitter metrics (jitter_analyzer.rs):
     TIE series, RMS + peak-to-peak jitter, period jitter."""
-    e = np.asarray(edges_s, float)
+    e = jnp.asarray(edges_s, jnp.float32)
     n = e.shape[0]
-    expected = e[0] + nominal_period_s * np.arange(n)
+    expected = e[0] + nominal_period_s * jnp.arange(n, dtype=jnp.float32)
     tie = e - expected
-    periods = np.diff(e)
-    return {"tie_rms_s": float(np.std(tie)),
-            "tie_pp_s": float(tie.max() - tie.min()),
-            "period_jitter_rms_s": float(np.std(periods)),
-            "tie": jnp.asarray(tie.astype(np.float32))}
+    periods = jnp.diff(e)
+    return {"tie_rms_s": jnp.std(tie),
+            "tie_pp_s": jnp.max(tie) - jnp.min(tie),
+            "period_jitter_rms_s": jnp.std(periods),
+            "tie": tie}
 
 
 def power_meter_dbm(x, impedance_ohm: float = 50.0,
@@ -214,14 +214,15 @@ def pim_level(x, f1_hz: float, f2_hz: float, sample_rate: float,
     spec = jnp.abs(jnp.fft.fft(x * jnp.asarray(np.hanning(n),
                                                REAL_DTYPE))) ** 2
     freqs = np.fft.fftfreq(n, 1.0 / sample_rate)
-    worst = -np.inf
+    # product bins are static (tones + grid are design-time)
+    worst = jnp.asarray(-jnp.inf)
     for f in pim_products(f1_hz, f2_hz, order):
         for sgn in (f, -f):
             k = int(np.argmin(np.abs(freqs - sgn)))
-            worst = max(worst, float(10.0 * jnp.log10(
-                jnp.maximum(spec[k], 1e-30))))
-    carrier = float(10.0 * jnp.log10(jnp.maximum(
-        spec[int(np.argmin(np.abs(freqs - f1_hz)))], 1e-30)))
+            worst = jnp.maximum(worst, 10.0 * jnp.log10(
+                jnp.maximum(spec[k], 1e-30)))
+    carrier = 10.0 * jnp.log10(jnp.maximum(
+        spec[int(np.argmin(np.abs(freqs - f1_hz)))], 1e-30))
     return worst - carrier      # dBc
 
 
@@ -258,7 +259,7 @@ def injection_locking_detect(x, sample_rate: float, f_free_hz: float,
     mean_f = jnp.mean(inst)
     std_f = jnp.std(inst)
     locked = (jnp.abs(mean_f - f_free_hz) > tol_hz) & (std_f < tol_hz)
-    return bool(locked), float(mean_f), float(std_f)
+    return locked, mean_f, std_f
 
 
 def spur_scan(x, sample_rate: float, carrier_hz: float,
@@ -332,18 +333,17 @@ def df_bearing_pseudodoppler(x, sample_rate: float, rot_hz: float):
 def triangulate_bearings(stations_xy, bearings_deg):
     """Multi-station bearing triangulation (rdf_network_triangulator.rs):
     least-squares intersection of bearing lines."""
-    p = np.asarray(stations_xy, float)
-    th = np.deg2rad(np.asarray(bearings_deg, float))
+    p = jnp.asarray(stations_xy, jnp.float32)
+    th = jnp.deg2rad(jnp.asarray(bearings_deg, jnp.float32))
     # line: point p_i, direction (sin θ, cos θ) (bearing from north)
-    d = np.stack([np.sin(th), np.cos(th)], axis=-1)
-    # normal equations for min Σ dist(x, line_i)^2
-    a = np.zeros((2, 2))
-    b = np.zeros(2)
-    for pi, di in zip(p, d):
-        proj = np.eye(2) - np.outer(di, di)
-        a += proj
-        b += proj @ pi
-    return jnp.asarray(np.linalg.solve(a, b).astype(np.float32))
+    d = jnp.stack([jnp.sin(th), jnp.cos(th)], axis=-1)     # (S, 2)
+    # normal equations for min Σ dist(x, line_i)^2, batched over
+    # stations: proj_i = I − d_i d_iᵀ
+    proj = (jnp.eye(2, dtype=jnp.float32)[None]
+            - d[:, :, None] * d[:, None, :])               # (S, 2, 2)
+    a = jnp.sum(proj, axis=0)
+    b = jnp.einsum("sij,sj->i", proj, p)
+    return jnp.linalg.solve(a, b)
 
 
 def gps_spoof_detect(cn0_dbhz, doppler_hz, clock_drift_s_s,
@@ -405,18 +405,16 @@ def rf_device_fingerprint(x, n_fft: int = 1024):
 def rf_environment_map(powers_dbm, positions_xy, grid_n: int = 32,
                        extent: float = 100.0):
     """IDW interpolated coverage map (rf_environment_mapper.rs)."""
-    p = np.asarray(powers_dbm, float)
-    xy = np.asarray(positions_xy, float)
-    xs = np.linspace(-extent, extent, grid_n)
-    gx, gy = np.meshgrid(xs, xs, indexing="xy")
-    out = np.zeros_like(gx)
-    for iy in range(grid_n):
-        for ix in range(grid_n):
-            d2 = (xy[:, 0] - gx[iy, ix]) ** 2 \
-                + (xy[:, 1] - gy[iy, ix]) ** 2
-            w = 1.0 / np.maximum(d2, 1.0)
-            out[iy, ix] = np.sum(w * p) / np.sum(w)
-    return jnp.asarray(out.astype(np.float32))
+    p = jnp.asarray(powers_dbm, jnp.float32)
+    xy = jnp.asarray(positions_xy, jnp.float32)
+    xs = jnp.linspace(-extent, extent, grid_n)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
+    # one batched IDW over the whole grid (was: per-pixel Python loop)
+    d2 = ((xy[:, 0][:, None, None] - gx[None]) ** 2
+          + (xy[:, 1][:, None, None] - gy[None]) ** 2)   # (S, G, G)
+    w = 1.0 / jnp.maximum(d2, 1.0)
+    out = jnp.sum(w * p[:, None, None], axis=0) / jnp.sum(w, axis=0)
+    return out.astype(jnp.float32)
 
 
 def protocol_anomaly_score(msg_lengths, msg_intervals_s,
@@ -424,13 +422,13 @@ def protocol_anomaly_score(msg_lengths, msg_intervals_s,
     """Protocol-behavior anomaly scoring (protocol_anomaly_detector.rs):
     z-scores of message length + inter-arrival vs the training
     prefix."""
-    ln = np.asarray(msg_lengths, float)
-    iv = np.asarray(msg_intervals_s, float)
-    k = max(2, int(ln.shape[0] * train_frac))
-    mu_l, sd_l = ln[:k].mean(), ln[:k].std() + 1e-9
-    mu_i, sd_i = iv[:k].mean(), iv[:k].std() + 1e-9
-    z = np.sqrt(((ln - mu_l) / sd_l) ** 2 + ((iv - mu_i) / sd_i) ** 2)
-    return jnp.asarray(z.astype(np.float32))
+    ln = jnp.asarray(msg_lengths, jnp.float32)
+    iv = jnp.asarray(msg_intervals_s, jnp.float32)
+    k = max(2, int(ln.shape[0] * train_frac))  # static train split
+    mu_l, sd_l = jnp.mean(ln[:k]), jnp.std(ln[:k]) + 1e-9
+    mu_i, sd_i = jnp.mean(iv[:k]), jnp.std(iv[:k]) + 1e-9
+    return jnp.sqrt(((ln - mu_l) / sd_l) ** 2
+                    + ((iv - mu_i) / sd_i) ** 2).astype(jnp.float32)
 
 
 # --------------------------------------------------- radio astronomy
@@ -460,7 +458,7 @@ def telescope_cross_correlate(a, b, n_lags: int = 64):
     lags = jnp.concatenate([c[-n_lags:], c[:n_lags + 1]])
     vis = jnp.mean(x * jnp.conj(y))
     k = jnp.argmax(jnp.abs(lags)) - n_lags
-    return vis, int(k), lags
+    return vis, k, lags
 
 
 BLOCKS = {

@@ -391,14 +391,20 @@ def regenerate_bb(trigger, period: int, width: int, n: int):
     """Regenerate clean pulses from (possibly jittered) trigger events
     (regenerate_bb.rs): each trigger starts a clean width-``width``
     pulse; retriggers within ``period`` are ignored."""
-    trig = np.asarray(trigger).astype(bool)
-    out = np.zeros(n, np.int32)
-    last = -period
-    for i in np.nonzero(trig)[0]:
-        if i - last >= period:
-            out[i:i + width] = 1
-            last = i
-    return jnp.asarray(out)
+    from r4w_tpu.ops.events import refractory_trigger
+
+    trig = jnp.asarray(trigger).astype(bool)
+    # refractory acceptance on device, then paint width-long pulses by
+    # comparing each sample to the most recent accepted trigger index
+    # (a cummax — no per-trigger Python loop)
+    acc = refractory_trigger(trig, period)
+    t_idx = jnp.arange(trig.shape[0])
+    last = jax.lax.cummax(jnp.where(acc, t_idx, -period - width))
+    out = ((t_idx - last) < width).astype(jnp.int32)
+    if n <= trig.shape[0]:
+        return out[:n]
+    return jnp.concatenate(
+        [out, jnp.zeros(n - trig.shape[0], jnp.int32)])
 
 
 BLOCKS = {

@@ -102,30 +102,31 @@ def tle_propagate(tle: Tle, t_since_epoch_s):
     mu = 3.986004418e14
     n_rad = tle.mean_motion_rev_day * 2.0 * np.pi / 86400.0
     a = (mu / n_rad ** 2) ** (1.0 / 3.0)
-    t = np.atleast_1d(np.asarray(t_since_epoch_s, float))
+    t = jnp.atleast_1d(jnp.asarray(t_since_epoch_s, REAL_DTYPE))
     m = np.deg2rad(tle.mean_anomaly_deg) + n_rad * t
-    # Kepler solve (few Newton steps)
+    # Kepler solve (static 8 Newton steps — jit-safe; the TLE fields
+    # are design-time constants, only t is traced)
     e = tle.eccentricity
-    ecc_an = m.copy()
+    ecc_an = m
     for _ in range(8):
-        ecc_an = ecc_an - (ecc_an - e * np.sin(ecc_an) - m) \
-            / (1.0 - e * np.cos(ecc_an))
-    nu = 2.0 * np.arctan2(np.sqrt(1 + e) * np.sin(ecc_an / 2),
-                          np.sqrt(1 - e) * np.cos(ecc_an / 2))
-    r = a * (1.0 - e * np.cos(ecc_an))
+        ecc_an = ecc_an - (ecc_an - e * jnp.sin(ecc_an) - m) \
+            / (1.0 - e * jnp.cos(ecc_an))
+    nu = 2.0 * jnp.arctan2(np.sqrt(1 + e) * jnp.sin(ecc_an / 2),
+                           np.sqrt(1 - e) * jnp.cos(ecc_an / 2))
+    r = a * (1.0 - e * jnp.cos(ecc_an))
     # perifocal -> ECI
     w = np.deg2rad(tle.arg_perigee_deg)
     inc = np.deg2rad(tle.inclination_deg)
     raan = np.deg2rad(tle.raan_deg)
-    xp = r * np.cos(nu)
-    yp = r * np.sin(nu)
+    xp = r * jnp.cos(nu)
+    yp = r * jnp.sin(nu)
     cw, sw = np.cos(w), np.sin(w)
     ci, si = np.cos(inc), np.sin(inc)
     co, so = np.cos(raan), np.sin(raan)
     x = (co * cw - so * sw * ci) * xp + (-co * sw - so * cw * ci) * yp
     y = (so * cw + co * sw * ci) * xp + (-so * sw + co * cw * ci) * yp
     z = (sw * si) * xp + (cw * si) * yp
-    return jnp.asarray(np.stack([x, y, z], axis=-1), REAL_DTYPE)
+    return jnp.stack([x, y, z], axis=-1).astype(REAL_DTYPE)
 
 
 def pass_predict(tle: Tle, site_ecef_m, t_grid_s,

@@ -316,15 +316,25 @@ def lidar_peak_match(waveform, template, max_returns: int = 4,
     w = jnp.asarray(waveform, REAL_DTYPE)
     t = jnp.asarray(template, REAL_DTYPE)
     corr = jnp.correlate(w, t, mode="valid")
-    c = np.asarray(corr).copy()
-    peaks = []
+    # jit-safe greedy peak pick: static max_returns iterations of
+    # argmax + neighborhood masking; returns an (R, 2) array of
+    # (index, value) rows sorted by index, invalid rows = (-1, -inf)
+    thr = 0.3 * jnp.max(corr)
+    bins = jnp.arange(corr.shape[0])
+    c = corr
+    idxs, vals = [], []
     for _ in range(max_returns):
-        k = int(np.argmax(c))
-        if c[k] <= 0.3 * np.max(np.asarray(corr)):
-            break
-        peaks.append((k, float(c[k])))
-        c[max(0, k - min_sep):k + min_sep] = -np.inf
-    return sorted(peaks)
+        k = jnp.argmax(c)
+        idxs.append(k.astype(REAL_DTYPE))
+        vals.append(c[k])
+        c = jnp.where(jnp.abs(bins - k) < min_sep, -jnp.inf, c)
+    idx_f = jnp.stack(idxs)
+    val_f = jnp.stack(vals)
+    valid = val_f > thr
+    order = jnp.argsort(jnp.where(valid, idx_f, jnp.inf))
+    idx_s = jnp.where(valid[order], idx_f[order], -1.0)
+    val_s = jnp.where(valid[order], val_f[order], -jnp.inf)
+    return jnp.stack([idx_s, val_s], axis=-1)
 
 
 def lidar_point_cloud(ranges_m, az_deg, el_deg):
@@ -411,11 +421,13 @@ def ndt_thickness(echo, fs: float, velocity: float = 5900.0,
     """Ultrasonic thickness from back-wall echo spacing
     (ultrasonic_ndt_processor.rs): autocorrelation of the envelope
     gives the round-trip interval."""
-    e = np.abs(np.asarray(echo))
-    e = e - e.mean()
-    ac = np.correlate(e, e, "full")[e.shape[0] - 1:]
-    k = min_sep + np.argmax(ac[min_sep:e.shape[0] // 2])
-    return float(velocity * k / (2.0 * fs)), int(k)
+    e = jnp.abs(jnp.asarray(echo, REAL_DTYPE))
+    e = e - jnp.mean(e)
+    n = e.shape[0]
+    f = jnp.fft.rfft(e, 2 * n)
+    ac = jnp.fft.irfft(f * jnp.conj(f), 2 * n)[:n]
+    k = min_sep + jnp.argmax(ac[min_sep: n // 2])
+    return velocity * k / (2.0 * fs), k
 
 
 # ------------------------------------------------------------- weather

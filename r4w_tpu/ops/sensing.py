@@ -67,11 +67,11 @@ def gunshot_localize(mic_signals, mic_positions_m, fs: float,
     position, reusing the EW TDOA solver."""
     from r4w_tpu.ops.ew import gcc_phat, tdoa_localize
     x = jnp.stack([jnp.asarray(s, IQ_DTYPE) for s in mic_signals])
-    # all mic pairs vs mic 0 in ONE vmapped GCC-PHAT; a single host
-    # pull of the lag vector (was: per-pair sync float pulls)
+    # all mic pairs vs mic 0 in ONE vmapped GCC-PHAT, lags staying on
+    # device straight into the (jit-safe) Gauss-Newton TDOA solver
     lags, _ = jax.vmap(lambda s: gcc_phat(s, x[0]))(x[1:])
-    dd_m = (np.asarray(lags).astype(float) / fs * c).tolist()
-    return tdoa_localize(np.asarray(mic_positions_m), dd_m)
+    dd_m = lags.astype(jnp.float32) / fs * c
+    return tdoa_localize(jnp.asarray(mic_positions_m), dd_m)
 
 
 def impedance_tomography_backproject(boundary_measurements, angles_deg,
@@ -79,21 +79,24 @@ def impedance_tomography_backproject(boundary_measurements, angles_deg,
     """Filtered-backprojection-style reconstruction from boundary
     line integrals (acoustic_impedance_tomographer.rs) — the shared
     Radon-inversion core."""
-    meas = np.asarray(boundary_measurements, float)    # (n_ang, n_det)
+    meas = jnp.asarray(boundary_measurements, REAL_DTYPE)  # (A, D)
     n_ang, n_det = meas.shape
     # ramp filter per projection
-    f = np.abs(np.fft.fftfreq(n_det))
-    filt = np.real(np.fft.ifft(np.fft.fft(meas, axis=-1) * f[None, :],
-                               axis=-1))
-    xs = np.linspace(-1, 1, n_px)
-    xx, yy = np.meshgrid(xs, xs, indexing="xy")
-    img = np.zeros((n_px, n_px))
-    for a_i, ang in enumerate(np.deg2rad(np.asarray(angles_deg))):
-        t = xx * np.cos(ang) + yy * np.sin(ang)
-        det = np.clip(((t + 1) / 2 * (n_det - 1)).astype(int), 0,
-                      n_det - 1)
-        img += filt[a_i][det]
-    return jnp.asarray((img / n_ang).astype(np.float32))
+    f = jnp.asarray(np.abs(np.fft.fftfreq(n_det)), REAL_DTYPE)
+    filt = jnp.real(jnp.fft.ifft(jnp.fft.fft(
+        meas.astype(IQ_DTYPE), axis=-1) * f[None, :], axis=-1))
+    xs = jnp.linspace(-1, 1, n_px)
+    xx, yy = jnp.meshgrid(xs, xs, indexing="xy")
+    ang = jnp.deg2rad(jnp.asarray(angles_deg, REAL_DTYPE))  # (A,)
+    # all angles in one batched gather: t (A, P, P) → detector index
+    t = (xx[None] * jnp.cos(ang)[:, None, None]
+         + yy[None] * jnp.sin(ang)[:, None, None])
+    det = jnp.clip(((t + 1) / 2 * (n_det - 1)).astype(jnp.int32),
+                   0, n_det - 1)
+    img = jnp.sum(jnp.take_along_axis(
+        filt[:, None, :], det.reshape(n_ang, 1, -1), axis=-1
+    ).reshape(n_ang, n_px, n_px), axis=0)
+    return (img / n_ang).astype(jnp.float32)
 
 
 def leak_locate(sensor_a, sensor_b, distance_m: float, fs: float,
@@ -105,7 +108,7 @@ def leak_locate(sensor_a, sensor_b, distance_m: float, fs: float,
     # dt = t_B - t_A (gcc_phat(p, q) returns t_p - t_q)
     lag, _ = gcc_phat(jnp.asarray(sensor_b, IQ_DTYPE),
                       jnp.asarray(sensor_a, IQ_DTYPE))
-    dt = float(lag) / fs
+    dt = lag.astype(REAL_DTYPE) / fs
     return (distance_m - wave_speed * dt) / 2.0
 
 
@@ -144,7 +147,7 @@ def drone_acoustic_detect(audio, fs: float, blade_min_hz: float = 80.0,
     hps_band = jnp.where(jnp.asarray(band), hps, 0.0)
     k = jnp.argmax(hps_band)
     strength = hps_band[k] / jnp.maximum(jnp.mean(hps) + 1e-30, 1e-30)
-    return freqs[int(k)], strength
+    return jnp.asarray(freqs, REAL_DTYPE)[k], strength
 
 
 # -------------------------------------------------- vibration/rotating
@@ -175,30 +178,35 @@ def wheel_flat_detect(axle_vib, fs: float, wheel_circumference_m: float,
                       speed_mps: float, threshold: float = 3.0):
     """Railroad wheel-flat detection (railroad_wheel_flat_detector.rs):
     impacts at the wheel rotation period → envelope autocorrelation
-    peak at that lag."""
-    v = np.asarray(axle_vib, float)
-    env = np.abs(v)
-    env = env - env.mean()
-    ac = np.correlate(env, env, "full")[env.shape[0] - 1:]
+    peak at that lag. jit-safe: FFT autocorrelation, scalar outputs."""
+    v = jnp.asarray(axle_vib, REAL_DTYPE)
+    env = jnp.abs(v)
+    env = env - jnp.mean(env)
+    n = env.shape[0]
+    # full autocorrelation via zero-padded FFT (positive lags)
+    f = jnp.fft.rfft(env, 2 * n)
+    ac = jnp.fft.irfft(f * jnp.conj(f), 2 * n)[:n]
     period = wheel_circumference_m / speed_mps
     lag = int(period * fs)
-    if lag >= env.shape[0]:
-        return False, 0.0
+    if lag >= n:
+        return jnp.asarray(False), jnp.asarray(0.0, REAL_DTYPE)
     window = ac[max(1, lag - lag // 8): lag + lag // 8]
-    score = window.max() / (np.median(np.abs(ac[1:])) + 1e-12)
-    return bool(score > threshold), float(score)
+    score = jnp.max(window) / (jnp.median(jnp.abs(ac[1:])) + 1e-12)
+    return score > threshold, score.astype(REAL_DTYPE)
 
 
 def turbine_tip_timing(arrival_times_s, rpm: float, n_blades: int):
     """Blade-tip-timing deflection analysis (turbine_blade_tip_timing.rs):
-    expected vs actual probe arrival per blade → deflection estimate."""
-    t = np.asarray(arrival_times_s, float)
+    expected vs actual probe arrival per blade → deflection estimate.
+    jit-safe: the per-blade comb is a trim + reshape."""
+    t = jnp.asarray(arrival_times_s, REAL_DTYPE)
     period = 60.0 / rpm / n_blades
     n = t.shape[0]
-    expected = t[0] + period * np.arange(n)
+    expected = t[0] + period * jnp.arange(n, dtype=REAL_DTYPE)
     jitter = t - expected
-    per_blade = [jitter[k::n_blades] for k in range(n_blades)]
-    return jnp.asarray([np.std(p) for p in per_blade], REAL_DTYPE)
+    n_rev = n // n_blades
+    per_blade = jitter[: n_rev * n_blades].reshape(n_rev, n_blades)
+    return jnp.std(per_blade, axis=0).astype(REAL_DTYPE)
 
 
 def bearing_health_bands(vib, fs: float, bpfo_hz: float, bpfi_hz: float):
@@ -239,21 +247,23 @@ def structural_modal_shift(baseline, current, fs: float,
     (structural_health_monitor.rs): compare dominant resonance
     frequencies; damage lowers stiffness → frequencies drop."""
     def modes(x):
-        spec = np.abs(np.fft.rfft(np.asarray(x)
-                                  * np.hanning(len(x)))) ** 2
-        f = np.fft.rfftfreq(len(x), 1.0 / fs)
-        idx = []
-        s = spec.copy()
-        for _ in range(n_modes):
-            k = int(np.argmax(s))
-            idx.append(f[k])
-            s[max(0, k - 5):k + 5] = 0.0
-        return np.sort(idx)
+        x = jnp.asarray(x, REAL_DTYPE)
+        n = x.shape[0]
+        spec = jnp.abs(jnp.fft.rfft(
+            x * jnp.asarray(np.hanning(n), REAL_DTYPE))) ** 2
+        f = jnp.asarray(np.fft.rfftfreq(n, 1.0 / fs), REAL_DTYPE)
+        bins = jnp.arange(spec.shape[0])
+        picked = []
+        s = spec
+        for _ in range(n_modes):  # static count: unrolled peak-pick
+            k = jnp.argmax(s)
+            picked.append(f[k])
+            s = jnp.where(jnp.abs(bins - k) < 5, 0.0, s)
+        return jnp.sort(jnp.stack(picked))
 
     f0 = modes(baseline)
     f1 = modes(current)
-    return jnp.asarray(((f1 - f0) / np.maximum(f0, 1e-9))
-                       .astype(np.float32))
+    return ((f1 - f0) / jnp.maximum(f0, 1e-9)).astype(jnp.float32)
 
 
 def dam_seepage_score(hydrophone, fs: float, band=(500.0, 2000.0)):
@@ -283,12 +293,14 @@ def sta_lta(x, n_sta: int, n_lta: int):
 def seismic_pick(x, fs: float, n_sta_s: float = 0.5, n_lta_s: float = 5.0,
                  threshold: float = 3.0):
     """First-arrival pick time (seismic_processor.rs)."""
-    r = np.asarray(sta_lta(x, int(n_sta_s * fs), int(n_lta_s * fs)))
-    above = np.nonzero(r > threshold)[0]
-    if above.shape[0] == 0:
-        return None
-    off = len(np.asarray(x)) - r.shape[0]
-    return (above[0] + off) / fs
+    r = sta_lta(x, int(n_sta_s * fs), int(n_lta_s * fs))
+    above = r > threshold
+    found = jnp.any(above)
+    first = jnp.argmax(above)  # first True (argmax of a bool mask)
+    off = jnp.asarray(x).shape[-1] - r.shape[0]
+    # NaN when nothing crosses (was: None) — callers' comparisons are
+    # all False against NaN, matching the old None-guard idiom
+    return jnp.where(found, (first + off) / fs, jnp.nan)
 
 
 def seismic_classify(x, fs: float):
@@ -330,40 +342,48 @@ def scintillation_sigma_phi(phase, frame: int = 50):
     """σ_φ phase-scintillation index
     (ionospheric_scintillation_analyzer.rs): detrended phase std per
     frame."""
-    ph = np.asarray(phase, float)
+    ph = jnp.asarray(phase, REAL_DTYPE)
     n = (ph.shape[0] // frame) * frame
     frames = ph[:n].reshape(-1, frame)
-    t = np.arange(frame)
-    out = []
-    for fr in frames:
-        a = np.polyfit(t, fr, 1)
-        out.append(np.std(fr - np.polyval(a, t)))
-    return jnp.asarray(np.asarray(out, np.float32))
+    # closed-form per-frame linear detrend (batched: no polyfit loop)
+    t = jnp.arange(frame, dtype=REAL_DTYPE)
+    t_c = t - jnp.mean(t)
+    denom = jnp.sum(t_c * t_c)
+    slope = frames @ t_c / denom                       # (F,)
+    resid = (frames - jnp.mean(frames, axis=-1, keepdims=True)
+             - slope[:, None] * t_c[None, :])
+    return jnp.std(resid, axis=-1).astype(jnp.float32)
 
 
 def geomagnetic_storm_index(bfield_nt, fs: float, window_s: float = 60.0):
     """Storm-activity index from magnetometer data
     (geomagnetic_storm_detector.rs): per-window range (a K-index-like
     proxy) + disturbance flag."""
-    b = np.asarray(bfield_nt, float)
+    b = jnp.asarray(bfield_nt, REAL_DTYPE)
     w = int(window_s * fs)
     n = (b.shape[0] // w) * w
     frames = b[:n].reshape(-1, w)
-    rng = frames.max(-1) - frames.min(-1)
-    k_like = np.log2(1.0 + rng / 5.0)
-    return jnp.asarray(k_like.astype(np.float32)), bool(k_like.max() > 5)
+    rng = jnp.max(frames, -1) - jnp.min(frames, -1)
+    k_like = jnp.log2(1.0 + rng / 5.0)
+    return k_like.astype(jnp.float32), jnp.max(k_like) > 5
 
 
 def magnetic_anomaly_detect(total_field_nt, baseline_window: int = 256,
                             threshold_nt: float = 5.0):
     """MAD dipole-anomaly detection (magnetic_anomaly_detector.rs):
     high-pass vs a running median baseline."""
-    b = np.asarray(total_field_nt, float)
-    from scipy.ndimage import median_filter
-    base = median_filter(b, size=baseline_window, mode="nearest")
+    b = jnp.asarray(total_field_nt, REAL_DTYPE)
+    # sliding-window median baseline (scipy median_filter semantics:
+    # centered window, edge replication), batched as one gather+median
+    n = b.shape[0]
+    w = baseline_window
+    half = w // 2
+    padded = jnp.concatenate([jnp.full((half,), b[0]), b,
+                              jnp.full((w - half - 1,), b[-1])])
+    idx = jnp.arange(n)[:, None] + jnp.arange(w)[None, :]
+    base = jnp.median(padded[idx], axis=-1)
     resid = b - base
-    return jnp.asarray(np.abs(resid) > threshold_nt), \
-        jnp.asarray(resid.astype(np.float32))
+    return jnp.abs(resid) > threshold_nt, resid.astype(jnp.float32)
 
 
 def gravity_gradient_tensor(gz_grid, spacing_m: float):
@@ -403,16 +423,18 @@ def cosmic_ray_coincidence(det_a, det_b, threshold_sigma: float = 5.0,
                            window: int = 3):
     """Two-detector coincidence counting (cosmic_ray_detector.rs)."""
     def hits(x):
-        a = np.asarray(x, float)
-        thr = threshold_sigma * np.median(np.abs(a)) * 1.4826
-        return set(np.nonzero(np.abs(a) > thr)[0].tolist())
+        a = jnp.abs(jnp.asarray(x, REAL_DTYPE))
+        thr = threshold_sigma * jnp.median(a) * 1.4826
+        return a > thr
 
     ha, hb = hits(det_a), hits(det_b)
-    count = 0
-    for t in ha:
-        if any((t + d) in hb for d in range(-window, window + 1)):
-            count += 1
-    return count
+    # dilate b's hit mask by ±window, then count a-hits landing on it
+    idx = jnp.arange(ha.shape[0])[:, None] + jnp.arange(
+        -window, window + 1)[None, :]
+    valid = (idx >= 0) & (idx < hb.shape[0])
+    near_b = jnp.any(valid & hb[jnp.clip(idx, 0, hb.shape[0] - 1)],
+                     axis=-1)
+    return jnp.sum(ha & near_b)
 
 
 # ------------------------------------------------- photonics / nuclear
@@ -479,15 +501,18 @@ def gamma_spectrum(pulse_heights, n_bins: int = 256,
     """Pulse-height histogram + peak find
     (nuclear_spectroscopy_analyzer.rs / radiation_detector_processor.rs).
     Returns (histogram, peak_energies_keV)."""
-    h = np.histogram(np.asarray(pulse_heights), bins=n_bins,
-                     range=(0.0, e_max))[0].astype(float)
-    sm = np.convolve(h, np.ones(5) / 5.0, mode="same")
-    peaks = []
-    for i in range(2, n_bins - 2):
-        if (sm[i] > sm[i - 1] and sm[i] >= sm[i + 1]
-                and sm[i] > 3.0 * np.median(sm + 1.0)):
-            peaks.append((i + 0.5) * e_max / n_bins)
-    return jnp.asarray(h.astype(np.float32)), peaks
+    h = jnp.histogram(jnp.asarray(pulse_heights, REAL_DTYPE),
+                      bins=n_bins, range=(0.0, e_max))[0].astype(
+        jnp.float32)
+    sm = jnp.convolve(h, jnp.ones(5) / 5.0, mode="same")
+    is_peak = ((sm[2:-2] > sm[1:-3]) & (sm[2:-2] >= sm[3:-1])
+               & (sm[2:-2] > 3.0 * jnp.median(sm + 1.0)))
+    is_peak = jnp.pad(is_peak, (2, 2))
+    centers = (jnp.arange(n_bins) + 0.5) * e_max / n_bins
+    # fixed-shape peak list: energies where a local max stands above
+    # 3x the median floor, NaN elsewhere (was: variable-length list)
+    peaks = jnp.where(is_peak, centers, jnp.nan)
+    return h, peaks
 
 
 def bpm_position(electrode_signals):
@@ -506,21 +531,25 @@ def langmuir_analyze(voltage, current):
     """Langmuir-probe plasma parameters
     (plasma_diagnostics_processor.rs): electron temperature from the
     exponential transition slope, floating potential at I=0."""
-    v = np.asarray(voltage, float)
-    i = np.asarray(current, float)
-    # floating potential: zero crossing
-    zc = np.nonzero(np.diff(np.sign(i)))[0]
-    v_f = float(v[zc[0]]) if zc.shape[0] else float("nan")
+    v = jnp.asarray(voltage, REAL_DTYPE)
+    i = jnp.asarray(current, REAL_DTYPE)
+    # floating potential: first zero crossing (argmax of the mask)
+    cross = jnp.diff(jnp.sign(i)) != 0
+    any_zc = jnp.any(cross)
+    v_f = jnp.where(any_zc, v[jnp.argmax(cross)], jnp.nan)
     # Te from the log-linear slope of the ELECTRON current (ion
-    # saturation subtracted first, else the log is biased)
-    i_e = i - i.min()
-    sel = i_e > max(i_e.max() * 0.02, 1e-12)
-    sel &= i_e < i_e.max() * 0.5
-    if sel.sum() >= 3:
-        slope = np.polyfit(v[sel], np.log(i_e[sel]), 1)[0]
-        te_ev = 1.0 / slope if slope > 0 else float("nan")
-    else:
-        te_ev = float("nan")
+    # saturation subtracted first, else the log is biased) — masked
+    # weighted least squares instead of boolean fancy-indexing
+    i_e = i - jnp.min(i)
+    sel = ((i_e > jnp.maximum(jnp.max(i_e) * 0.02, 1e-12))
+           & (i_e < jnp.max(i_e) * 0.5)).astype(REAL_DTYPE)
+    n_sel = jnp.sum(sel)
+    y = jnp.log(jnp.maximum(i_e, 1e-30))
+    vm = jnp.sum(sel * v) / jnp.maximum(n_sel, 1.0)
+    ym = jnp.sum(sel * y) / jnp.maximum(n_sel, 1.0)
+    slope = (jnp.sum(sel * (v - vm) * (y - ym))
+             / jnp.maximum(jnp.sum(sel * (v - vm) ** 2), 1e-30))
+    te_ev = jnp.where((n_sel >= 3) & (slope > 0), 1.0 / slope, jnp.nan)
     return {"v_float": v_f, "te_ev": te_ev}
 
 
@@ -542,7 +571,8 @@ def hyperspectral_unmix(cube, endmembers, n_iter: int = 200):
     y = jnp.asarray(cube, REAL_DTYPE)               # (P, B)
     e = jnp.asarray(endmembers, REAL_DTYPE)         # (K, B)
     g = e @ e.T                                     # (K, K)
-    lr = 1.0 / float(np.linalg.norm(np.asarray(g), 2))
+    # spectral norm via eigvalsh of the small (K, K) Gram — stays traced
+    lr = 1.0 / jnp.max(jnp.linalg.eigvalsh(g))
     a = jnp.full((y.shape[0], e.shape[0]), 1.0 / e.shape[0])
 
     def step(a, _):
@@ -557,42 +587,40 @@ def hyperspectral_unmix(cube, endmembers, n_iter: int = 200):
 def soil_moisture_permittivity(reflection_coef):
     """Soil permittivity → volumetric moisture (Topp equation)
     (precision_ag_soil_sensor.rs)."""
-    g = np.asarray(reflection_coef, float)
-    eps = ((1.0 + np.abs(g)) / np.maximum(1.0 - np.abs(g), 1e-6)) ** 2
+    g = jnp.abs(jnp.asarray(reflection_coef, REAL_DTYPE))
+    eps = ((1.0 + g) / jnp.maximum(1.0 - g, 1e-6)) ** 2
     theta = (-5.3e-2 + 2.92e-2 * eps - 5.5e-4 * eps ** 2
              + 4.3e-6 * eps ** 3)
-    return jnp.asarray(np.clip(theta, 0.0, 0.6).astype(np.float32)), \
-        jnp.asarray(eps.astype(np.float32))
+    return (jnp.clip(theta, 0.0, 0.6).astype(jnp.float32),
+            eps.astype(jnp.float32))
 
 
 def spo2_ratio(red_ac, red_dc, ir_ac, ir_dc):
     """Ratio-of-ratios SpO2 estimate (pulse_oximeter_processor.rs):
     the standard empirical calibration SpO2 = 110 - 25·R."""
-    r = (red_ac / red_dc) / (ir_ac / ir_dc)
-    return float(np.clip(110.0 - 25.0 * r, 0.0, 100.0)), r
+    r = (jnp.asarray(red_ac, REAL_DTYPE) / red_dc) / (
+        jnp.asarray(ir_ac, REAL_DTYPE) / ir_dc)
+    return jnp.clip(110.0 - 25.0 * r, 0.0, 100.0), r
 
 
 def tidal_harmonic_fit(heights_m, t_hours,
                        constituents_hr=(12.42, 12.00, 25.82, 23.93)):
     """Tidal harmonic analysis (tidal_harmonic_analyzer.rs): LS fit of
     the M2/S2/O1/K1 constituents. Returns (amplitudes, phases, mean)."""
-    h = np.asarray(heights_m, float)
-    t = np.asarray(t_hours, float)
-    cols = [np.ones_like(t)]
-    for period in constituents_hr:
+    h = jnp.asarray(heights_m, REAL_DTYPE)
+    t = jnp.asarray(t_hours, REAL_DTYPE)
+    cols = [jnp.ones_like(t)]
+    for period in constituents_hr:  # static constituent list
         w = 2 * np.pi / period
-        cols += [np.cos(w * t), np.sin(w * t)]
-    a_mat = np.stack(cols, axis=-1)
-    coef, *_ = np.linalg.lstsq(a_mat, h, rcond=None)
+        cols += [jnp.cos(w * t), jnp.sin(w * t)]
+    a_mat = jnp.stack(cols, axis=-1)
+    # normal equations: the design is tiny (2K+1 columns), well posed
+    coef = jnp.linalg.solve(a_mat.T @ a_mat, a_mat.T @ h)
     mean = coef[0]
-    amps = []
-    phases = []
-    for k in range(len(constituents_hr)):
-        c, s = coef[1 + 2 * k], coef[2 + 2 * k]
-        amps.append(np.hypot(c, s))
-        phases.append(np.arctan2(s, c))
-    return (jnp.asarray(np.asarray(amps, np.float32)),
-            jnp.asarray(np.asarray(phases, np.float32)), float(mean))
+    c = coef[1::2]
+    s = coef[2::2]
+    return (jnp.hypot(c, s).astype(jnp.float32),
+            jnp.arctan2(s, c).astype(jnp.float32), mean)
 
 
 BLOCKS = {

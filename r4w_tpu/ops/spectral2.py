@@ -98,23 +98,27 @@ def emd(x, n_imfs: int = 4, n_sift: int = 8):
     sifting with moving-average envelopes (a monotone, jit-stable
     stand-in for spline envelopes). Returns (n_imfs+1, N): IMFs +
     residue."""
-    r = np.asarray(x, np.float64).copy()
+    r = jnp.asarray(x, REAL_DTYPE)
     n = r.shape[0]
+    w = max(3, n // 32) | 1
+    half = w // 2
+    # centered sliding windows with edge replication (scipy
+    # maximum_filter1d 'reflect'-adjacent semantics, jit-safe gather)
+    win_idx = jnp.clip(jnp.arange(n)[:, None]
+                       + jnp.arange(-half, half + 1)[None, :], 0, n - 1)
+
     imfs = []
-    for _ in range(n_imfs):
-        h = r.copy()
+    for _ in range(n_imfs):  # static counts: unrolled sifting
+        h = r
         for _ in range(n_sift):
-            # local mean via average of dilated max/min envelopes
-            from scipy.ndimage import maximum_filter1d, minimum_filter1d
-            w = max(3, n // 32) | 1
-            upper = maximum_filter1d(h, w)
-            lower = minimum_filter1d(h, w)
-            m = 0.5 * (upper + lower)
+            windows = h[win_idx]
+            m = 0.5 * (jnp.max(windows, axis=-1)
+                       + jnp.min(windows, axis=-1))
             h = h - m
         imfs.append(h)
         r = r - h
     imfs.append(r)
-    return jnp.asarray(np.stack(imfs).astype(np.float32))
+    return jnp.stack(imfs).astype(jnp.float32)
 
 
 # ------------------------------------------------------------- Prony
@@ -209,15 +213,19 @@ def spectral_entropy(x, n_fft: int = 256):
 def power_law_fit(x, sample_rate: float = 1.0, n_fft: int = 1024):
     """Log-log PSD slope (power_law_spectrum_estimator.rs): returns
     (exponent β in S(f) ∝ f^−β, intercept)."""
-    x = np.asarray(x)
+    x = jnp.asarray(x)
     n = (x.shape[0] // n_fft) * n_fft
-    spec = np.mean(np.abs(np.fft.rfft(
+    spec = jnp.mean(jnp.abs(jnp.fft.rfft(
         x[:n].reshape(-1, n_fft), axis=-1)) ** 2, axis=0)
-    f = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)
+    f = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)  # static grid
     sel = slice(2, n_fft // 4)
-    a = np.polyfit(np.log(f[sel]), np.log(np.maximum(spec[sel], 1e-30)),
-                   1)
-    return -a[0], a[1]
+    lf = jnp.asarray(np.log(f[sel]), REAL_DTYPE)
+    ls = jnp.log(jnp.maximum(spec[sel], 1e-30))
+    # closed-form 1st-order LS fit (replaces polyfit; jit-safe)
+    lf_c = lf - jnp.mean(lf)
+    slope = jnp.sum(lf_c * ls) / jnp.sum(lf_c * lf_c)
+    intercept = jnp.mean(ls) - slope * jnp.mean(lf)
+    return -slope, intercept
 
 
 def phase_locking_value(a, b):
@@ -232,12 +240,11 @@ def em_gmm_1d(x, k: int = 2, n_iter: int = 50, seed: int = 0):
     """1-D Gaussian-mixture EM (expectation_maximization.rs):
     fixed-iteration, fully vectorized. Returns (means, stds, weights)."""
     x = jnp.asarray(x, REAL_DTYPE)
-    rng = np.random.default_rng(seed)
-    mu = jnp.asarray(np.quantile(np.asarray(x),
-                                 np.linspace(0.1, 0.9, k)), REAL_DTYPE)
-    sig = jnp.full((k,), float(np.std(np.asarray(x)) / k) + 1e-3)
+    mu = jnp.quantile(x, jnp.asarray(np.linspace(0.1, 0.9, k),
+                                     REAL_DTYPE)).astype(REAL_DTYPE)
+    sig = jnp.full((k,), jnp.std(x) / k + 1e-3, REAL_DTYPE)
     w = jnp.full((k,), 1.0 / k)
-    del rng
+    del seed
 
     def step(carry, _):
         mu, sig, w = carry
@@ -269,7 +276,7 @@ def matrix_complete_svt(observed, mask, rank: int | None = None,
     y = jnp.asarray(observed, REAL_DTYPE)
     m = jnp.asarray(mask, REAL_DTYPE)
     if tau is None:
-        tau = 0.2 * float(jnp.linalg.norm(y))
+        tau = 0.2 * jnp.linalg.norm(y)  # stays traced (jit-safe)
     z = jnp.zeros_like(y)
     for _ in range(n_iter):
         u, s, vt = jnp.linalg.svd(z, full_matrices=False)

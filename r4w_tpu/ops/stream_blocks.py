@@ -526,17 +526,44 @@ def repack_bits(bits, k_in: int, k_out: int, msb_first: bool = True):
 def check_lfsr(bits, taps: int, nbits: int, sync_len: int = 64):
     """Self-synchronizing PRBS checker (check_lfsr.rs): seed the LFSR
     from the first ``nbits`` received bits, then count mismatches
-    between predicted and received bits. Returns (errors, tested)."""
-    b = np.asarray(bits).astype(np.int64)
-    state = 0
-    for i in range(nbits):
-        state = ((state << 1) | int(b[i])) & ((1 << nbits) - 1)
-    errors = 0
-    for i in range(nbits, len(b)):
-        fb = bin(state & taps).count("1") & 1
-        errors += int(fb != b[i])
-        state = ((state << 1) | int(b[i])) & ((1 << nbits) - 1)
-    return errors, len(b) - nbits
+    between predicted and received bits. Returns (errors, tested).
+
+    jit-safe for register widths < 31 (int32 state in a lax.scan; the
+    static tap mask unrolls to a fixed XOR chain); wider registers
+    fall back to the host bigint path (jax x64 is disabled)."""
+    if nbits >= 31:
+        b = np.asarray(bits).astype(np.int64)
+        state = 0
+        for i in range(nbits):
+            state = ((state << 1) | int(b[i])) & ((1 << nbits) - 1)
+        errors = 0
+        for i in range(nbits, len(b)):
+            fb = bin(state & taps).count("1") & 1
+            errors += int(fb != b[i])
+            state = ((state << 1) | int(b[i])) & ((1 << nbits) - 1)
+        return errors, len(b) - nbits
+
+    b = jnp.asarray(bits).astype(jnp.int32)
+    mask = (1 << nbits) - 1
+    tap_pos = [p for p in range(nbits) if (taps >> p) & 1]
+
+    def shift(state, bit):
+        return ((state << 1) | bit) & mask
+
+    def seed(state, bit):
+        return shift(state, bit), None
+
+    state0, _ = lax.scan(seed, jnp.asarray(0, jnp.int32), b[:nbits])
+
+    def step(state, bit):
+        fb = jnp.asarray(0, jnp.int32)
+        for p in tap_pos:  # static taps: fixed XOR chain
+            fb = fb ^ ((state >> p) & 1)
+        err = (fb != bit).astype(jnp.int32)
+        return shift(state, bit), err
+
+    _, errs = lax.scan(step, state0, b[nbits:])
+    return jnp.sum(errs), b.shape[0] - nbits
 
 
 # ---------------------------------------------------- stream selection

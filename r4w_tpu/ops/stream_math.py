@@ -214,49 +214,60 @@ _IMA_STEP = np.asarray([
 _IMA_INDEX = np.asarray([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
 
 
-def adpcm_encode(pcm16) -> tuple[np.ndarray, tuple[int, int]]:
-    """IMA ADPCM 4-bit encode (adpcm_codec.rs). Host-side (control-rate
-    audio). Returns (nibbles, final (predictor, index) state)."""
-    x = np.asarray(pcm16, np.int32)
-    pred, idx = 0, 0
-    out = np.empty(len(x), np.int32)
-    for i, s in enumerate(x):
-        step = _IMA_STEP[idx]
-        diff = int(s) - pred
-        nib = 0
-        if diff < 0:
-            nib = 8
-            diff = -diff
-        if diff >= step:
-            nib |= 4
-            diff -= step
-        if diff >= step >> 1:
-            nib |= 2
-            diff -= step >> 1
-        if diff >= step >> 2:
-            nib |= 1
-        out[i] = nib
-        delta = (step >> 3) + ((nib & 1) * (step >> 2)
-                               + ((nib >> 1) & 1) * (step >> 1)
-                               + ((nib >> 2) & 1) * step)
-        pred += -delta if nib & 8 else delta
-        pred = int(np.clip(pred, -32768, 32767))
-        idx = int(np.clip(idx + _IMA_INDEX[nib & 7], 0, 88))
+def _adpcm_delta(step, nib):
+    """Reconstruction delta for a nibble at a given step (shared by
+    encode/decode; all int32 jnp ops)."""
+    return ((step >> 3) + (nib & 1) * (step >> 2)
+            + ((nib >> 1) & 1) * (step >> 1)
+            + ((nib >> 2) & 1) * step)
+
+
+def adpcm_encode(pcm16) -> tuple[jax.Array, tuple]:
+    """IMA ADPCM 4-bit encode (adpcm_codec.rs) as a lax.scan over the
+    (predictor, index) state. Returns (nibbles, final state)."""
+    x = jnp.asarray(pcm16, jnp.int32)
+    steps = jnp.asarray(_IMA_STEP)
+    idx_adj = jnp.asarray(_IMA_INDEX)
+
+    def enc(carry, s):
+        pred, idx = carry
+        step = steps[idx]
+        diff = s - pred
+        sign = (diff < 0).astype(jnp.int32) * 8
+        diff = jnp.abs(diff)
+        b4 = (diff >= step).astype(jnp.int32)
+        diff = diff - b4 * step
+        b2 = (diff >= (step >> 1)).astype(jnp.int32)
+        diff = diff - b2 * (step >> 1)
+        b1 = (diff >= (step >> 2)).astype(jnp.int32)
+        nib = sign | (b4 << 2) | (b2 << 1) | b1
+        delta = _adpcm_delta(step, nib)
+        pred = pred + jnp.where(nib & 8, -delta, delta)
+        pred = jnp.clip(pred, -32768, 32767)
+        idx = jnp.clip(idx + idx_adj[nib & 7], 0, 88)
+        return (pred, idx), nib
+
+    (pred, idx), out = jax.lax.scan(
+        enc, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)), x)
     return out, (pred, idx)
 
 
-def adpcm_decode(nibbles, state: tuple[int, int] = (0, 0)) -> np.ndarray:
-    pred, idx = state
-    out = np.empty(len(nibbles), np.int32)
-    for i, nib in enumerate(np.asarray(nibbles, np.int32)):
-        step = _IMA_STEP[idx]
-        delta = (step >> 3) + ((nib & 1) * (step >> 2)
-                               + ((nib >> 1) & 1) * (step >> 1)
-                               + ((nib >> 2) & 1) * step)
-        pred += -delta if nib & 8 else delta
-        pred = int(np.clip(pred, -32768, 32767))
-        out[i] = pred
-        idx = int(np.clip(idx + _IMA_INDEX[nib & 7], 0, 88))
+def adpcm_decode(nibbles, state: tuple = (0, 0)) -> jax.Array:
+    steps = jnp.asarray(_IMA_STEP)
+    idx_adj = jnp.asarray(_IMA_INDEX)
+
+    def dec(carry, nib):
+        pred, idx = carry
+        step = steps[idx]
+        delta = _adpcm_delta(step, nib)
+        pred = pred + jnp.where(nib & 8, -delta, delta)
+        pred = jnp.clip(pred, -32768, 32767)
+        idx = jnp.clip(idx + idx_adj[nib & 7], 0, 88)
+        return (pred, idx), pred
+
+    init = (jnp.asarray(state[0], jnp.int32),
+            jnp.asarray(state[1], jnp.int32))
+    _, out = jax.lax.scan(dec, init, jnp.asarray(nibbles, jnp.int32))
     return out
 
 

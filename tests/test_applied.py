@@ -125,8 +125,9 @@ class TestCompressiveSensing:
         x[support] = [2.0, -1.5, 3.0]
         y = a @ x
         rec, got_support = ap.omp(a, y, sparsity=3)
-        assert got_support == sorted(support)
-        assert np.allclose(rec, x, atol=1e-8)
+        # jit-safe OMP returns arrays (f32 masked normal equations)
+        assert np.asarray(got_support).tolist() == sorted(support)
+        assert np.allclose(np.asarray(rec), x, atol=1e-4)
 
 
 class TestModulationClassifier:
