@@ -464,58 +464,58 @@ class GnssScenario:
 
     def _make_block_fn(self):
         fs = self.config.sample_rate
-        bank = self._bank
-        lengths = jnp.asarray(self._lengths.astype(np.int32))
-        sec_bank, nav_bank = self._sec_bank, self._nav_bank
-        sec_len = jnp.asarray(self._sec_len.astype(np.int32))
-        nav_len = jnp.asarray(self._nav_len.astype(np.int32))
-        ppb = jnp.asarray(self._ppb.astype(np.int32))
-        tap_delay = self._tap_delay
-        tap_re, tap_im = self._tap_coef_re, self._tap_coef_im
+        banks = self.sv_banks()
         noise_std = self._noise_std
 
         def block(chips0, e_sec0, e_nav0, code_rate, dop_s, dop_e,
                   theta0, amps, n, key):
-            # chips0: (S,) sub-chip phase in [0, L); e_sec0/e_nav0: (S,)
-            # int32 epoch offsets pre-reduced mod the overlay periods;
-            # dop_s/dop_e: (S,) Doppler at block start/end (Hz)
-            tau = jnp.arange(n, dtype=REAL_DTYPE) / fs  # (N,) <= ~0.2 s
-            t_blk = n / fs
-            # code: per-SV linear sub-chip ramp, multipath taps delayed
-            sub_pos = chips0[:, None] + code_rate[:, None] * tau[None, :]
-            pos_t = sub_pos[:, None, :] - tap_delay[:, :, None]  # (S,T,N)
-            pos_fl = jnp.floor(pos_t)
-            ls = lengths[:, None, None]
-            sub_idx = jnp.mod(pos_fl.astype(jnp.int32), ls)
-            eib = jnp.floor_divide(pos_fl.astype(jnp.int32), ls)  # epochs
-            s_, t_, n_ = pos_t.shape
-            chips = jnp.take_along_axis(
-                bank[:, None, :], sub_idx, axis=2)  # (S,T,N)
-            # overlays: E1C secondary per code epoch, nav bit per ppb epochs
-            sec_idx = jnp.mod(e_sec0[:, None, None] + eib,
-                              sec_len[:, None, None])
-            sec = jnp.take_along_axis(sec_bank[:, None, :], sec_idx, axis=2)
-            bit_idx = jnp.floor_divide(e_nav0[:, None, None] + eib,
-                                       ppb[:, None, None])
-            nav_idx = jnp.mod(bit_idx, nav_len[:, None, None])
-            nav = jnp.take_along_axis(nav_bank[:, None, :], nav_idx, axis=2)
-            tap_coef = jax.lax.complex(tap_re, tap_im)
-            sig = jnp.sum(tap_coef[:, :, None] * (chips * sec * nav),
-                          axis=1)  # (S, N)
-            # carrier: linear Doppler ramp within the block
-            theta = (theta0[:, None] + dop_s[:, None] * tau[None, :]
-                     + 0.5 * (dop_e - dop_s)[:, None]
-                     * tau[None, :] ** 2 / t_blk)
-            carrier = cis((2.0 * jnp.pi * jnp.mod(theta, 1.0)
-                           ).astype(REAL_DTYPE))
-            composite = jnp.sum(amps[:, None] * sig * carrier, axis=0)
-            k1, k2 = jax.random.split(key)
-            noise = jax.lax.complex(
-                jax.random.normal(k1, (n_,), REAL_DTYPE),
-                jax.random.normal(k2, (n_,), REAL_DTYPE)) * noise_std
-            return (composite + noise).astype(IQ_DTYPE)
+            return composite_block(
+                *banks, chips0, e_sec0, e_nav0, code_rate, dop_s,
+                dop_e, theta0, amps, noise_std, key, n=n, fs=fs)
 
         return jax.jit(block, static_argnums=(8,))
+
+    def sv_banks(self) -> tuple:
+        """The per-SV constant arrays consumed by `composite_block`,
+        leading axis = satellite — shardable over a device mesh (the
+        production data-parallel axis: scenario.rs:468-480 rayon
+        par_iter over emitters becomes SV-sharded shard_map + psum)."""
+        return (self._bank,
+                jnp.asarray(self._lengths.astype(np.int32)),
+                self._sec_bank,
+                jnp.asarray(self._sec_len.astype(np.int32)),
+                self._nav_bank,
+                jnp.asarray(self._nav_len.astype(np.int32)),
+                jnp.asarray(self._ppb.astype(np.int32)),
+                self._tap_delay, self._tap_coef_re, self._tap_coef_im)
+
+    def block_inputs(self, n_samples: int) -> tuple:
+        """The per-block dynamic inputs `generate_block` would use at
+        the CURRENT scenario time, without advancing state: a tuple of
+        per-SV arrays + the PRNG key that the next generate_block call
+        will consume. Lets external harnesses (the multichip dryrun)
+        run `composite_block` on identical inputs."""
+        t0 = self._t0
+        t1 = t0 + n_samples / self.config.sample_rate
+        dop_s, rng_s, _elev, amp = self._sat_state(t0)
+        dop_e, _r, _e, _a = self._sat_state(t1)
+        pos = self._code_phase_at(t0, rng_s)
+        lengths = self._lengths.astype(np.float64)
+        epoch0 = np.floor(pos / lengths).astype(np.int64)
+        chips0 = pos - epoch0 * lengths
+        e_sec0 = np.mod(epoch0, self._sec_len).astype(np.int32)
+        e_nav0 = np.mod(epoch0,
+                        self._ppb * self._nav_len).astype(np.int32)
+        dop_mid = 0.5 * (dop_s + dop_e)
+        code_rate = CHIP_RATE * SUBCHIP * (1.0 + dop_mid / GALILEO_E1_HZ)
+        _, sub = jax.random.split(self._key)
+        return (jnp.asarray(chips0, REAL_DTYPE),
+                jnp.asarray(e_sec0), jnp.asarray(e_nav0),
+                jnp.asarray(code_rate, REAL_DTYPE),
+                jnp.asarray(dop_s, REAL_DTYPE),
+                jnp.asarray(dop_e, REAL_DTYPE),
+                jnp.asarray(np.mod(self._theta, 1.0), REAL_DTYPE),
+                jnp.asarray(amp, REAL_DTYPE)), sub
 
     # ------------------------------------------------------------- blocks
 
@@ -725,3 +725,56 @@ def load_scenario_yaml(path_or_text: str) -> ScenarioConfig:
         output_path=str(out.get("output_path", "scenario.iq")),
         seed=int(out.get("seed", raw.get("seed", 12345))),
     )
+
+
+def composite_block(bank, lengths, sec_bank, sec_len, nav_bank,
+                    nav_len, ppb, tap_delay, tap_re, tap_im,
+                    chips0, e_sec0, e_nav0, code_rate, dop_s, dop_e,
+                    theta0, amps, noise_std, key, *, n: int, fs: float):
+    """Pure composite-IQ block kernel over any subset of satellites.
+
+    Every array argument's leading axis is the satellite axis, so the
+    whole kernel shards over a device mesh with in_specs=P("sv") and a
+    psum of the returned composite (noise_std=0 per shard; noise is a
+    receiver property, added once globally). chips0: (S,) sub-chip
+    phase in [0, L); e_sec0/e_nav0: (S,) int32 epoch offsets
+    pre-reduced mod the overlay periods; dop_s/dop_e: (S,) Doppler at
+    block start/end. This is the SV-parallel production axis — the
+    reference's rayon par_iter over emitters (scenario.rs:468-531)
+    becomes shard_map over an "sv" mesh + one psum of the composite.
+    """
+    tau = jnp.arange(n, dtype=REAL_DTYPE) / fs  # (N,) <= ~0.2 s
+    t_blk = n / fs
+    # code: per-SV linear sub-chip ramp, multipath taps delayed
+    sub_pos = chips0[:, None] + code_rate[:, None] * tau[None, :]
+    pos_t = sub_pos[:, None, :] - tap_delay[:, :, None]  # (S,T,N)
+    pos_fl = jnp.floor(pos_t)
+    ls = lengths[:, None, None]
+    sub_idx = jnp.mod(pos_fl.astype(jnp.int32), ls)
+    eib = jnp.floor_divide(pos_fl.astype(jnp.int32), ls)  # epochs
+    s_, t_, n_ = pos_t.shape
+    chips = jnp.take_along_axis(
+        bank[:, None, :], sub_idx, axis=2)  # (S,T,N)
+    # overlays: E1C secondary per code epoch, nav bit per ppb epochs
+    sec_idx = jnp.mod(e_sec0[:, None, None] + eib,
+                      sec_len[:, None, None])
+    sec = jnp.take_along_axis(sec_bank[:, None, :], sec_idx, axis=2)
+    bit_idx = jnp.floor_divide(e_nav0[:, None, None] + eib,
+                               ppb[:, None, None])
+    nav_idx = jnp.mod(bit_idx, nav_len[:, None, None])
+    nav = jnp.take_along_axis(nav_bank[:, None, :], nav_idx, axis=2)
+    tap_coef = jax.lax.complex(tap_re, tap_im)
+    sig = jnp.sum(tap_coef[:, :, None] * (chips * sec * nav),
+                  axis=1)  # (S, N)
+    # carrier: linear Doppler ramp within the block
+    theta = (theta0[:, None] + dop_s[:, None] * tau[None, :]
+             + 0.5 * (dop_e - dop_s)[:, None]
+             * tau[None, :] ** 2 / t_blk)
+    carrier = cis((2.0 * jnp.pi * jnp.mod(theta, 1.0)
+                   ).astype(REAL_DTYPE))
+    composite = jnp.sum(amps[:, None] * sig * carrier, axis=0)
+    k1, k2 = jax.random.split(key)
+    noise = jax.lax.complex(
+        jax.random.normal(k1, (n_,), REAL_DTYPE),
+        jax.random.normal(k2, (n_,), REAL_DTYPE)) * noise_std
+    return (composite + noise).astype(IQ_DTYPE)
