@@ -697,6 +697,26 @@ def cmd_blocks(args):
 
     reg = default_registry()
     cat = BlockCategory(args.category) if args.category else None
+    if getattr(args, "schema", None):
+        info = reg.get(args.schema)
+        if info is None:
+            print(f"unknown block {args.schema!r}")
+            return 1
+        rows = reg.param_schema(args.schema)
+        if args.json:
+            print(_json.dumps({"name": info.name, "schema": rows},
+                              indent=1))
+            return
+        print(f"{info.name} [{info.category.value}] — {info.description}")
+        if not rows:
+            print("  (no introspectable parameters)")
+        for r in rows:
+            req = "required" if r["required"] else f"= {r['default']!r}"
+            print(f"  {r['name']:<18} {r['type']:<10} {r['role']:<6} "
+                  f"{req}")
+            if r.get("doc"):
+                print(f"      {r['doc']}")
+        return
     blocks = reg.list(cat)
     if args.search:
         q = args.search.lower()
@@ -991,6 +1011,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--jit", action="store_true",
                     help="probe + tag each block's jit-safety "
                          "(jit/host/unknown; abstract trace, no device)")
+    sp.add_argument("--schema", metavar="BLOCK", default=None,
+                    help="print the typed parameter schema of one "
+                         "block (name/type/default/role/doc)")
     sp.set_defaults(fn=cmd_blocks)
 
     sp = sub.add_parser("spec", help="waveform-spec YAML tools")

@@ -280,20 +280,38 @@ async function runDemo(){
 }
 
 // ---------------- pipeline wizard ----------------
-let NODES=[];
-function addNode(name){
+let NODES=[];const SCHEMAS={};
+async function fetchSchema(name){
+ if(SCHEMAS[name]!==undefined) return SCHEMAS[name];
+ try{
+  const rows=await (await fetch('/api/blocks?schema=1&q='+
+   encodeURIComponent(name))).json();
+  const row=rows.find(r=>r.name==name);
+  SCHEMAS[name]=(row&&row.schema)||[];
+ }catch(e){SCHEMAS[name]=[];}
+ return SCHEMAS[name];
+}
+async function addNode(name){
  name=name||$('blocksel').value;
  const b=BLOCKS.find(x=>x.name==name)||{params:[]};
- NODES.push({id:'n'+NODES.length,block:name,
-  params:Object.fromEntries(b.params.map(p=>[p,''])),out:null});
+ const schema=await fetchSchema(name);
+ // typed form fields: config params (role=param) with defaults
+ // pre-filled; stream inputs wire from the upstream node
+ const cfg=schema.filter(s=>s.role=='param');
+ const params=cfg.length?
+  Object.fromEntries(cfg.map(s=>[s.name,
+   s.default===null||s.default===undefined?'':String(s.default)])):
+  Object.fromEntries(b.params.map(p=>[p,'']));
+ NODES.push({id:'n'+NODES.length,block:name,params,
+  schema:Object.fromEntries(schema.map(s=>[s.name,s])),out:null});
  renderNodes();
 }
-function preset(){
+async function preset(){
  NODES=[];
- addNode('waveform_tx');NODES[0].params={name:'QPSK',hex:'CAFE1234'};
- addNode('awgn_channel');NODES[1].params={snr_db:'14'};
- addNode('dc_blocker');
- addNode('waveform_rx');NODES[3].params={name:'QPSK',hex:'CAFE1234'};
+ await addNode('waveform_tx');NODES[0].params={name:'QPSK',hex:'CAFE1234'};
+ await addNode('awgn_channel');NODES[1].params={snr_db:'14'};
+ await addNode('dc_blocker');
+ await addNode('waveform_rx');NODES[3].params={name:'QPSK',hex:'CAFE1234'};
  renderNodes();
 }
 function renderNodes(){
@@ -302,10 +320,15 @@ function renderNodes(){
   const d=document.createElement('div');d.className='node';
   let h='<h4>'+n.id+' · '+n.block+
    ' <button class=small onclick=delNode('+i+')>✕</button></h4>';
-  for(const k of Object.keys(n.params))
-   h+='<div class=nrow><span class=meta>'+k+'</span>'+
-    '<input value="'+(n.params[k]??'')+'" '+
+  for(const k of Object.keys(n.params)){
+   const s=(n.schema&&n.schema[k])||{};
+   const typ=s.type?(' <span class=meta>('+s.type+
+    (s.required?', required':'')+')</span>'):'';
+   const tip=(s.doc||'').replace(/"/g,'&quot;');
+   h+='<div class=nrow><span class=meta title="'+tip+'">'+k+typ+
+    '</span><input value="'+(n.params[k]??'')+'" title="'+tip+'" '+
     'onchange="NODES['+i+'].params[\\''+k+'\\']=this.value"></div>';
+  }
   d.innerHTML=h;
   if(n.out){
    if(n.out.error) d.innerHTML+='<div class=err>'+n.out.error+'</div>';
@@ -839,6 +862,16 @@ class _Handler(BaseHTTPRequestHandler):
             rows = [{"name": b.name, "category": b.category.value,
                      "description": b.description,
                      "params": list(b.params)} for b in blocks]
+            if q.get("schema", ["0"])[0] not in ("0", ""):
+                # typed param metadata (block_metadata.rs role): the
+                # wizard fetches this per-block to render real forms
+                reg = default_registry()
+                for row in rows:
+                    try:
+                        row["schema"] = reg.param_schema(row["name"])
+                    except Exception as e:  # noqa: BLE001
+                        row["schema"] = []
+                        row["schema_error"] = f"{type(e).__name__}"
             if q.get("jit", ["0"])[0] not in ("0", ""):
                 # Opt-in: first call probes (abstract traces, ~tens of
                 # seconds for the full catalog); results are cached on

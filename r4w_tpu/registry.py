@@ -75,6 +75,24 @@ class BlockRegistry:
             out[b.category] = out.get(b.category, 0) + 1
         return out
 
+    def param_schema(self, name: str) -> list[dict]:
+        """Typed parameter metadata for a block — name/type/default/
+        required/role(/doc) per parameter of the block's primary
+        callable (the forms-quality metadata role of the reference's
+        block_metadata.rs:1-5148, harvested mechanically from
+        signatures + annotations + docstrings instead of 5k hand-
+        written lines). Cached per block."""
+        if not hasattr(self, "_schema_cache"):
+            self._schema_cache: dict[str, list[dict]] = {}
+        key = name.lower()
+        if key not in self._schema_cache:
+            info = self.get(key)
+            if info is None:
+                raise KeyError(f"unknown block '{name}'")
+            from r4w_tpu.block_schema import build_schema
+            self._schema_cache[key] = build_schema(info)
+        return self._schema_cache[key]
+
     def jit_safety(self, name: str) -> tuple[str, str]:
         """("jit" | "host" | "unknown", reason) for a block, probed by
         abstract tracing (jit_probe.probe_block) and cached. "jit"
