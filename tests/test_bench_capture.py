@@ -1,0 +1,68 @@
+"""Bench-capture robustness (VERDICT r3 #1: the driver record must
+parse in BOTH tunnel states, including a driver kill mid-run)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def test_headline_builder_degraded_and_ok():
+    sys.path.insert(0, ROOT)
+    import bench
+
+    run = bench._Run()
+    bench.RUN = run
+    out, tpu_ok = bench._build_headline()
+    assert out["metric"] == "fft1024_throughput"
+    assert out["degraded"] and out["vs_baseline"] is None
+    assert not tpu_ok
+    run.results["fft1024"] = {"Msps": 11000.0, "device": "TPU v5 lite0"}
+    out, tpu_ok = bench._build_headline()
+    assert tpu_ok and out["value"] == 11000.0
+    assert abs(out["vs_baseline"] - 11000.0 / 371.0) < 0.1
+
+
+@pytest.mark.slow
+def test_sigterm_mid_run_still_emits_parseable_record():
+    """Simulate the r3 failure mode: the driver SIGTERMs bench.py
+    mid-run. The process must still print one parseable headline JSON
+    line (the signal handler emits with whatever completed)."""
+    env = dict(os.environ)
+    env["R4W_BENCH_PLATFORM"] = "cpu"
+    env["R4W_BENCH_DEADLINE_S"] = "600"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "bench.py"), "--quick"],
+        cwd=ROOT, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True)
+    time.sleep(20)  # canary + part of fft1024, nowhere near done
+    proc.send_signal(signal.SIGTERM)
+    try:
+        out, _ = proc.communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        raise AssertionError("bench.py did not exit after SIGTERM")
+    rec = _last_json_line(out)
+    assert rec is not None, out[-500:]
+    assert rec["metric"] == "fft1024_throughput"
+    # CPU platform → degraded headline, never a fake TPU number
+    assert rec.get("degraded") is True
+    assert rec["vs_baseline"] is None
