@@ -878,7 +878,9 @@ CACHEABLE = {
     "e1c_gate": 450.0,
     "device_sweep": 780.0,
     "gps_pvt_fix": 420.0,
-    "e1c_tracking": 420.0,
+    # marginal after e1c_gate in the same child (shared capture memo);
+    # still budgeted for the child-restarted worst case
+    "e1c_tracking": 300.0,
 }
 _HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_PATH = os.path.join(_HERE, "docs", "bench_records",
@@ -1135,8 +1137,10 @@ ORDER = [
     "rotator", "cmul",
     "bpsk_mod", "pcps_corr", "channel_awgn", "lora_sf7_demod",
     "udp_rx", "pcps_gcorr", "lora_sweep", "viterbi_info_bits",
-    # cacheable acceptance tail (slowest last)
-    "gps_pvt_fix", "e1c_tracking", "e1c_gate", "device_sweep",
+    # cacheable acceptance tail (slowest last); e1c_tracking AFTER
+    # e1c_gate — both share one memoized scenario capture per child
+    # (tools/e1c_common.py), so tracking costs ~10 s marginal
+    "gps_pvt_fix", "e1c_gate", "e1c_tracking", "device_sweep",
 ]
 
 

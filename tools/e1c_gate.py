@@ -38,42 +38,21 @@ YAML = os.environ.get(
 def main(periods: int = 50, yaml_path: str = YAML) -> dict:
     import jax
 
-    from r4w_tpu.core import hostio
-    from r4w_tpu.gnss import acquisition, scenario
+    from tools.e1c_common import e1c_capture
 
     if not os.path.exists(yaml_path):
         return {"metric": "e1c_cn34_acquired", "value": None,
                 "skipped": f"scenario YAML not found: {yaml_path} "
                            "(set R4W_E1C_YAML)"}
-    t0 = time.time()
-    cfg = scenario.load_scenario_yaml(yaml_path)
-    gen = scenario.GnssScenario(cfg)
-    fs = cfg.sample_rate
-    n_per = int(round(fs * 4092 / 1.023e6))
-    rx = gen.generate(periods * n_per / fs, block_size=1 << 18)
-    rx = hostio.to_device(np.asarray(rx)[: periods * n_per])
-    gen_s = time.time() - t0
-
-    present = [s.prn for s in cfg.satellites]
-    absent = [p for p in (9, 30, 44) if p not in present][:2]
-    prns = present + absent
-    waves = [scenario._spread_waveform(
-        scenario.SatelliteConfig(signal="GalileoE1C", prn=p))
-        for p in prns]
-    codes = acquisition.sampled_code_bank(
-        waves, scenario.CHIP_RATE * scenario.SUBCHIP, fs, n_per,
-        n_subphases=4)
-    cfg_a = acquisition.PcpsConfig(
-        doppler_max_hz=5000.0, doppler_step_hz=125.0, threshold=1.0,
-        coherent_periods=periods)
-    t1 = time.time()
-    res = acquisition.acquire(rx, codes, prns, fs, cfg_a)
-    acq_s = time.time() - t1
+    # generation + acquisition shared with the tracking gate (memoized
+    # per process — bench.py runs both gates in one child)
+    _cfg, _rx, prns, n_present, _waves, res, timings = e1c_capture(
+        yaml_path, periods)
+    gen_s, acq_s = timings["gen_s"], timings["acquire_s"]
 
     det = np.asarray(res.detected)
     met = np.asarray(res.peak_metric)
     dop = np.asarray(res.doppler_hz)
-    n_present = len(present)
     out = {
         "metric": "e1c_cn34_acquired",
         "value": int(det[:n_present].sum()),

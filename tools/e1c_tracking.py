@@ -199,35 +199,25 @@ def track_channels(rx, fs, prns, waves, acq, periods,
 def main(periods: int = 50, yaml_path: str = YAML) -> dict:
     import jax
 
-    from r4w_tpu.core import hostio
-    from r4w_tpu.gnss import acquisition, scenario
+    from tools.e1c_common import e1c_capture
 
     if not os.path.exists(yaml_path):
         return {"metric": "e1c_tracked", "value": None,
                 "skipped": f"scenario YAML not found: {yaml_path} "
                            "(set R4W_E1C_YAML)"}
-    t0 = time.time()
-    cfg = scenario.load_scenario_yaml(yaml_path)
-    gen = scenario.GnssScenario(cfg)
+    # generation + acquisition shared with the acquisition gate
+    # (memoized per process — bench.py runs both gates in one child)
+    cfg, rx, all_prns, n_present, all_waves, acq_all, timings = \
+        e1c_capture(yaml_path, periods)
     fs = cfg.sample_rate
-    n_per = int(round(fs * 4092 / 1.023e6))
-    rx = gen.generate(periods * n_per / fs, block_size=1 << 18)
-    rx = hostio.to_device(np.asarray(rx)[: periods * n_per])
-    gen_s = time.time() - t0
+    gen_s, acquire_s = timings["gen_s"], timings["acquire_s"]
 
-    prns = [s.prn for s in cfg.satellites]
-    waves = [scenario._spread_waveform(
-        scenario.SatelliteConfig(signal="GalileoE1C", prn=p))
-        for p in prns]
-    codes = acquisition.sampled_code_bank(
-        waves, scenario.CHIP_RATE * scenario.SUBCHIP, fs, n_per,
-        n_subphases=4)
-    cfg_a = acquisition.PcpsConfig(
-        doppler_max_hz=5000.0, doppler_step_hz=125.0, threshold=1.0,
-        coherent_periods=periods)
-    t1 = time.time()
-    acq = acquisition.acquire(rx, codes, prns, fs, cfg_a)
-    acquire_s = time.time() - t1
+    # track only the PRESENT PRNs (the absent false-alarm controls
+    # have nothing to track); slice the acquisition rows accordingly
+    prns = all_prns[:n_present]
+    waves = all_waves[:n_present]
+    acq = type(acq_all)(*[np.asarray(f)[:n_present]
+                          for f in acq_all])
 
     per, track_s = track_channels(
         rx, fs, prns, waves, acq, periods,
