@@ -19,6 +19,8 @@ from r4w_tpu.ops.equalizers import mlse_equalize
 from r4w_tpu.ops.filters import fir_filter
 from r4w_tpu.waveforms.linear_mod import psk_constellation
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 QPSK = np.asarray(psk_constellation(4))
 

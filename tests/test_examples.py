@@ -7,6 +7,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 EX_DIR = pathlib.Path(__file__).resolve().parents[1] / "examples"
 SCRIPTS = sorted(p for p in EX_DIR.glob("*.py")
                  if p.name[0].isdigit())

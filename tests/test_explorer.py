@@ -8,6 +8,8 @@ import pytest
 
 from r4w_tpu import explorer
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 @pytest.fixture(scope="module")
 def server():

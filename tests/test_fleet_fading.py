@@ -12,6 +12,8 @@ import pytest
 from r4w_tpu.channel.channel import ChannelConfig, apply_channel
 from r4w_tpu.waveforms import create_waveform
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = b"\xa5\x3c"
 
 

@@ -12,6 +12,8 @@ import pytest
 from r4w_tpu.channel import awgn
 from r4w_tpu.waveforms import create_waveform, list_waveforms
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = bytes([0xA7, 0x1B, 0x3C, 0xD2])
 KEY = jax.random.key(3)
 

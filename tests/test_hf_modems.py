@@ -18,6 +18,8 @@ from r4w_tpu.waveforms import create_waveform
 from r4w_tpu.waveforms import milstd188110 as ms
 from r4w_tpu.waveforms import stanag4285 as st
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = bytes([0xA7, 0x1B, 0x3C, 0xD2, 0x55, 0x00, 0xFF, 0x42])
 
 

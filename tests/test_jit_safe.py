@@ -23,6 +23,8 @@ import pytest
 from r4w_tpu import jit_probe
 from r4w_tpu.registry import default_registry
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 @pytest.fixture(scope="module")
 def classified():

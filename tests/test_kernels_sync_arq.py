@@ -12,6 +12,8 @@ from r4w_tpu.waveforms.lora import chirp as chirp_mod
 from r4w_tpu.waveforms.lora import packet as lora_packet
 from r4w_tpu.waveforms.lora import sync as lora_sync
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 # ----------------------------------------------------------------- kernels
 

@@ -17,6 +17,8 @@ from r4w_tpu.waveforms.milfh_waveforms import (
     sincgars_modulate_data,
 )
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = bytes([0xA7, 0x1B, 0x3C, 0xD2])
 
 

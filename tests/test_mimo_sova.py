@@ -9,6 +9,8 @@ import pytest
 from r4w_tpu.fec.convolutional import conv_encode, map_decode
 from r4w_tpu.ops import mimo
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 def _qpsk(rng, n):
     pts = np.exp(1j * (np.pi / 4 + np.pi / 2 * np.arange(4)))

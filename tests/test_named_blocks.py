@@ -12,6 +12,8 @@ from r4w_tpu.fec import dvb_s2x
 from r4w_tpu.ops import equalizers as eq
 from r4w_tpu.ops import modem, spreading
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 RNG = np.random.default_rng(42)
 
 

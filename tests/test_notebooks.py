@@ -7,6 +7,8 @@ import pathlib
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 NB_DIR = pathlib.Path(__file__).resolve().parents[1] / "notebooks"
 
 

@@ -9,6 +9,8 @@ import pytest
 from r4w_tpu import sandbox as sb
 from r4w_tpu import timing as tm
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 
 # --------------------------------------------------------------- timing
 

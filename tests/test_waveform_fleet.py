@@ -11,6 +11,8 @@ from r4w_tpu.channel import awgn
 from r4w_tpu.ops import spreading
 from r4w_tpu.waveforms import create_waveform
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = bytes([0xA7, 0x1B, 0x3C, 0xD2])
 
 

@@ -9,6 +9,8 @@ import pytest
 from r4w_tpu.channel import awgn
 from r4w_tpu.waveforms import create_waveform, list_waveforms
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 DATA = bytes([0x5A, 0xC3, 0x0F, 0x99])
 
 

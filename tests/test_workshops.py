@@ -6,6 +6,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration lane
+
 WS_DIR = pathlib.Path(__file__).resolve().parents[1] / "docs" / "workshops"
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.S)
