@@ -423,7 +423,21 @@ class GnssScenario:
                 # anchored dynamics: configured values define t=0, orbital
                 # geometry supplies the time evolution (scenario.rs:396-420)
                 dop[i] = s.doppler_hz + (od - self._orb_dop_t0[i])
-                rng[i] = s.range_m + (orng - self._orb_range_t0[i])
+                # The anchored RANGE must carry the ANCHORED Doppler's
+                # range rate, not the raw orbital one: code phase is
+                # derived from range (generate_block), carrier phase
+                # from dop — if the YAML's configured t=0 Doppler
+                # differs from this propagator's orbital value (it
+                # does, by up to kHz on the reference YAMLs), an
+                # un-anchored range makes code and carrier drift apart
+                # by (Δdop)·f_chip/f_c chips/s, a physically impossible
+                # signal that DLLs must chase (measured: per-block code
+                # sawtooth + ~3 dB tracking loss, one SV untrackable).
+                # d/dt of the correction term is −(dop_cfg−od_t0)·c/f,
+                # which makes d(rng)/dt = −dop_anchored·c/f exactly.
+                rng[i] = (s.range_m + (orng - self._orb_range_t0[i])
+                          - (s.doppler_hz - self._orb_dop_t0[i])
+                          * (LIGHT_SPEED / GALILEO_E1_HZ) * elapsed_s)
                 elev[i] = s.elevation_deg if s.elevation_deg else oel
             else:
                 dop[i] = s.doppler_hz + (

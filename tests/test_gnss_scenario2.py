@@ -328,3 +328,45 @@ def test_scenario_checkpoint_resume_bit_identical():
     resumed = np.concatenate([first, second])
     assert resumed.shape == whole.shape
     np.testing.assert_array_equal(resumed, whole)
+
+
+class TestAnchoredOrbitalConsistency:
+    def test_anchored_range_rate_matches_anchored_doppler(self):
+        """Orbital anchoring must keep code and carrier physically
+        consistent: d(range)/dt == −doppler·c/f at all times, even when
+        the YAML's configured t=0 Doppler differs from this
+        propagator's orbital value (regression: un-anchored range made
+        the generated code phase sawtooth against the carrier by up to
+        40 subchips/s — one E1C SV untrackable, ~3 dB loss on all)."""
+        from r4w_tpu.gnss import scenario as sc
+
+        sat = sc.SatelliteConfig(
+            signal="GalileoE1C", prn=5, cn0_dbhz=40.0,
+            doppler_hz=2500.0, range_m=2.3e7, elevation_deg=30.0,
+            plane=1, slot=3, orbital_dynamics=True)
+        cfg = sc.ScenarioConfig(satellites=(sat,), sample_rate=4.092e6,
+                                seed=1)
+        gen = sc.GnssScenario(cfg)
+        # configured Doppler wildly differs from the orbital t0 value
+        assert abs(float(gen._orb_dop_t0[0]) - 2500.0) > 100.0
+        for t0, dt in ((0.0, 0.5), (1.0, 0.25), (5.0, 1.0)):
+            d0, r0, _, _ = gen._sat_state(t0)
+            d1, r1, _, _ = gen._sat_state(t0 + dt)
+            rr = (r1[0] - r0[0]) / dt
+            want = -0.5 * (d0[0] + d1[0]) * sc.LIGHT_SPEED \
+                / sc.GALILEO_E1_HZ
+            assert abs(rr - want) < 0.5, (t0, rr, want)
+
+    def test_anchored_t0_values_still_match_config(self):
+        from r4w_tpu.gnss import scenario as sc
+
+        sat = sc.SatelliteConfig(
+            signal="GalileoE1C", prn=5, cn0_dbhz=40.0,
+            doppler_hz=-1800.0, range_m=2.4e7, elevation_deg=25.0,
+            plane=2, slot=5, orbital_dynamics=True)
+        cfg = sc.ScenarioConfig(satellites=(sat,), sample_rate=4.092e6,
+                                seed=2)
+        gen = sc.GnssScenario(cfg)
+        d0, r0, _, _ = gen._sat_state(0.0)
+        assert abs(d0[0] - (-1800.0)) < 1e-6
+        assert abs(r0[0] - 2.4e7) < 1e-3
