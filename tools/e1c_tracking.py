@@ -10,13 +10,28 @@ Prints ONE JSON line with `tracked: n/8` and per-PRN C/N0 estimates.
 Design notes (TPU-first):
   - all 8 channels track concurrently via vmap over the lax.scan
     tracking loop (gnss/tracking.py) — one jit, batch axis = channel;
-  - the E1C 25-chip secondary code flips the prompt sign per 4 ms
-    epoch, so channels run the Costas discriminator
-    (TrackingConfig.costas=True) and C/N0 is estimated from the
-    sign-invariant M2/M4 moments of the prompt series;
-  - lock verdict per channel: Costas lock indicator
-    mean(I²−Q²)/mean(I²+Q²) over the second half of the run, plus the
-    M2M4 C/N0 landing within a window of the configured 34 dB-Hz.
+  - fine sync solves the E1C secondary-code phase and the Doppler
+    residual JOINTLY and COHERENTLY: one open-loop pass collects B
+    per-epoch prompts, then each of the 25 cyclic CS25 shifts is
+    wiped and FFT'd across epochs — the (shift, bin) maximum carries
+    the full γ·B coherent gain (+17 dB at C/N0 34) where the classic
+    squared-prompt method pays ~7 dB squaring loss and was measured
+    flipping to noise peaks, stranding channels with 30-50 Hz
+    residuals no tracking loop can pull in;
+  - code alignment is measured, not assumed: a ±6-subchip coherent
+    overlay-wiped sweep with parabolic interpolation both
+    resolves the BOC side-peak ambiguity ("bump jump") and lands the
+    code phase to a fraction of a subchip — the PCPS handover alone
+    was measured up to 4 subchips off, and channels false-locked on
+    the −6 dB BOC(1,1) side peak;
+  - the closed stage is a single PILOT pass: the known CS25 signs are
+    wiped from the raw samples and the loop runs 16 ms coherent
+    integrations with the full-quadrant (non-Costas) discriminator —
+    4× update SNR, no squaring loss, no cycle slips;
+  - tracked verdict per channel: CS25 alignment dominance (an unlocked
+    channel cannot read the overlay), pilot-prompt lock indicator
+    mean(I²−Q²)/mean(I²+Q²) > 0.5, and the lock-based C/N0 holding a
+    lower bound relative to acquisition's own estimate.
 
 Run on the TPU:  timeout 1800 python tools/e1c_tracking.py
 Reference role: TrackingChannel::process handoff after PcpsAcquisition
@@ -40,16 +55,6 @@ YAML = os.environ.get(
     "R4W_E1C_YAML", "/root/reference/e1c_8prn_60s_cn34_orbital.yaml")
 
 
-def _m2m4_cn0(prompts: np.ndarray, t_block: float) -> float:
-    """Moment-method C/N0 from a complex prompt series (sign-flip
-    invariant: uses |P|^2 / |P|^4 only)."""
-    m2 = float(np.mean(np.abs(prompts) ** 2))
-    m4 = float(np.mean(np.abs(prompts) ** 4))
-    ps = max(np.sqrt(max(2.0 * m2 * m2 - m4, 0.0)), 1e-30)
-    pn = max(m2 - ps, 1e-30)
-    return float(10.0 * np.log10(ps / pn / t_block))
-
-
 def track_channels(rx, fs, prns, waves, acq, periods,
                    cn0_cfg_dbhz=34.0):
     """Seed one tracking channel per PRN from acquisition and run all
@@ -64,17 +69,10 @@ def track_channels(rx, fs, prns, waves, acq, periods,
         return jnp.asarray(a, jnp.int32)
 
     code_len = 4092 * sc.SUBCHIP
-    # Fine-sync + track, the standard receiver handoff at low C/N0:
-    # a closed-loop FLL pull-in is too noisy at 34 dB-Hz (the squared
-    # cross-product frequency measurement carries ~9 Hz 1σ per 4 ms
-    # block; any usable gain injects a multi-Hz random walk), so
-    # instead an OPEN-LOOP pass (all bandwidths zero) collects one
-    # prompt per code epoch across the whole capture, Doppler is
-    # refined to sub-Hz from the FFT of the squared prompt series
-    # (squaring wipes the secondary-code flips; 49 epochs ≈ +17 dB
-    # processing gain), code phase is refined from the mean open-loop
-    # DLL discriminator, and the closed-loop pass then runs narrow
-    # with no FLL at all.
+    # Receiver handoff strategy (see module docstring): one open-loop
+    # pass measures prompts; a joint (CS25-shift × Doppler) coherent
+    # search and a coherent code sweep land sub-Hz / sub-subchip
+    # seeds; the closed stage is a single overlay-wiped pilot loop.
     common = dict(
         code_length=code_len,
         sample_rate=fs,
@@ -89,9 +87,7 @@ def track_channels(rx, fs, prns, waves, acq, periods,
     )
     cfg_open = tracking.TrackingConfig(
         dll_bandwidth=0.0, pll_bandwidth=0.0, fll_gain=0.0, **common)
-    cfg_t = tracking.TrackingConfig(
-        dll_bandwidth=1.0, pll_bandwidth=5.0, fll_gain=0.0, **common)
-    scps = cfg_t.chipping_rate / fs  # subchips per sample (nominal)
+    scps = cfg_open.chipping_rate / fs  # subchips per sample (nominal)
     tau = np.asarray(acq.code_phase, np.float64)  # samples to chip 0
     dop = np.asarray(acq.doppler_hz, np.float64)
     # Each channel's integration windows must align to ITS code-epoch
@@ -105,16 +101,18 @@ def track_channels(rx, fs, prns, waves, acq, periods,
     phase0 = (code_len - frac * scps) % code_len
 
     codes = np.stack([np.asarray(w, np.float32) for w in waves])
-    bs = cfg_t.block_size
+    bs = cfg_open.block_size
     n_blocks = periods - 1  # one epoch sacrificed to alignment
     n_keep = n_blocks * bs
-    t_blk = cfg_t.block_period
+    t_blk = cfg_open.block_period
 
     # rx is complex: it must be a jit ARGUMENT (closure constants get
     # materialized via a host complex copy — UNIMPLEMENTED on axon)
-    def _pass(cfg):
+    def _pass(cfg, keep=None):
+        nk = n_keep if keep is None else keep
+
         def run(s, c, i0, x):
-            seg = jax.lax.dynamic_slice(x, (i0,), (n_keep,))
+            seg = jax.lax.dynamic_slice(x, (i0,), (nk,))
             return tracking.track(cfg, s, seg, c)
         return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, None)))
 
@@ -127,58 +125,179 @@ def track_channels(rx, fs, prns, waves, acq, periods,
         return p, np.asarray(jax.device_get(o.dll_disc))
 
     t0 = time.time()
-    # ---- fine sync: iterated open-loop passes -------------------------
-    # Pass A seeds from raw acquisition. Doppler residual comes from
-    # the squared prompt series: angle(P²) advances at 2·δf; FFT
-    # argmax + parabolic interp over the B epochs. Unambiguous for
-    # |δf| < 1/(4·T) = 62.5 Hz = the PCPS half-bin, exactly the
-    # handover error bound. Measured: recovers true Doppler to
-    # < 0.5 Hz at C/N0 34 (49 epochs ≈ +17 dB processing gain).
-    p_open, _ = open_pass(phase0, dop)
-    nfft = 512
-    spec = np.abs(np.fft.fft(p_open * p_open, nfft, axis=1))
-    pk = np.argmax(spec, axis=1)
-    rows = np.arange(len(pk))
-    s_m, s_0, s_p = (spec[rows, (pk - 1) % nfft], spec[rows, pk],
-                     spec[rows, (pk + 1) % nfft])
-    delta = np.clip(0.5 * (s_m - s_p)
-                    / np.maximum(s_m - 2 * s_0 + s_p, 1e-30), -0.5, 0.5)
-    bins = np.where(pk > nfft // 2, pk - nfft, pk) + delta
-    dop_ref = dop + bins / (nfft * t_blk) / 2.0
+    # ---- fine sync: joint secondary-code × Doppler coherent search ----
+    # One open-loop pass at the acquisition seeds collects B complex
+    # prompts per channel. The Doppler residual and the CS25 overlay
+    # phase are then solved JOINTLY: for each of the 25 cyclic shifts,
+    # wipe the candidate sign pattern and FFT across epochs — the
+    # (shift, bin) maximum is a fully COHERENT statistic (detection
+    # SNR ≈ γ·B, +17 dB at C/N0 34), unlike the classic squared-prompt
+    # method whose squaring loss (~7 dB at these block SNRs) was
+    # measured flipping to noise peaks on 1-2 channels per run,
+    # stranding them with 30-50 Hz residuals no 5 Hz loop can pull in.
+    # Range ±125 Hz (the epoch rate) covers the PCPS half-bin (±62.5)
+    # with margin.
+    # Two rounds: the joint search needs a reasonably aligned code
+    # phase to see the signal, and the code sweep needs the Doppler —
+    # round 1 fixes the dominant error on every channel (measured: the
+    # joint search nails 7/8 channels' quantization residuals to <1 Hz
+    # even misaligned, while a channel handed over ~5 subchips off is
+    # attenuated into a marginal search), round 2 re-measures both at
+    # full coherent strength.
+    dop_cur = dop.copy()
+    phase_cur = phase0.copy()
+    cand = np.arange(-6.0, 7.0)
 
-    # Pass B (refined Doppler): code-phase residual = mean open-loop
-    # DLL discriminator × spacing (positive disc → replica ahead →
-    # retard). Pass C re-measures the carrier phase at the refined
-    # code phase for the closed-loop seed.
-    _, dll_b = open_pass(phase0, dop_ref)
-    code_err = np.mean(dll_b, axis=1) * cfg_t.el_spacing
-    phase0_ref = (phase0 - code_err) % code_len
+    # Stage 0: NON-coherent code alignment at the handover Doppler.
+    # The joint search needs prompts within ~2 subchips of the peak to
+    # see the signal (measured: a 4.7-subchip handover error costs
+    # ~7 dB per epoch and degenerates the search into noise); the
+    # mean-power profile needs no Doppler or overlay knowledge at all,
+    # so it goes first.
+    mets0 = []
+    for off in cand:
+        p_o, _ = open_pass((phase_cur + off) % code_len, dop_cur)
+        mets0.append(np.mean(np.abs(p_o) ** 2, axis=1))
+    mets0 = np.stack(mets0)
+    rows = np.arange(mets0.shape[1])
+    k0 = np.clip(np.argmax(mets0, axis=0), 1, len(cand) - 2)
+    pm, p0_, pp = mets0[k0 - 1, rows], mets0[k0, rows], mets0[k0 + 1, rows]
+    den = pm - 2 * p0_ + pp  # negative at a true peak
+    d0 = np.clip(0.5 * (pm - pp)
+                 / np.where(np.abs(den) < 1e-30, -1e-30, den), -0.5, 0.5)
+    phase_cur = (phase_cur + cand[k0] + d0) % code_len
+
+    shifts = None
+    for _round in range(2):
+        p_a, _ = open_pass(phase_cur, dop_cur)
+        b_ep = p_a.shape[1]
+        if shifts is None:
+            shifts = np.stack(
+                [sc.E1C_SECONDARY[(np.arange(b_ep) + s) % 25]
+                 for s in range(25)])  # (25, B)
+        nfft = 1024
+        z = np.abs(np.fft.fft(p_a[:, None, :] * shifts[None, :, :],
+                              nfft, axis=2))  # (P, 25, nfft)
+        rows = np.arange(z.shape[0])
+        flat = z.reshape(z.shape[0], -1)
+        idx = np.argmax(flat, axis=1)
+        s_star = (idx // nfft).astype(np.int64)
+        pk = idx % nfft
+        # dominance: the winning shift peak over every other shift's
+        # own best — an unlocked channel cannot prefer one CS25
+        # alignment
+        per_shift = z.max(axis=2)  # (P, 25)
+        best_pk = per_shift[rows, s_star].copy()
+        per_shift[rows, s_star] = 0.0
+        sec_dom = best_pk / np.maximum(per_shift.max(axis=1), 1e-30)
+        row = z[rows, s_star]  # (P, nfft)
+        s_m, s_0, s_p = (row[rows, (pk - 1) % nfft], row[rows, pk],
+                         row[rows, (pk + 1) % nfft])
+        den = s_m - 2 * s_0 + s_p  # negative at a true peak
+        delta = np.clip(0.5 * (s_m - s_p)
+                        / np.where(np.abs(den) < 1e-30, -1e-30, den),
+                        -0.5, 0.5)
+        bins = np.where(pk > nfft // 2, pk - nfft, pk) + delta
+        dop_cur = dop_cur + bins / (nfft * t_blk)  # nothing was squared
+        signs_b = np.stack([shifts[s_star[i]] for i in rows])  # (P, B)
+
+        # ---- code alignment: coherent ±6-subchip sweep ----------------
+        # Resolves both the BOC(1,1) side-peak ambiguity (stable false
+        # locks at ±0.5 chip = ±6 subchips, ~6 dB down — tracking.rs
+        # never handles this; its tests are BPSK C/A) and the PCPS
+        # handover error (measured up to 5 subchips). The metric is the
+        # overlay-wiped coherent sum at the corrected Doppler (the
+        # prompts are rotation-free there, so only the wipe applies);
+        # parabolic interpolation lands the code phase to a fraction of
+        # a subchip with no S-curve-slope assumption.
+        mets = []
+        for off in cand:
+            p_o, _ = open_pass((phase_cur + off) % code_len, dop_cur)
+            mets.append(np.abs(np.sum(p_o * signs_b, axis=1)))
+        mets = np.stack(mets)  # (13, P)
+        k = np.clip(np.argmax(mets, axis=0), 1, len(cand) - 2)
+        pm, p0, pp = mets[k - 1, rows], mets[k, rows], mets[k + 1, rows]
+        den = pm - 2 * p0 + pp  # negative at a true peak
+        delta = np.clip(0.5 * (pm - pp)
+                        / np.where(np.abs(den) < 1e-30, -1e-30, den),
+                        -0.5, 0.5)
+        jump = cand[k] + delta
+        phase_cur = (phase_cur + jump) % code_len
+
+    dop_ref = dop_cur
+    phase0_ref = phase_cur
+    dop_resid = dop_ref - dop
+    jump = (phase_cur - phase0 + code_len / 2) % code_len - code_len / 2
+
+    # carrier-phase seed measured at the final alignment: angle of the
+    # wiped, derotated coherent sum of the first few epochs (includes
+    # the overlay's global polarity, so the pilot loop starts at its
+    # stable point)
     p_c, _ = open_pass(phase0_ref, dop_ref)
-    ph_carrier = np.angle(p_c[:, 0]) / (2 * np.pi)
+    w_c = p_c * signs_b  # measured at dop_ref: wipe only, no derotation
+    ph_w = np.angle(w_c[:, :5].sum(axis=1)) / (2.0 * np.pi)
 
-    # ---- closed loop: narrow, no FLL ----------------------------------
-    st = tracking.init_state(cfg_t, phase0_ref.astype(np.float32),
-                             dop_ref.astype(np.float32))
-    st = st._replace(carrier_phase=jnp.asarray(
-        ph_carrier, st.carrier_phase.dtype))
-    _, outs = _pass(cfg_t)(st, codes, jnp_i32(istart), rx)
-    pi = np.asarray(jax.device_get(outs.prompt_i))  # (P, B)
-    pq = np.asarray(jax.device_get(outs.prompt_q))
+    # ---- pilot pass: input-wiped, 16 ms coherent, full-quadrant -------
+    # At ~28-30 dB-Hz effective, a 4 ms Costas loop sits at σ_φ ≈
+    # 0.4-0.5 rad per update and cycle-slips (observed: lock swinging
+    # 0.27-0.56 across reruns). With the CS25 alignment known, wipe the
+    # overlay from the raw samples and track as a clean pilot with
+    # 4-epoch (16 ms) integrations: 4× update SNR, atan2 discriminator,
+    # no squaring loss — the standard deep-integration payoff of a
+    # pilot channel.
+    n3 = (n_blocks // 4) * 4
+    signs_full = signs_b[:, :n3].astype(np.float32)
+
+    def _wiped_pass(cfg, n_ep):
+        def run(s, c, i0, sg, x):
+            seg = jax.lax.dynamic_slice(x, (i0,), (n_ep * bs,))
+            seg = (seg.reshape(n_ep, bs) * sg[:, None]).reshape(-1)
+            return tracking.track(cfg, s, seg, c)
+        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, None)))
+
+    t_ep = 4092 / sc.CHIP_RATE
+    cfg_w = tracking.TrackingConfig(
+        dll_bandwidth=1.0, pll_bandwidth=4.0, fll_gain=0.0,
+        code_length=code_len, sample_rate=fs,
+        chipping_rate=sc.CHIP_RATE * sc.SUBCHIP, el_spacing=2.0,
+        block_period=4 * t_ep, carrier_hz=sc.GALILEO_E1_HZ,
+        costas=False)
+    stw = tracking.init_state(cfg_w, phase0_ref.astype(np.float32),
+                              dop_ref.astype(np.float32))
+    stw = stw._replace(carrier_phase=jnp.asarray(
+        ph_w.astype(np.float32), stw.carrier_phase.dtype))
+    _, outw = _wiped_pass(cfg_w, n3)(
+        stw, codes, jnp_i32(istart), jnp.asarray(signs_full), rx)
+    piw = np.asarray(jax.device_get(outw.prompt_i))  # (P, n3/4)
+    pqw = np.asarray(jax.device_get(outw.prompt_q))
+    # residual code-offset diagnostic (mean pilot DLL disc, 2nd half)
+    dllw = np.asarray(jax.device_get(outw.dll_disc))
+    el_bias = np.mean(dllw[:, dllw.shape[1] // 2:], axis=1)
     track_s = time.time() - t0
 
-    half = pi.shape[1] // 3  # skip the narrow loop's own settling
+    if os.environ.get("R4W_E1C_DEBUG"):
+        np.savez("/tmp/e1c_debug.npz",
+                 p_a=p_a, w_c=w_c, piw=piw, pqw=pqw,
+                 dop_resid=dop_resid, dop_ref=dop_ref,
+                 jump=jump, phase0_ref=phase0_ref, mets=mets,
+                 cfw=np.asarray(jax.device_get(outw.carrier_freq)),
+                 cpw=np.asarray(jax.device_get(outw.code_phase)),
+                 dllw=dllw)
+
+    # metrics on the 16 ms pilot prompts (first block dropped: settle)
+    k_ext = 4  # epochs per integration (for the C/N0 denominator)
+    pe = (piw + 1j * pqw)[:, 1:]
     per = []
     for i, p in enumerate(prns):
-        ii, qq = pi[i, half:], pq[i, half:]
+        ii, qq = pe[i].real, pe[i].imag
         m = float(np.mean(ii * ii - qq * qq))
         tot = float(np.mean(ii * ii + qq * qq))
         lock = m / max(tot, 1e-30)
-        # Lock-based C/N0: mean(I²−Q²) estimates A², mean(I²+Q²)−A²
-        # estimates 2σ²; C/N0 = (A²/2σ²)/T. Robust at the ~6 dB block
-        # SNR this gate runs at, where the M2M4 moment method's
-        # 2M2²−M4 cancellation returns garbage.
+        # Lock-based C/N0 on the extended prompts: mean(I²−Q²)
+        # estimates A², mean(I²+Q²)−A² estimates 2σ²;
+        # C/N0 = (A²/2σ²)/(K·T).
         snr = max(m, 1e-12) / max(tot - m, 1e-12)
-        cn0 = float(10.0 * np.log10(snr / cfg_t.block_period))
+        cn0 = float(10.0 * np.log10(snr / (k_ext * t_blk)))
         # Reference C/N0 for the window: acquisition's own estimate —
         # it shares the nearest-subchip front-end quantization loss
         # (~3-4 dB at 5 MS/s), so tracking confirming it is the
@@ -187,10 +306,23 @@ def track_channels(rx, fs, prns, waves, acq, periods,
         acq_cn0 = float(np.asarray(acq.cn0_estimate)[i])
         ref = acq_cn0 if np.isfinite(acq_cn0) and acq_cn0 > 0 \
             else cn0_cfg_dbhz
-        tracked = bool(lock > 0.35 and abs(cn0 - ref) < 6.0)
+        sec_ok = bool(sec_dom[i] > 1.3)
+        # lower-bound window only: the check exists to catch channels
+        # whose signal quality COLLAPSED relative to acquisition; an
+        # estimate above acquisition's is evidence of strong lock (the
+        # closed loop squelches in-band noise, biasing the lock-based
+        # estimator HIGH at high C/N0 — measured +7 dB at 42 dB-Hz
+        # with 11 pilot blocks)
+        tracked = bool(sec_ok and lock > 0.5 and cn0 - ref > -6.0)
         per.append({"prn": int(p), "detected": bool(
             np.asarray(acq.detected)[i]),
-            "lock": round(lock, 3), "cn0_est_dbhz": round(cn0, 1),
+            "lock": round(lock, 3),
+            "sec_dom": round(float(sec_dom[i]), 2),
+            "sec_shift": int(s_star[i]),
+            "dop_resid_hz": round(float(dop_resid[i]), 2),
+            "boc_jump_subchips": float(jump[i]),
+            "el_bias": round(float(el_bias[i]), 4),
+            "cn0_est_dbhz": round(cn0, 1),
             "cn0_acq_dbhz": round(acq_cn0, 1),
             "tracked": tracked})
     return per, track_s
