@@ -19,7 +19,7 @@ their official record to capture failures, not to missing performance):
 ALL device work runs in ONE persistent child process driven over a line
 protocol by this parent, and the round-4 orchestration guarantees a
 parseable record under any tunnel state:
-  1. a ONE-OP canary (<=2 bounded attempts, 240 s each) decides TPU vs
+  1. a ONE-OP canary (<=2 bounded attempts, 240 s then 360 s) decides TPU vs
      degraded up front — no walking every bench through its own
      watchdog when the tunnel is hard-down (the r3 failure: 2x1500 s
      burned before any JSON could be emitted);
@@ -842,7 +842,8 @@ class _Child:
 # --------------------------------------------------------------------
 # Orchestration v2 (round-4 redesign — the r2/r3 records were lost to
 # unbounded watchdog arithmetic, so capture is now deadline-driven):
-#   1. ONE bounded canary decides TPU vs degraded in <=2 x CANARY_CAP.
+#   1. ONE bounded canary decides TPU vs degraded in <= CANARY_CAP +
+#      1.5 x CANARY_CAP (the retry escalates: slow tunnel != dead tunnel).
 #   2. A global wall-clock deadline (env R4W_BENCH_DEADLINE_S, default
 #      1140 s) derates every per-bench watchdog; benches that no longer
 #      fit are skipped loudly, slowest-first.
@@ -1020,8 +1021,14 @@ class _Orchestrator:
         time.sleep(min(backoff_s, max(0.0, RUN.remaining())))
         self._ensure_child()
 
-    def run_one(self, name, budget, retries=1):
-        """Run one bench with the given watchdog; None on hang."""
+    def run_one(self, name, budget, retries=1, escalate=1.0):
+        """Run one bench with the given watchdog; None on hang.
+
+        escalate > 1 grows the watchdog per retry (the canary uses
+        1.5×: tunnel init has been measured anywhere from 83 s to
+        >240 s, and a slow-but-alive tunnel must not be misread as
+        dead — a false "degraded" verdict forfeits the round's TPU
+        record, which is far worse than spending 120 extra seconds)."""
         self._ensure_child()
         for attempt in range(retries + 1):
             res = self.child.run(name, budget)
@@ -1031,6 +1038,7 @@ class _Orchestrator:
             print(f"# bench {name} hung (> {budget:.0f}s), "
                   f"restarting child", file=sys.stderr, flush=True)
             if attempt < retries:
+                budget *= escalate
                 if RUN.remaining() < budget:
                     budget = max(30.0, RUN.remaining())
                     if budget <= 30.0:
@@ -1063,9 +1071,11 @@ def run_suite(order):
     # without the TPU tunnel (headline stays degraded — device != TPU)
     orch = _Orchestrator(os.environ.get("R4W_BENCH_PLATFORM") or None)
 
-    # Phase 1: tunnel canary — two bounded attempts, then verdict.
+    # Phase 1: tunnel canary — two bounded attempts (the second 1.5×
+    # longer: a cold tunnel has taken >240 s to first answer while
+    # still healthy — observed r4), then verdict.
     cap = min(CANARY_CAP, max(45.0, RUN.remaining()))
-    res = orch.run_one("canary", cap, retries=1)
+    res = orch.run_one("canary", cap, retries=1, escalate=1.5)
     if res is None or "error" in res:
         RUN.tunnel_dead = True
         _record("canary", res or {"error": "watchdog timeout"})
