@@ -99,16 +99,17 @@ def _timed_scalar(fn, *args):
 def bench_fft1024():
     # batch sized to keep the chained loop resident in VMEM: the tunnel
     # device is HBM-bandwidth-throttled (~6 GB/s), so a 134 MB working
-    # set runs at ~0.1 Gsps while a 2 MB one sustains ~11 Gsps. batch
-    # 256 x 16384 chained iterations measured best (sweep 2026-08-16).
+    # set runs at ~0.1 Gsps while a 2 MB one sustains ~12 Gsps. batch
+    # 384 x 8192 chained iterations measured best (r4 sweep; 256x16384
+    # from the 2026-08-16 sweep was within 4%).
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
     import numpy as np
 
     n = 1024
-    batch = 256
-    iters = 16384
+    batch = 384
+    iters = 8192
     rng = np.random.default_rng(0)
     re = rng.standard_normal((batch, n), dtype=np.float32)
     im = rng.standard_normal((batch, n), dtype=np.float32)
@@ -156,8 +157,11 @@ def _bench_fft(n: int, batch: int, iters: int, seed: int):
 
 
 def bench_fft256():
-    """FFT-256 (reference publishes 645 Msps, MEASURABLE_OBJECTIVES:26)."""
-    return _bench_fft(256, 1024, 16384, 7)
+    """FFT-256 (reference publishes 645 Msps, MEASURABLE_OBJECTIVES:26).
+
+    Batch 4096 per r4 shape sweep: 17.5 Gsps vs 13.0 at batch 1024 —
+    small transforms need wide batches to fill the VPU lanes."""
+    return _bench_fft(256, 4096, 8192, 7)
 
 
 def bench_fft2048():
@@ -166,8 +170,13 @@ def bench_fft2048():
 
 
 def bench_fft4096():
-    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps)."""
-    return _bench_fft(4096, 64, 4096, 1)
+    """FFT-4096 (gnuradio_comparison baseline 12 Msps, README 330 Msps).
+
+    Batch 256 per r4 shape sweep: 11.1 Gsps vs 7.5 at batch 64 — the
+    'capacity-limited' regime in PERFORMANCE.md's roofline was really
+    under-batching; 256×4096 (8 MB live) still fits VMEM and closes
+    most of the gap to the FFT-1024 rate."""
+    return _bench_fft(4096, 256, 4096, 1)
 
 
 def bench_udp_rx():
