@@ -14,7 +14,10 @@ def test_every_registry_block_is_exercised():
     """tools/block_test_audit.py must report ZERO uncovered blocks:
     each of the 523 registry names maps to a test that names it, its
     underlying callable, or its waveform (the fleet suite's covers-all
-    assert guarantees every list_waveforms() entry)."""
+    assert guarantees every list_waveforms() entry). The audit
+    excludes THIS file from the corpus, so coverage can never be
+    satisfied by the audit's own companion tests (the last 8 such
+    blocks got independent truths in test_known_answers_r4j.py)."""
     from tools.block_test_audit import audit
 
     out = audit()

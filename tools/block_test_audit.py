@@ -27,10 +27,10 @@ TESTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests")
 
 
-def _test_corpus() -> str:
+def _test_corpus(exclude: tuple = ()) -> str:
     chunks = []
     for fn in sorted(os.listdir(TESTS_DIR)):
-        if fn.endswith(".py"):
+        if fn.endswith(".py") and fn not in exclude:
             with open(os.path.join(TESTS_DIR, fn)) as f:
                 chunks.append(f.read())
     return "\n".join(chunks)
@@ -51,13 +51,17 @@ def _callable_names(factory) -> list[str]:
     return names
 
 
-def audit() -> dict:
+def audit(exclude: tuple = ("test_block_coverage.py",)) -> dict:
+    """By default the audit's OWN test file is excluded from the
+    corpus, so a block counted as covered is exercised by a test that
+    exists independently of this audit (no self-referential coverage).
+    Pass exclude=() for the permissive variant."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from r4w_tpu import registry
 
-    corpus = _test_corpus()
+    corpus = _test_corpus(exclude)
     # identifier index (dots split attribute access: `sn.leak_locate`
     # yields `leak_locate`); dashed registry names match by substring
     words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", corpus))
