@@ -269,20 +269,35 @@ def em_gmm_1d(x, k: int = 2, n_iter: int = 50, seed: int = 0):
 
 def matrix_complete_svt(observed, mask, rank: int | None = None,
                         tau: float | None = None, n_iter: int = 100,
-                        step: float = 1.2):
-    """Nuclear-norm matrix completion via singular-value thresholding
-    (matrix_completion_nuclear.rs). observed: (M,N) with zeros at
-    missing entries; mask: 1 where observed."""
+                        step: float = 0.5):
+    """Matrix completion (matrix_completion_nuclear.rs). observed:
+    (M,N) with zeros at missing entries; mask: 1 where observed.
+
+    With `rank` given: hard-impute alternating projection (project to
+    the rank-r manifold, re-impose the observed entries) — converges
+    to exact recovery when the truth really is rank ≤ r and sampling
+    suffices. Without `rank`: classic soft-threshold SVT on the dual
+    iterate. step defaults to 0.5 — the former 1.2 oscillates and
+    stalls near 40% error on an easy rank-1/60%-observed instance."""
     y = jnp.asarray(observed, REAL_DTYPE)
     m = jnp.asarray(mask, REAL_DTYPE)
+    if rank is not None:
+        x = y
+        for _ in range(n_iter):
+            u, s, vt = jnp.linalg.svd(x, full_matrices=False)
+            s = s.at[rank:].set(0.0)
+            x = (u * s[None, :]) @ vt
+            x = m * y + (1.0 - m) * x
+        u, s, vt = jnp.linalg.svd(x, full_matrices=False)
+        s = s.at[rank:].set(0.0)
+        return (u * s[None, :]) @ vt
     if tau is None:
         tau = 0.2 * jnp.linalg.norm(y)  # stays traced (jit-safe)
     z = jnp.zeros_like(y)
+    x = z
     for _ in range(n_iter):
         u, s, vt = jnp.linalg.svd(z, full_matrices=False)
         s = jnp.maximum(s - tau * 0.01, 0.0)
-        if rank is not None:
-            s = s.at[rank:].set(0.0)
         x = (u * s[None, :]) @ vt
         z = z + step * m * (y - x)
     return x
