@@ -1,0 +1,366 @@
+"""Round-4 KA batch N: truths for rotator/bit-repack/SIMD-math, blind
+SNR estimation, sparse FIR, sync words, localization, QKD, tidal
+analysis, range-Doppler placement, RAKE combining, denoisers and CIC —
+each against a closed form, a published calibration, or a numpy
+rederivation.
+
+Reference roles: simd_utils.rs, stream_byte_converter.rs,
+transcendental.rs, snr_estimator.rs, sparse_fir_filter.rs,
+sync_word_detector.rs, trilateration_solver.rs,
+pulse_oximeter_processor.rs, quantum_key_distribution.rs,
+tidal_harmonic_analyzer.rs, range_doppler_map.rs, rake_receiver.rs,
+wavelet_denoiser.rs, spectral_subtraction_denoiser.rs, cic_filter.rs,
+welch_psd.rs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+
+# ------------------------------------------------------ simd math
+
+
+class TestSimdMath:
+    def test_rotator_exact(self):
+        from r4w_tpu.ops.infra_fills import rotator_apply
+
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(200)
+             + 1j * rng.standard_normal(200)).astype(np.complex64)
+        inc, ph0 = 0.013, 0.4
+        got = np.asarray(rotator_apply(jnp.asarray(x), inc, ph0))
+        want = x * np.exp(1j * (ph0 + inc * np.arange(200)))
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_cmul_cmac_exact(self):
+        from r4w_tpu.ops.infra_fills import cmac, cmul
+
+        rng = np.random.default_rng(2)
+        a = (rng.standard_normal(64)
+             + 1j * rng.standard_normal(64)).astype(np.complex64)
+        b = (rng.standard_normal(64)
+             + 1j * rng.standard_normal(64)).astype(np.complex64)
+        acc = (rng.standard_normal(64)
+               + 1j * rng.standard_normal(64)).astype(np.complex64)
+        assert np.allclose(np.asarray(cmul(a, b)), a * b, atol=1e-5)
+        assert np.allclose(np.asarray(cmac(acc, a, b)), acc + a * b,
+                           atol=1e-5)
+
+    def test_transcendental_vs_numpy(self):
+        from r4w_tpu.ops.stream_blocks import transcendental
+
+        x = np.linspace(0.1, 2.0, 50).astype(np.float32)
+        for name, fn in (("sin", np.sin), ("cos", np.cos),
+                         ("exp", np.exp), ("log", np.log)):
+            got = np.asarray(transcendental(jnp.asarray(x), name))
+            assert np.allclose(got, fn(x), atol=1e-4), name
+        with pytest.raises(ValueError):
+            transcendental(jnp.asarray(x), "frobnicate")
+
+
+class TestRepackBits:
+    def test_pinned_mapping_and_roundtrip(self):
+        """0xC5 = 11 00 01 01 msb-first → 2-bit symbols [3,0,1,1];
+        8→2→8 is the identity."""
+        from r4w_tpu.ops.stream_blocks import repack_bits
+
+        got = np.asarray(repack_bits(jnp.asarray([0xC5]), 8, 2))
+        assert got.tolist() == [3, 0, 1, 1]
+        rng = np.random.default_rng(3)
+        by = rng.integers(0, 256, 32).astype(np.int32)
+        small = repack_bits(jnp.asarray(by), 8, 2)
+        back = np.asarray(repack_bits(small, 2, 8))
+        assert np.array_equal(back, by)
+        # lsb-first convention differs and also roundtrips
+        small_l = repack_bits(jnp.asarray(by), 8, 2, msb_first=False)
+        back_l = np.asarray(repack_bits(small_l, 2, 8, msb_first=False))
+        assert np.array_equal(back_l, by)
+        assert not np.array_equal(np.asarray(small_l), np.asarray(small))
+
+
+# ----------------------------------------------------- measurements
+
+
+class TestWelchParseval:
+    def test_psd_integral_equals_variance(self):
+        """Parseval: ∫PSD·df over the full band equals the signal
+        variance; white noise is flat (small per-bin spread after
+        averaging)."""
+        from r4w_tpu.ops.measure import welch_psd
+
+        rng = np.random.default_rng(4)
+        n, nperseg = 1 << 15, 256
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             / np.sqrt(2.0)).astype(np.complex64)  # unit variance
+        psd = np.asarray(welch_psd(jnp.asarray(x), nperseg=nperseg))
+        df = 1.0 / nperseg
+        assert np.sum(psd) * df == pytest.approx(1.0, rel=0.05)
+        assert np.std(psd) < 0.25 * np.mean(psd)
+
+    def test_tone_bin_placement(self):
+        from r4w_tpu.ops.measure import welch_psd
+
+        nperseg, k0 = 256, 30
+        t = np.arange(1 << 14)
+        x = np.exp(2j * np.pi * k0 * t / nperseg).astype(np.complex64)
+        psd = np.asarray(welch_psd(jnp.asarray(x), nperseg=nperseg))
+        # output is fftshifted: bin k0 sits at nperseg//2 + k0
+        assert int(np.argmax(psd)) == nperseg // 2 + k0
+
+
+class TestSnrM2M4:
+    def test_qpsk_awgn_calibration(self):
+        """The M2M4 estimator is asymptotically exact for
+        constant-modulus signals in complex AWGN — check at 10 and
+        3 dB."""
+        from r4w_tpu.ops.measure import snr_estimate_m2m4
+
+        rng = np.random.default_rng(5)
+        n = 1 << 16
+        s = np.exp(1j * (np.pi / 4 + np.pi / 2
+                         * rng.integers(0, 4, n)))
+        for snr_db in (10.0, 3.0):
+            sigma = 10.0 ** (-snr_db / 20.0)
+            noise = sigma / np.sqrt(2.0) * (rng.standard_normal(n)
+                                            + 1j * rng.standard_normal(n))
+            est = float(snr_estimate_m2m4(
+                jnp.asarray((s + noise).astype(np.complex64))))
+            assert est == pytest.approx(snr_db, abs=0.5)
+
+
+class TestSparseFir:
+    def test_equals_dense_fir_with_zeros(self):
+        from r4w_tpu.ops.filters2 import sparse_fir_filter
+
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal(300).astype(np.float32)
+        vals = np.array([1.0, -0.4, 0.25], np.float32)
+        pos = np.array([0, 7, 31])
+        got = np.asarray(sparse_fir_filter(jnp.asarray(x), vals, pos))
+        h = np.zeros(32, np.float32)
+        h[pos] = vals
+        want = np.convolve(x, h)[:300]
+        assert np.allclose(got, want, atol=1e-5)
+
+
+class TestSyncWordDetect:
+    def test_exact_offsets_and_error_tolerance(self):
+        from r4w_tpu.ops.detect import sync_word_detect
+
+        rng = np.random.default_rng(7)
+        word = rng.integers(0, 2, 16)
+        bits = rng.integers(0, 2, 400)
+        for off in (37, 200):
+            bits[off:off + 16] = word
+        hits = np.asarray(sync_word_detect(jnp.asarray(bits),
+                                           jnp.asarray(word)))
+        assert {37, 200}.issubset(set(hits.tolist()))
+        # one flipped bit: found only with max_errors >= 1
+        corrupted = bits.copy()
+        corrupted[37 + 5] ^= 1
+        h0 = np.asarray(sync_word_detect(jnp.asarray(corrupted),
+                                         jnp.asarray(word)))
+        h1 = np.asarray(sync_word_detect(jnp.asarray(corrupted),
+                                         jnp.asarray(word),
+                                         max_errors=1))
+        assert 37 not in set(h0.tolist())
+        assert 37 in set(h1.tolist())
+
+
+# ------------------------------------------------------ localization
+
+
+class TestTrilateration:
+    def test_exact_2d_position(self):
+        from r4w_tpu.ops.applied import trilaterate
+
+        anchors = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 80.0]],
+                           np.float32)
+        truth = np.array([37.0, 52.0], np.float32)
+        ranges = np.linalg.norm(anchors - truth, axis=1)
+        got = np.asarray(trilaterate(anchors, ranges))
+        assert np.max(np.abs(got - truth)) < 0.01
+
+
+class TestSpo2:
+    def test_published_calibration_line(self):
+        """Ratio-of-ratios R = 1 → 85%; the empirical line is
+        SpO2 = 110 − 25·R, clipped to [0, 100]."""
+        from r4w_tpu.ops.sensing import spo2_ratio
+
+        spo2, r = spo2_ratio(1.0, 10.0, 1.0, 10.0)
+        assert float(r) == pytest.approx(1.0, abs=1e-6)
+        assert float(spo2) == pytest.approx(85.0, abs=1e-4)
+        spo2_b, _ = spo2_ratio(0.5, 10.0, 1.25, 10.0)  # R = 0.4 → 100
+        assert float(spo2_b) == pytest.approx(100.0, abs=1e-4)
+
+
+# ------------------------------------------------------------- QKD
+
+
+class TestBb84:
+    def test_sift_fraction_and_qber(self):
+        from r4w_tpu.ops.exotic_modems import bb84_sift
+
+        a, b, qber = bb84_sift(None, 20000, error_rate=0.0, seed=0)
+        a, b = np.asarray(a), np.asarray(b)
+        # matching-basis fraction → 1/2
+        assert a.shape[0] == pytest.approx(10000, abs=300)
+        assert qber == 0.0 and np.array_equal(a, b)
+        # channel error rate shows up directly as QBER
+        _, _, q2 = bb84_sift(None, 20000, error_rate=0.1, seed=1)
+        assert q2 == pytest.approx(0.1, abs=0.015)
+
+
+# ----------------------------------------------------------- tides
+
+
+class TestTidalHarmonics:
+    def test_recovers_m2_s2_constituents(self):
+        from r4w_tpu.ops.sensing import tidal_harmonic_fit
+
+        t = np.arange(0, 24.0 * 30, 0.5)  # 30 days hourly-ish
+        m2a, m2p = 1.2, 0.7
+        s2a, s2p = 0.5, -1.1
+        h = (3.0
+             + m2a * np.cos(2 * np.pi / 12.42 * t - m2p)
+             + s2a * np.cos(2 * np.pi / 12.00 * t - s2p))
+        amps, phases, mean = tidal_harmonic_fit(
+            jnp.asarray(h, jnp.float32), jnp.asarray(t, jnp.float32))
+        amps = np.asarray(amps)
+        assert float(mean) == pytest.approx(3.0, abs=5e-3)
+        assert amps[0] == pytest.approx(m2a, abs=0.01)  # M2
+        assert amps[1] == pytest.approx(s2a, abs=0.01)  # S2
+        assert amps[2] < 0.02 and amps[3] < 0.02        # O1/K1 absent
+        # cos(wt − p) = cos(p)cos(wt) + sin(p)sin(wt) → phase = +p
+        assert float(phases[0]) == pytest.approx(m2p, abs=0.02)
+
+
+# ------------------------------------------------------ range-Doppler
+
+
+class TestRangeDopplerMap:
+    def test_target_lands_on_exact_cell(self):
+        from r4w_tpu.ops.radar import range_doppler_map
+
+        n_p, n_r, k_dop, r_bin = 32, 64, 5, 17
+        sl = np.arange(n_p)
+        cube = np.zeros((n_p, n_r), np.complex64)
+        cube[:, r_bin] = np.exp(2j * np.pi * k_dop * sl / n_p)
+        rd = np.asarray(range_doppler_map(jnp.asarray(cube)))
+        d, r = np.unravel_index(np.argmax(rd), rd.shape)
+        assert r == r_bin
+        assert d == n_p // 2 + k_dop  # fftshifted Doppler axis
+        assert rd[d, r] == pytest.approx(float(n_p) ** 2, rel=1e-4)
+
+
+# ------------------------------------------------------------- RAKE
+
+
+class TestRakeReceiver:
+    def test_two_path_search_and_mrc_combine(self):
+        from r4w_tpu.ops.spreading import rake_combine, rake_search
+
+        rng = np.random.default_rng(8)
+        l, n_sym = 32, 20
+        code = (2.0 * rng.integers(0, 2, l) - 1.0).astype(np.float32)
+        sym = (2.0 * rng.integers(0, 2, n_sym) - 1.0).astype(np.float32)
+        sym[0] = 1.0  # known pilot: the search correlates one code
+        # period, so finger gains are estimated on the first symbol
+        tx = (sym[:, None] * code[None, :]).reshape(-1)
+        d2, g1, g2 = 7, 1.0, 0.5j
+        rx = np.zeros(tx.shape[0] + d2, np.complex64)
+        rx[: tx.shape[0]] += g1 * tx
+        rx[d2:] += g2 * tx
+        delays, gains, valid = rake_search(jnp.asarray(rx),
+                                           jnp.asarray(code),
+                                           max_fingers=2, window=16)
+        delays = np.asarray(delays)
+        gains = np.asarray(gains)
+        assert set(delays.tolist()) == {0, d2}
+        # each finger's gain error is bounded by the OTHER path
+        # leaking through the code's aperiodic autocorrelation at the
+        # path separation: |ĝ − g| ≤ |g_other|·|R_code(±7)|/L (+ edge
+        # slop) — an exact property of single-period correlation
+        rho = max(abs(np.dot(code[d2:], code[:-d2])),
+                  abs(np.dot(code[:-d2], code[d2:]))) / l
+        for d, g_true, g_other in ((0, g1, g2), (d2, g2, g1)):
+            g = gains[delays.tolist().index(d)]
+            assert abs(g - g_true) <= rho * abs(g_other) + 0.07
+        soft = np.asarray(rake_combine(jnp.asarray(rx),
+                                       jnp.asarray(code),
+                                       jnp.asarray(delays),
+                                       jnp.asarray(gains)))
+        assert np.array_equal(np.sign(soft.real[:n_sym]), sym)
+        # MRC weighting: combined amplitude ≈ |g1|² + |g2|²
+        assert np.mean(np.abs(soft.real[:n_sym])) == pytest.approx(
+            abs(g1) ** 2 + abs(g2) ** 2, rel=0.15)
+
+
+# --------------------------------------------------------- denoisers
+
+
+class TestWaveletDenoise:
+    def test_noise_suppressed_clean_preserved(self):
+        from r4w_tpu.ops.applied import wavelet_denoise
+
+        rng = np.random.default_rng(9)
+        n = 1024
+        clean = np.concatenate([np.zeros(n // 2), np.ones(n // 2)]
+                               ).astype(np.float32)
+        noisy = clean + 0.25 * rng.standard_normal(n).astype(np.float32)
+        out = np.asarray(wavelet_denoise(jnp.asarray(noisy)))[:n]
+        mse_in = np.mean((noisy - clean) ** 2)
+        mse_out = np.mean((out - clean) ** 2)
+        assert mse_out < 0.5 * mse_in
+        # noiseless input passes (MAD threshold collapses to ~0)
+        pure = np.asarray(wavelet_denoise(jnp.asarray(clean)))[:n]
+        assert np.max(np.abs(pure - clean)) < 1e-3
+
+
+class TestSpectralSubtraction:
+    def test_snr_improves_with_noise_lead_in(self):
+        from r4w_tpu.ops.applied import spectral_subtraction
+
+        rng = np.random.default_rng(10)
+        fs_bins, nfft = 40, 256
+        n = 8192
+        t = np.arange(n)
+        noise = 0.3 * rng.standard_normal(n).astype(np.float32)
+        tone = np.sin(2 * np.pi * fs_bins * t / nfft).astype(np.float32)
+        x = noise.copy()
+        x[nfft * 10:] += tone[nfft * 10:]  # noise-only lead-in
+        y = np.asarray(spectral_subtraction(jnp.asarray(x), nfft=nfft))
+        seg_in = x[4096:8000]
+        seg_out = y[4096:8000]
+
+        def snr(seg):
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+            k = int(round(fs_bins / nfft * len(seg)))
+            sig = np.sum(spec[k - 4: k + 5])
+            return sig / (np.sum(spec) - sig)
+
+        assert snr(seg_out) > 3.0 * snr(seg_in)
+
+
+# -------------------------------------------------------------- CIC
+
+
+class TestCicDecimator:
+    def test_dc_gain_is_rate_to_the_stages(self):
+        """CIC DC gain = R^N (differential delay 1): a unit-step input
+        settles to exactly R^N at the decimated output."""
+        from r4w_tpu.ops.filters import cic_decimator
+
+        rate, stages = 8, 3
+        x = np.ones(512, np.float32)
+        y, _ = cic_decimator(jnp.asarray(x), rate, stages)
+        y = np.asarray(y)
+        assert y[-1] == pytest.approx(float(rate ** stages), rel=1e-6)
