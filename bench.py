@@ -898,8 +898,12 @@ CACHEABLE = {
 _HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_PATH = os.path.join(_HERE, "docs", "bench_records",
                           "acceptance_cache.json")
-PARTIAL_PATH = os.path.join(_HERE, "docs", "bench_records",
-                            "last_run.json")
+# R4W_BENCH_RECORD_PATH lets test/CI runs flush their partial record
+# elsewhere, so exercising the capture flow never clobbers the last
+# real TPU record under docs/bench_records/.
+PARTIAL_PATH = os.environ.get(
+    "R4W_BENCH_RECORD_PATH",
+    os.path.join(_HERE, "docs", "bench_records", "last_run.json"))
 
 
 class _Run:

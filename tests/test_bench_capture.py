@@ -48,6 +48,9 @@ def test_sigterm_mid_run_still_emits_parseable_record():
     env = dict(os.environ)
     env["R4W_BENCH_PLATFORM"] = "cpu"
     env["R4W_BENCH_DEADLINE_S"] = "600"
+    # never clobber the real TPU record with this CPU exercise
+    env["R4W_BENCH_RECORD_PATH"] = os.path.join(
+        ROOT, "docs", "bench_records", "test_run.json")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(ROOT, "bench.py"), "--quick"],
         cwd=ROOT, env=env, stdout=subprocess.PIPE,
