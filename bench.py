@@ -643,11 +643,13 @@ def bench_lora_sweep():
 
 def bench_pcps_gcorr():
     """Big-grid PCPS throughput — the BASELINE.json 'GNSS Mcorr/s' north
-    star (full 50-PRN bank x 41 Doppler x 1023 lags, power-of-two FFT
-    via the two-period trick). Grid shape from the r4 TPU sweep
-    (tools/pcps_sweep.py): 50x41x1024 reached 2.89 Gcorr/s vs 1.56 at
-    the old 8x41x256 — wider PRN banks fill the batch FFT, and longer
-    chained loops amortize dispatch."""
+    star (50-slot code bank x 41 Doppler x 1023 lags, power-of-two FFT
+    via the two-period trick). The bank holds the 32 distinct GPS C/A
+    codes with 18 slots repeated (C/A defines only PRN 1-32) — FLOP
+    count and throughput are unaffected by the repetition. Grid shape
+    from the r4 TPU sweep (tools/pcps_sweep.py): 50x41x1024 reached
+    2.89 Gcorr/s vs 1.56 at the old 8x41x256 — wider PRN banks fill
+    the batch FFT, and longer chained loops amortize dispatch."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -695,7 +697,8 @@ def bench_pcps_gcorr():
     dt = _timed_scalar(run, re, im)
     cells = len(prns) * n_dopp * n * iters
     return {"Gcorr_s": round(cells / dt / 1e9, 2),
-            "grid": f"{len(prns)} PRN x {n_dopp} Doppler x {n} lags"}
+            "grid": (f"{len(prns)}-slot bank (32 distinct C/A) x "
+                     f"{n_dopp} Doppler x {n} lags")}
 
 
 def bench_device_sweep(budget_s: float = 900.0):

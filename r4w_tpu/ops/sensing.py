@@ -188,9 +188,12 @@ def wheel_flat_detect(axle_vib, fs: float, wheel_circumference_m: float,
     ac = jnp.fft.irfft(f * jnp.conj(f), 2 * n)[:n]
     period = wheel_circumference_m / speed_mps
     lag = int(period * fs)
-    if lag >= n:
+    # lag < 2 would make the ±lag/8 window empty (jnp.max on an empty
+    # slice raises); such a period is sub-resolution anyway
+    if lag >= n or lag < 2:
         return jnp.asarray(False), jnp.asarray(0.0, REAL_DTYPE)
-    window = ac[max(1, lag - lag // 8): lag + lag // 8]
+    half = max(1, lag // 8)
+    window = ac[max(1, lag - half): lag + half]
     # Robust z-score of the window peak against the off-period lag
     # distribution (median + MAD). The former max/median normalization
     # flagged pure noise: the median of |ac| is ~0 for white noise, so

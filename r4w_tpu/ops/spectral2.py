@@ -276,12 +276,21 @@ def matrix_complete_svt(observed, mask, rank: int | None = None,
     With `rank` given: hard-impute alternating projection (project to
     the rank-r manifold, re-impose the observed entries) — converges
     to exact recovery when the truth really is rank ≤ r and sampling
-    suffices. Without `rank`: classic soft-threshold SVT on the dual
-    iterate. step defaults to 0.5 — the former 1.2 oscillates and
-    stalls near 40% error on an easy rank-1/60%-observed instance."""
+    suffices. `tau` and `step` apply ONLY to the soft-threshold
+    (rank=None) path and are ignored on the rank-given path (a warning
+    is raised if an explicit tau is supplied alongside rank).
+    Without `rank`: classic soft-threshold SVT on the dual iterate.
+    step defaults to 0.5 — the former 1.2 oscillates and stalls near
+    40% error on an easy rank-1/60%-observed instance."""
     y = jnp.asarray(observed, REAL_DTYPE)
     m = jnp.asarray(mask, REAL_DTYPE)
     if rank is not None:
+        if tau is not None:
+            import warnings
+
+            warnings.warn("matrix_complete_svt: tau/step are ignored "
+                          "when rank is given (hard-impute path)",
+                          stacklevel=2)
         x = y
         for _ in range(n_iter):
             u, s, vt = jnp.linalg.svd(x, full_matrices=False)

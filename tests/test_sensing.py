@@ -92,6 +92,18 @@ class TestVibration:
         det_c, score_c = sn.wheel_flat_detect(clean, fs, circ, speed)
         assert det_f and score_f > score_c
 
+    def test_wheel_flat_sub_resolution_period(self):
+        """ADVICE r4: lag < 2 used to produce an empty window and a
+        jnp.max crash; now returns a clean (False, 0.0)."""
+        rng = np.random.default_rng(5)
+        vib = rng.standard_normal(1000)
+        # period 0.03 m / 30 m/s = 1 ms -> lag 1 at fs=1000
+        det, score = sn.wheel_flat_detect(vib, 1000.0, 0.03, 30.0)
+        assert not bool(det) and float(score) == 0.0
+        # lag >= n branch still clean too
+        det, score = sn.wheel_flat_detect(vib, 1000.0, 3000.0, 1.0)
+        assert not bool(det) and float(score) == 0.0
+
     def test_tip_timing_flags_wobbly_blade(self):
         rpm, nb = 3000.0, 4
         period = 60.0 / rpm / nb

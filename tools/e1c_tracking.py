@@ -307,13 +307,19 @@ def track_channels(rx, fs, prns, waves, acq, periods,
         ref = acq_cn0 if np.isfinite(acq_cn0) and acq_cn0 > 0 \
             else cn0_cfg_dbhz
         sec_ok = bool(sec_dom[i] > 1.3)
-        # lower-bound window only: the check exists to catch channels
-        # whose signal quality COLLAPSED relative to acquisition; an
-        # estimate above acquisition's is evidence of strong lock (the
-        # closed loop squelches in-band noise, biasing the lock-based
-        # estimator HIGH at high C/N0 — measured +7 dB at 42 dB-Hz
-        # with 11 pilot blocks)
-        tracked = bool(sec_ok and lock > 0.5 and cn0 - ref > -6.0)
+        # asymmetric window: the lower bound catches channels whose
+        # signal quality COLLAPSED relative to acquisition; an estimate
+        # moderately above acquisition's is evidence of strong lock
+        # (the closed loop squelches in-band noise, biasing the
+        # lock-based estimator HIGH at high C/N0 — measured +7 dB at
+        # 42 dB-Hz with 11 pilot blocks). The generous +15 dB sanity
+        # cap exists so a broken estimator cannot pass silently.
+        tracked = bool(sec_ok and lock > 0.5
+                       and -6.0 < cn0 - ref < 15.0)
+        if cn0 - ref >= 15.0:
+            print(f"# PRN {int(p)}: cn0 estimate {cn0:.1f} exceeds "
+                  f"acquisition ref {ref:.1f} by >=15 dB — estimator "
+                  f"suspect", file=sys.stderr)
         per.append({"prn": int(p), "detected": bool(
             np.asarray(acq.detected)[i]),
             "lock": round(lock, 3),
