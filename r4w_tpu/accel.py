@@ -1,4 +1,9 @@
-"""Accelerator backend seam (fpga_accel.rs / r4w-fpga re-design).
+"""Accelerator backend seam (fpga_accel.rs / r4w-fpga re-design:
+r4w-fpga/src/error.rs, zynq/mod.rs + zynq/mmap.rs + zynq/uio.rs +
+zynq/dma.rs + zynq/registers.rs, lattice/mod.rs + lattice/spi.rs +
+lattice/ftdi.rs — the /dev/mem, UIO and FTDI/SPI host drivers whose
+offload role the TPU backend fills; register-map semantics are not
+ported, per SURVEY §2.8).
 
 The reference exposes an `FpgaAccelerator` trait (r4w-fpga
 traits.rs:26) with fft/fir/chirp-correlate offload entry points and

@@ -1,7 +1,7 @@
 """Remote agent: TCP JSON control plane + UDP IQ data plane.
 
-Re-design of agent/ (protocol.rs:11 AgentCommand, server.rs:57,
-client.rs:41): newline-delimited JSON commands on TCP :6000 —
+Re-design of agent/ (agent/mod.rs; protocol.rs:11 AgentCommand,
+server.rs:57, client.rs:41): newline-delimited JSON commands on TCP :6000 —
 status/ping/start_tx/stop_tx/start_rx/stop_rx/metrics/list_waveforms/
 shutdown — driving UDP IQ streams (net.py). This is the host control
 plane (SURVEY.md §2.9); chip-to-chip transport stays on ICI collectives.

@@ -2,7 +2,10 @@
 
 SpectrumAnalyzer: windowed PSD with peak table, 3 dB bandwidth,
 occupied bandwidth, ASCII/CSV/JSON rendering; Waterfall: STFT frame
-stack with ASCII rendering (analysis/waterfall + GUI streaming view).
+stack with ASCII rendering (analysis/waterfall.rs + GUI streaming view).
+Peak tables re-design analysis/peaks.rs; the summary statistics
+(mean/RMS/crest/percentiles) re-design analysis/statistics.rs; the
+family entry point is analysis/mod.rs.
 """
 
 from __future__ import annotations

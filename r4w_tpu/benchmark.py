@@ -1,7 +1,7 @@
 """Benchmark harness (benchmark/ re-design): UDP IQ receiver + per-
 waveform runner + throughput/latency metrics + report.
 
-Mirrors benchmark/runner.rs:52 (WaveformRunner), receiver.rs:79
+Mirrors benchmark/mod.rs: runner.rs:52 (WaveformRunner), receiver.rs:79
 (BenchmarkReceiver), metrics.rs:14 (BenchmarkMetrics), report.rs.
 """
 

@@ -1,6 +1,7 @@
 """Channel models as pure, composable JAX functions.
 
-Re-design of crates/r4w-sim/src/channel.rs: the reference's stateful
+Re-design of crates/r4w-sim/src/channel.rs (and the core-side
+channel_model.rs block wrapper): the reference's stateful
 `Channel::apply` (channel.rs:618-646) with an internal RNG becomes a set
 of pure functions taking explicit `jax.random.PRNGKey`s. That makes every
 model jit/vmap-composable — thousands of Monte-Carlo fading/noise lanes

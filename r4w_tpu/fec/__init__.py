@@ -1,6 +1,6 @@
-"""FEC stack (SURVEY.md §7 step 5): convolutional/Viterbi, CRC, block
-codes (repetition/Golay), Reed-Solomon, BCH, LDPC, turbo, polar,
-interleavers, puncturing."""
+"""FEC stack (SURVEY.md §7 step 5; family root fec/mod.rs):
+convolutional/Viterbi, CRC, block codes (repetition/Golay),
+Reed-Solomon, BCH, LDPC, turbo, polar, interleavers, puncturing."""
 
 from r4w_tpu.fec import dvb_s2x, fountain
 from r4w_tpu.fec.convolutional import (

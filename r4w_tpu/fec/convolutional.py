@@ -1,6 +1,7 @@
 """Convolutional coding: encoder, Viterbi decoder, puncturing.
 
-Re-design of convolutional_encoder.rs / viterbi_decoder.rs (673 LoC) /
+Re-design of convolutional_encoder.rs / fec/convolutional.rs /
+viterbi_decoder.rs (673 LoC) /
 puncture.rs: the encoder is a windowed parity (one gather + popcount),
 and the Viterbi decoder is a `lax.scan` over time whose inner
 add-compare-select is fully vectorized across the 2^(K-1) states (and

@@ -1,6 +1,6 @@
-"""Interleavers: block, convolutional, patterned (convolutional_
-interleaver.rs, patterned_interleaver.rs re-designs) — pure index
-permutations."""
+"""Interleavers: block, convolutional, patterned (interleaved.rs,
+convolutional_interleaver.rs, patterned_interleaver.rs re-designs) —
+pure index permutations."""
 
 from __future__ import annotations
 

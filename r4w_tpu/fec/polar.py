@@ -1,6 +1,6 @@
 """Polar code: Arikan kernel encode + successive-cancellation decode.
 
-Re-design of polar_code.rs (441 LoC): encoding is log2(N) butterfly
+Re-design of polar_code.rs (441 LoC) / fec/polar.rs: encoding is log2(N) butterfly
 stages of XORs (fully vectorized); frozen-bit selection uses the
 Bhattacharyya heuristic. The SC decoder is the classic recursive
 formulation in numpy (bit-by-bit sequential by nature — host control

@@ -1,8 +1,10 @@
 """Orbits + atmosphere: Keplerian propagation, Klobuchar ionosphere,
 Saastamoinen troposphere, antenna patterns.
 
-Re-design of waveform/gnss/environment/{orbit,ionosphere-in-orbit.rs,
-multipath,antenna}.rs (SURVEY.md §2.4 Environment row).
+Re-design of waveform/gnss/environment/mod.rs: environment/orbit.rs,
+environment/ionosphere.rs (Klobuchar), environment/troposphere.rs
+(Saastamoinen), environment/multipath.rs, environment/antenna.rs
+(SURVEY.md §2.4 Environment row).
 """
 
 from __future__ import annotations

@@ -1,3 +1,5 @@
+"""IQ file I/O (io/mod.rs family root: io/format.rs, SigMF)."""
+
 from r4w_tpu.io import iqformat, sigmf
 from r4w_tpu.io.iqformat import (
     bytes_per_sample,

@@ -1,7 +1,8 @@
 """Pallas TPU kernels for the hot compute paths.
 
-Three kernels re-expressing reference hot loops (SURVEY.md §2.8) the
-TPU way:
+Kernels re-expressing reference hot loops (SURVEY.md §2.8 — the
+rustfft FftProcessor, fir paths, and the nco.rs phase-accumulator
+oscillator) the TPU way:
 
 * `dechirp_power_mxu` — LoRa dechirp + spectrum power as ONE fused
   kernel: the per-symbol downchirp multiply feeds a DFT *matmul* on the

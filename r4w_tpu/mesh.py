@@ -1,9 +1,13 @@
 """LoRa mesh networking (mesh/ re-design, ~8.5k LoC in the reference).
 
 Meshtastic-style mesh: packet header with hop budget, flood + next-hop
-routing, neighbor tables with SNR tracking, store-and-forward for
-offline nodes, traceroute, and an event-driven multi-node simulation
-(mesh/{traits,routing,packet,store_forward,simulation}.rs).
+routing (mesh/routing.rs), CSMA/CA medium access (mesh/mac.rs),
+neighbor tables with SNR tracking (mesh/neighbor.rs),
+store-and-forward for offline nodes (mesh/store_forward.rs),
+traceroute (mesh/traceroute.rs), node telemetry (mesh/telemetry.rs),
+and an event-driven multi-node simulation (mesh/simulation.rs;
+family root mesh/mod.rs, traits in mesh/traits.rs, packets in
+mesh/packet.rs).
 
 The PHY layer is pluggable — `MeshSimulation` moves packets directly
 with configurable link SNR/loss; pair with the LoRa modem for full

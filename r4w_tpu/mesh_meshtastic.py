@@ -1,7 +1,8 @@
 """Meshtastic wire-format interop: 16-byte radio header, AES-256-CTR
 channel crypto, and next-hop routing.
 
-Re-design of mesh/{wire/header,crypto,routing,meshtastic}.rs (the depth
+Re-design of mesh/wire/mod.rs + wire/header.rs, mesh/crypto.rs,
+mesh/routing.rs, mesh/meshtastic.rs (the depth
 VERDICT r1 item 8 flags as missing from mesh.py's flood-only core):
 
 * **Wire header** (wire/header.rs:1-28): 16 bytes, little-endian —

@@ -1,7 +1,7 @@
 """Meshtastic protobuf application layer (`Data` envelope + payloads).
 
-Re-design of mesh/proto/{mod,messages,portnum}.rs (the `meshtastic-
-interop` feature): the decrypted payload inside a Meshtastic radio
+Re-design of mesh/proto/mod.rs + proto/messages.rs + proto/portnum.rs
+(the `meshtastic-interop` feature): the decrypted payload inside a Meshtastic radio
 frame is a protobuf `Data` message — portnum + payload — whose payload
 is itself a protobuf `Position` / `User` / `Telemetry` (or UTF-8 text)
 depending on the port. VERDICT r2 missing #5: without this layer,

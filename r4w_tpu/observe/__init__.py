@@ -1,3 +1,5 @@
+"""Observability: logs, metrics, capture (observe/mod.rs family root)."""
+
 from r4w_tpu.observe.capture import CaptureConfig, CaptureManager, CaptureState
 from r4w_tpu.observe.logging import get_logger, init_logging
 from r4w_tpu.observe.metrics import (

@@ -1,6 +1,7 @@
 """Adaptive & estimation filters (wiener_filter.rs, savitzky_golay.rs,
 lattice_filter.rs, comb_filter.rs, adaptive_notch.rs, volterra_filter.rs,
-lms_filter.rs, adaptive_filter_rls.rs, fft_filter.rs re-designs).
+lms_filter.rs, adaptive_filter_rls.rs, filters/adaptive.rs,
+fft_filter.rs re-designs).
 
 Batch-first: block algorithms (Wiener, Savitzky-Golay, comb-FIR,
 overlap-save, Volterra memory polynomial) are fully vectorized; sample

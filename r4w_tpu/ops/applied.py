@@ -3,7 +3,7 @@ source separation, compressive sensing, modulation classification.
 
 Re-designs of the reference's applied long-tail blocks
 (wavelet_denoiser.rs, spectral_subtraction_denoiser.rs,
-cepstral_analysis.rs, speech_codec_lpc.rs,
+modulation_classifier.rs, cepstral_analysis.rs, speech_codec_lpc.rs,
 vibration_bearing_fault_detector.rs, trilateration_solver.rs,
 blind_source_separation.rs, compressive_sensing.rs,
 automatic_modulation_classifier.rs). Batched linear algebra

@@ -2,6 +2,7 @@
 zero-crossing/Teager-Kaiser/spectral-kurtosis/spectrum-sensing/CUSUM.
 
 Re-designs of the reference's flat detector blocks (signal_detector.rs,
+energy_detector.rs, spectrum_sensor.rs,
 burst_detector.rs, silence_detector.rs, voice_activity_detector.rs,
 squelch.rs, sync_word_detector.rs, zero_crossing_detector.rs,
 teager_kaiser_energy.rs, spectral_kurtosis_detector.rs,

@@ -1,6 +1,7 @@
 """Equalizers: LMS, RLS, CMA, DFE, MMSE/ZF block equalizers.
 
-Re-designs of cma_equalizer.rs, lms_filter.rs, adaptive_filter_rls.rs,
+Re-designs of equalizer.rs (the generic block),
+cma_equalizer.rs, lms_filter.rs, adaptive_filter_rls.rs,
 decision_feedback_equalizer.rs, mmse_equalizer.rs,
 frequency_domain_equalizer.rs: adaptive loops are `lax.scan`
 recurrences over symbols (vectorized across taps and batch); block

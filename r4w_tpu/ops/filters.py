@@ -1,4 +1,6 @@
-"""Filter ops (crates/r4w-core/src/filters/* + flat filter blocks, re-designed).
+"""Filter ops (crates/r4w-core/src/filters/mod.rs family — fir.rs,
+iir.rs, filters/cic.rs, filters/windows.rs, remez.rs, pulse_shaping.rs —
+plus the flat filter blocks, re-designed).
 
 Every filter is a pure block function `f(params, state, x) -> (y, state)`
 (SURVEY.md §7 design stance): streaming parity comes from carrying the

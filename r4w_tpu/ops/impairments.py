@@ -1,5 +1,7 @@
-"""Hardware impairment models (hw_impairments.rs, power_amplifier_model.rs,
-iq_imbalance*.rs, digital_predistortion.rs re-designs).
+"""Hardware impairment models (hw_impairments.rs, noise.rs,
+power_amplifier_model.rs,
+iq_imbalance.rs, iq_imbalance_corrector.rs, iq_imbalance_estimator.rs,
+digital_predistortion.rs re-designs).
 
 Pure functions over IQ blocks with explicit PRNG keys for stochastic
 impairments.

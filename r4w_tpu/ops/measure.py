@@ -3,7 +3,8 @@
 Re-designs of evm_calculator.rs, snr_estimator.rs, ber_tool.rs
 (BerTester:44, confidence intervals :164, PerTester:220), welch_psd.rs,
 periodogram_psd.rs, stft.rs, goertzel.rs, channel_capacity.rs,
-eye_diagram.rs.
+eye_diagram.rs, and the scalar stream meters rms.rs, moving_rms.rs,
+histogram.rs.
 """
 
 from __future__ import annotations

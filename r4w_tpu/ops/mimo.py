@@ -1,6 +1,6 @@
 """Diversity / MIMO / link-adaptation blocks.
 
-Re-designs of alamouti_codec.rs, antenna_diversity_combiner.rs,
+Re-designs of mimo.rs, alamouti_codec.rs, antenna_diversity_combiner.rs,
 successive_interference_canceller.rs, waterfilling.rs,
 adaptive_modcod.rs, ultra_wideband_ranging.rs: batched linear algebra —
 Alamouti combining is one einsum over symbol pairs, SIC is decode→

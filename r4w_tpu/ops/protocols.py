@@ -1,6 +1,6 @@
 """Protocol codecs: AX.25/HDLC, APRS, SLIP, AIS, ACARS, CTCSS.
 
-Re-designs of the reference's flat protocol blocks (ax25.rs,
+Re-designs of the reference's flat protocol blocks (ax25.rs, hdlc.rs,
 aprs_decoder.rs, slip_decoder.rs, ais_encoder.rs, ais_decoder.rs,
 acars_decoder.rs, ctcss_squelch.rs): byte/bit-level framing runs on the
 host (numpy — these are control-plane rates), while the signal-facing

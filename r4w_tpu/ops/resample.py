@@ -2,7 +2,9 @@
 
 Re-design of filters/polyphase.rs (PolyphaseDecimator:52,
 PolyphaseInterpolator:281, Resampler:471, HalfbandFilter:657),
-arbitrary_resampler.rs, pfb_channelizer.rs: everything is expressed as
+filters/fractional_resampler.rs, arbitrary_resampler.rs,
+pfb_channelizer.rs, pfb_synthesizer.rs (+ the flat synthesizer.rs
+bank): everything is expressed as
 reshapes + batched convs/FFTs so XLA can tile it; no per-sample loops.
 """
 

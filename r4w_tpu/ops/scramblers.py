@@ -1,6 +1,6 @@
 """Scramblers, whiteners & generic-FEC plumbing fills.
 
-Re-designs of additive_scrambler.rs, pn_scrambler.rs,
+Re-designs of scrambler.rs, additive_scrambler.rs, pn_scrambler.rs,
 convolutional_interleaver.rs, linear_congruential_whitener.rs,
 glfsr_source.rs, gold_code_generator.rs,
 cyclic_redundancy_check_parallel.rs, fec_generic_api.rs,

@@ -1,6 +1,8 @@
 """Spreading-code generators: LFSR/m-sequence, Gold, Barker, Zadoff-Chu.
 
-Re-design of crates/r4w-core/src/spreading/{lfsr,gold,barker}.rs and
+Re-design of crates/r4w-core/src/spreading/lfsr.rs, spreading/gold.rs,
+spreading/barker.rs (family root spreading/mod.rs), the flat
+barker_code.rs / gold_code_generator.rs blocks, and
 zadoff_chu_generator.rs: codes are precomputed on the host as numpy
 arrays (they're tiny and static) and consumed on-device as constants —
 the streaming `next_chip` iterators of the reference collapse into whole

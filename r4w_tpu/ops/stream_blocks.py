@@ -3,7 +3,8 @@
 Re-designs of the reference's flat utility blocks (probe.rs,
 probe_avg_mag_sqrd.rs, probe_power.rs, probe_rate.rs, probe_density.rs,
 peak_detector.rs, peak_hold.rs, plateau_detector.rs, sample_and_hold.rs,
-sample_counter.rs, integrate_and_dump.rs, keep_m_in_n.rs,
+sample_counter.rs, integrate_and_dump.rs, integrate.rs, repeat.rs,
+interleave.rs, permute.rs, keep_m_in_n.rs,
 moving_avg_decim.rs, stretch.rs, mute.rs, power_squelch.rs,
 envelope_detector.rs, random_source.rs, signal_source.rs,
 signal_generator.rs, null_sink_source.rs, vector_sink.rs,

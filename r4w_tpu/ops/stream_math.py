@@ -2,7 +2,8 @@
 
 Re-designs of the reference's flat conversion/arithmetic blocks
 (complex_to_mag_phase.rs, complex_to_arg.rs, complex_normalize.rs,
-conjugate.rs, abs_blk.rs, add_blk.rs, arithmetic.rs, argmax.rs,
+conjugate.rs, abs_blk.rs, add_blk.rs, multiply.rs, rail.rs,
+sigma_delta.rs, arithmetic.rs, argmax.rs,
 bin_statistics.rs, threshold.rs, signal_clipper.rs, binary_slicer.rs,
 char_to_float.rs, type_conversions.rs, bit_packing.rs,
 unpacked_to_packed.rs, complex_to_interleaved.rs, stream_arithmetic.rs,

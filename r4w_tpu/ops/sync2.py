@@ -1,7 +1,7 @@
 """Sync/timing/control fills — second tier of the reference's
 synchronization tail.
 
-Re-designs of afc.rs, carrier_recovery.rs, clock_recovery_mm.rs,
+Re-designs of afc.rs, correlator.rs, carrier_recovery.rs, clock_recovery_mm.rs,
 symbol_sync.rs, timing_error_detector.rs, timing_phase_detector_hybrid.rs,
 blind_timing_recovery.rs, feedforward_timing_estimator.rs,
 delay_lock_loop.rs, freq_lock_detector.rs, pll_carrier_tracking.rs,

@@ -1,7 +1,7 @@
 """Block registry + plugin system.
 
 Re-designs of block_gateway.rs (BlockRegistry/BlockCategory — runtime
-block discovery for pipeline builders) and plugin/ (C-ABI dynamic
+block discovery for pipeline builders) and plugin/mod.rs (C-ABI dynamic
 waveform plugins → Python module/entry-point plugins; the dynamic-
 loading role maps to importlib here, manager.rs:148).
 """

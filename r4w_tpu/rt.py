@@ -1,6 +1,6 @@
-"""Host-side real-time primitives (crates/r4w-core/src/rt/ re-design,
-3k LoC: ringbuffer.rs, pool.rs, thread.rs, latency.rs, stats.rs,
-alloc_audit.rs).
+"""Host-side real-time primitives (crates/r4w-core/src/rt/mod.rs
+re-design, 3k LoC: ringbuffer.rs, pool.rs, thread.rs, latency.rs,
+stats.rs, alloc_audit.rs).
 
 On TPU the hot path is batch compute, so these primitives serve the
 host IO side: feeding device buffers from sockets/files, timing the

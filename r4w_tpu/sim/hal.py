@@ -1,6 +1,6 @@
-"""Hardware abstraction layer (r4w-sim hal/ re-design: mod.rs:333
-DriverRegistry, uhd.rs, soapysdr*.rs, rtlsdr*.rs, attenuator.rs,
-sigmf.rs).
+"""Hardware abstraction layer (r4w-sim hal/ re-design: hal/mod.rs:333
+DriverRegistry, hal/uhd.rs, hal/soapysdr.rs + hal/soapysdr_ffi.rs,
+hal/rtlsdr.rs + hal/rtlsdr_ffi.rs, hal/attenuator.rs, hal/sigmf.rs).
 
 Real SDR hardware is absent in a TPU deployment, so the UHD/Soapy/RTL
 drivers here are *honest stubs*: they probe for their native libraries,

@@ -1,7 +1,8 @@
 """General multi-emitter RF scenario engine.
 
-Re-design of crates/r4w-sim/src/scenario/{engine,emitter,trajectory,
-config}.rs (614 LoC): arbitrary signal sources (waveform transmitters,
+Re-design of crates/r4w-sim/src/scenario/mod.rs — scenario/engine.rs,
+scenario/emitter.rs, scenario/trajectory.rs, scenario/config.rs
+(614 LoC): arbitrary signal sources (waveform transmitters,
 tones, jammers) placed in WGS-84 geometry around a moving receiver;
 the engine computes per-emitter range/Doppler/FSPL, applies continuous
 Doppler rotation with carried carrier phase, sums the composite, and

@@ -1,4 +1,6 @@
-"""FHSS waveform (waveform/fhss.rs re-design).
+"""FHSS waveform (waveform/fhss.rs re-design; the anti-jam variant
+— adaptive channel avoidance — re-designs fhss_antijam.rs and the
+flat anti_jam.rs excision block).
 
 The hop schedule is a precomputed LFSR-driven channel sequence; the whole
 burst is synthesized as one (n_hops, samples_per_hop) array: per-sample

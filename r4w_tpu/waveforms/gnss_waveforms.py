@@ -1,5 +1,6 @@
 """GNSS waveforms behind the generic Waveform API
-(waveform/gnss/{gps_l1ca,gps_l5,glonass_l1of,galileo_e1}.rs re-designs).
+(re-designs of waveform/gnss/mod.rs: gnss/gps_l1ca.rs, gnss/gps_l5.rs,
+gnss/glonass_l1of.rs, gnss/galileo_e1.rs).
 
 Each data bit spans one code period (BPSK data × spreading code; CBOC
 subcarrier for Galileo E1). Demodulation is a batched prompt correlation

@@ -1,7 +1,8 @@
 """Link-16 / JTIDS tactical data link — TDMA slot structure, CCSK,
 RS(31,15), MSK double pulses.
 
-Re-design of crates/r4w-core/src/waveform/link16/ (~2.2k LoC). The
+Re-design of crates/r4w-core/src/waveform/link16/mod.rs (~2.2k LoC
+family incl. link16/builder.rs). The
 reference is a trait framework whose simulator stubs duplicate bytes as
 "FEC" (link16/simulator.rs:252-276); this implementation carries the
 real unclassified PHY/link maths:

@@ -1,6 +1,9 @@
 """Military frequency-hopping framework waveforms: SINCGARS, HAVEQUICK.
 
-Re-design of waveform/{sincgars,havequick}/ (trait-split pattern,
+Re-design of waveform/sincgars/mod.rs (types.rs, traits.rs,
+framework.rs, simulator.rs, sincgars/builder.rs, sincgars/audio.rs,
+data.rs) and waveform/havequick/mod.rs (havequick/builder.rs)
+(trait-split pattern,
 README.md:84): the classified pieces — TRANSEC keystream, operational
 hop algorithms, crypto — live behind a provider protocol with ONLY
 simulator implementations here (seeded PRNG hop patterns, clearly
