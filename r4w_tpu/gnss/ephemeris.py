@@ -249,3 +249,72 @@ def load_ephemeris_file(path: str):
     if "IONEX VERSION" in text[:200]:
         return "ionex", parse_ionex(text)
     raise ValueError(f"unrecognized ephemeris format: {path}")
+
+
+def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
+                                    t_eval: float, prn: int = 1,
+                                    af0: float = 0.0, af1: float = 0.0,
+                                    af2: float = 0.0
+                                    ) -> BroadcastEphemeris:
+    """Synthesize a circular-orbit broadcast ephemeris whose IS-GPS
+    `position(t_eval)` equals pos_ecef exactly, with the along-track
+    velocity PERPENDICULAR to the receiver line of sight.
+
+    Scenario-synthesis seam for signal-only PVT gates
+    (tools/gps_pvt_fix.py): a static-geometry IQ scenario needs nav
+    bits whose decoded ephemeris reproduces the configured satellite
+    position at whatever transmit time the receiver computes. Making
+    v ⟂ LOS at t_eval kills the first-order range sensitivity to the
+    receiver's exact evaluation epoch (per-SV transit-time spread):
+    a ±50 ms epoch error moves the predicted range by ~|vδt|²/2r ≈
+    millimeters instead of v·δt ≈ hundreds of meters.
+
+    t_oe is snapped to the field's 2^4 s scale so encode/decode
+    through the SF2/SF3 bit layout is exact (nav_message.SF2_FIELDS).
+    """
+    p = np.asarray(pos_ecef, np.float64)
+    rcv = np.asarray(receiver_ecef, np.float64)
+    r = float(np.linalg.norm(p))
+    p_hat = p / r
+    los = p - rcv
+    l_hat = los / np.linalg.norm(los)
+    # The range rate seen by an ECEF-fixed receiver is (v_in − Ωe ẑ×p)·L̂
+    # (the ephemeris algorithm rotates the orbit into ECEF, so the
+    # effective ECEF velocity carries the −Ωe ẑ×p term). Pick the
+    # inertial tangential direction, v_in = s(cosφ ê1 + sinφ ê2) ⟂ p̂
+    # with s = n·r, that zeroes it: s(a1 cosφ + a2 sinφ) = w where
+    # w = Ωe (ẑ×p)·L̂.
+    n_mot0 = math.sqrt(MU / r ** 3)
+    s = n_mot0 * r
+    e1 = np.cross(p_hat, [0.0, 0.0, 1.0])
+    if np.linalg.norm(e1) < 1e-9:
+        e1 = np.cross(p_hat, [1.0, 0.0, 0.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(p_hat, e1)
+    a1, a2 = float(e1 @ l_hat), float(e2 @ l_hat)
+    w = OMEGA_E * float(np.cross([0.0, 0.0, 1.0], p) @ l_hat)
+    amp = s * math.hypot(a1, a2)
+    phi0 = math.atan2(a2, a1)
+    if amp > 1e-9 and abs(w) <= amp:
+        phi = phi0 + math.acos(w / amp)
+    else:  # degenerate geometry: best-effort minimum |v_ecef·L̂|
+        phi = phi0 + math.pi / 2.0
+    v_hat = math.cos(phi) * e1 + math.sin(phi) * e2
+    h_hat = np.cross(p_hat, v_hat)  # orbit normal (motion along +v_hat)
+    i0 = math.acos(float(np.clip(h_hat[2], -1.0, 1.0)))
+    node = np.cross([0.0, 0.0, 1.0], h_hat)
+    nn = np.linalg.norm(node)
+    node = node / nn if nn > 1e-12 else np.array([1.0, 0.0, 0.0])
+    # argument of latitude of p measured from the ascending node
+    u = math.atan2(float(np.dot(np.cross(node, p_hat), h_hat)),
+                   float(np.dot(node, p_hat)))
+    lam_node = math.atan2(node[1], node[0])  # ECEF longitude at t_eval
+    toe = float(np.clip(round(t_eval / 16.0) * 16.0, 0.0,
+                        604800.0 - 16.0))
+    n_mot = math.sqrt(MU / r ** 3)
+    m0 = math.remainder(u - n_mot * (t_eval - toe), 2 * math.pi)
+    omega0 = math.remainder(lam_node + OMEGA_E * t_eval, 2 * math.pi)
+    return BroadcastEphemeris(
+        prn=prn, toe=toe, sqrt_a=math.sqrt(r), e=0.0, i0=i0,
+        omega0=omega0, omega=0.0, m0=m0, delta_n=0.0, idot=0.0,
+        omega_dot=0.0, af0=af0, af1=af1, af2=af2)
