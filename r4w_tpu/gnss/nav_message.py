@@ -264,15 +264,18 @@ def subframe_start_sow(tow_count: int) -> float:
 
 
 def build_ephemeris_frames(eph, week: int, tow_count_sf1: int,
-                           iode: int = 1) -> np.ndarray:
+                           iode: int = 1, d29: int = 0, d30: int = 0
+                           ) -> np.ndarray:
     """SF1+SF2+SF3 (900 bits, 0/1) from a BroadcastEphemeris-like
     object (gnss.ephemeris.BroadcastEphemeris fields; angles in
-    radians, converted to IS-GPS semicircles here)."""
+    radians, converted to IS-GPS semicircles here). d29/d30 seed the
+    parity chain from a preceding subframe's last word, so callers can
+    splice these three after e.g. an almanac filler subframe."""
     sf1 = encode_subframe_fields(1, {
         "week": week % 1024, "iodc": iode, "tgd": 0.0,
         "toc": getattr(eph, "toc", eph.toe),
         "af0": eph.af0, "af1": eph.af1, "af2": eph.af2,
-    }, tow_count_sf1)
+    }, tow_count_sf1, d29=d29, d30=d30)
     sf2 = encode_subframe_fields(2, {
         "iode": iode, "crs": eph.crs, "delta_n": eph.delta_n / SEMI,
         "m0": eph.m0 / SEMI, "cuc": eph.cuc, "e": eph.e,

@@ -625,6 +625,25 @@ class GnssScenario:
             remaining -= n
         return np.concatenate(parts)
 
+    def generate_device(self, duration_s: float | None = None,
+                        block_size: int = 1 << 22) -> jax.Array:
+        """Like generate() but the IQ STAYS on device (one jnp
+        concatenate at the end). On a tunneled TPU (axon) the
+        host round-trip dominates end-to-end receivers — measured
+        ~700 s for a 24 s 6-SV capture via generate() vs seconds
+        here — so device-resident pipelines (tools/gps_pvt_fix.py)
+        must use this path."""
+        dur = (duration_s if duration_s is not None
+               else self.config.duration_s)
+        total = int(dur * self.config.sample_rate)
+        parts = []
+        remaining = total
+        while remaining > 0:
+            n = min(block_size, remaining)
+            parts.append(self.generate_block(n))
+            remaining -= n
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
 
 # --------------------------------------------------------------------------
 # YAML config (scenario_config.rs:18-551) — compatible with the reference's

@@ -373,46 +373,12 @@ _KNOWN: dict[str, tuple[str, str]] = {
     "tcp_source": ("host", "host:io — network source (binds a socket)"),
     "udp_sink": ("host", "host:io — network sink (sends datagrams)"),
     "udp_source": ("host", "host:io — network source (binds a socket)"),
-    # variable-count event/feature extraction (device scan cores feed
-    # a host extraction of data-dependent length)
-    "acoustic_emission_sensor": (
-        "host", "host:dynamic-shape — variable hit list (deadtime scan "
-                "runs on device)"),
-    "vibration_order_tracker": (
-        "host", "host:dynamic-shape — resample grid length = shaft "
-                "revolutions (data-dependent)"),
-    "lightning_stroke_analyzer": (
-        "host", "host:dynamic-shape — variable stroke list (refractory "
-                "scan runs on device)"),
-    "oscilloscope_trigger": (
-        "host", "host:dynamic-shape — variable trigger-capture count "
-                "(refractory scan runs on device)"),
-    "spurious_emission_scanner": (
-        "host", "host:dynamic-shape — variable spur list"),
-    "otdr_pulse_analyzer": (
-        "host", "host:dynamic-shape — variable fiber-event list"),
-    "pulse_descriptor_extractor": (
-        "host", "host:dynamic-shape — variable PDW count"),
-    "multipath_profile_extractor": (
-        "host", "host:dynamic-shape — variable tap list"),
-    "propagation_mode_sounder": (
-        "host", "host:dynamic-shape — variable mode list"),
-    "satellite_link_predictor": (
-        "host", "host:dynamic-shape — variable visibility windows "
-                "(propagation itself is jit: satellite_tle_propagator)"),
-    "ecg_qrs_detector": (
-        "host", "host:dynamic-shape — variable R-peak list (integrator "
-                "+ refractory scan run on device)"),
-    "emg_decomposition": (
-        "host", "host:dynamic-shape — variable firing lists per unit"),
-    "pocsag_decoder": (
-        "host", "host:dynamic-shape — variable message list"),
-    "sync_word_detector": (
-        "host", "host:dynamic-shape — variable match-offset list "
-                "(correlation core is jit: sync_word_correlate)"),
-    "csma_ca_mac": (
-        "host", "host:dynamic-shape — contention walk terminates on "
-                "data (MAC simulation)"),
+    # (r5, VERDICT r4 #6: the 15 former host:dynamic-shape entries —
+    # hit/stroke/trigger/PDW/tap/mode/pass/R-peak/firing/message/
+    # match-offset extractors, the order tracker's shaft-revolution
+    # grid, and the CSMA contention walk — were converted to
+    # fixed-capacity masked outputs (ops.events.masked_indices /
+    # lax.top_k / per-slot lax.scan) and are now probed as jit.)
     # label / protocol-object outputs
     "interference_classifier": (
         "host", "host:object — returns a classification label"),
@@ -495,9 +461,13 @@ def split_kwargs(kwargs):
 
 
 def _has_array(tree) -> bool:
-    return any(
-        hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1
-        for leaf in jax.tree_util.tree_leaves(tree))
+    # anything with a .shape — including shape-() device scalars: a
+    # function whose eval_shape-trace yields a ShapeDtypeStruct
+    # composes under jit regardless of rank (csma_ca_mac returns two
+    # traced scalars). Python ints/floats/strings have no .shape and
+    # still classify as host:object.
+    return any(hasattr(leaf, "shape")
+               for leaf in jax.tree_util.tree_leaves(tree))
 
 
 def synthesize(fn, max_tries: int = 192, overrides=None):

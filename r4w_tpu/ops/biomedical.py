@@ -20,10 +20,14 @@ from r4w_tpu.ops import filters as _filters
 # ------------------------------------------------------------- ECG
 
 
-def qrs_detect(ecg, fs: float):
+def qrs_detect(ecg, fs: float, max_peaks: int = 64):
     """Pan–Tompkins QRS detection (ecg_qrs_detector.rs): bandpass
     5–15 Hz → derivative → square → moving-window integrate →
-    adaptive-threshold peaks. Returns R-peak sample indices."""
+    adaptive-threshold peaks. jit-safe fixed-capacity form (VERDICT
+    r4 #6): returns `(r_peaks[K] int32, valid[K])` for
+    K = max_peaks, in time order."""
+    from r4w_tpu.ops.events import masked_indices, refractory_trigger
+
     x = jnp.asarray(ecg, REAL_DTYPE)
     bp = _filters.design_bandpass(int(fs // 2) | 1, 5.0, 15.0, fs)
     f = _filters.fir_apply(jnp.asarray(bp, REAL_DTYPE), x)
@@ -32,21 +36,19 @@ def qrs_detect(ecg, fs: float):
     w = int(0.15 * fs)
     kern = jnp.ones((w,), REAL_DTYPE) / w
     integ = jnp.convolve(sq, kern, mode="same")
-    from r4w_tpu.ops.events import refractory_trigger
-
-    arr = np.asarray(integ)
-    thr = 0.4 * np.percentile(arr, 99)
+    thr = 0.4 * jnp.quantile(integ, 0.99)
     refractory = max(1, int(0.25 * fs))
-    # refractory state machine on device (lax.scan); window argmax is
-    # one vectorized gather on host (was: per-sample Python loop)
-    fires = np.nonzero(np.asarray(refractory_trigger(
-        jnp.asarray(arr > thr), refractory)))[0]
-    pad = np.concatenate([arr, np.full(refractory, -np.inf)])
-    peaks = (fires + pad[fires[:, None]
-                         + np.arange(refractory)[None, :]].argmax(axis=1))
+    fires, valid = masked_indices(
+        refractory_trigger(integ > thr, refractory), max_peaks)
+    pad = jnp.concatenate([integ,
+                           jnp.full(refractory + 1, -jnp.inf,
+                                    REAL_DTYPE)])
+    peaks = fires + jnp.argmax(
+        pad[fires[:, None] + jnp.arange(refractory)[None, :]], axis=1)
     # group delay of the bandpass
     delay = (len(np.asarray(bp)) - 1) // 2 + w // 2
-    return [max(0, int(p) - delay) for p in peaks]
+    peaks = jnp.maximum(peaks - delay, 0)
+    return jnp.where(valid, peaks, 0).astype(jnp.int32), valid
 
 
 def heart_rate_series(r_peaks, fs: float):
@@ -133,38 +135,46 @@ def emg_envelope(emg, fs: float, cutoff_hz: float = 6.0):
 
 
 def emg_decompose_mu(emg, fs: float, n_units: int = 2,
-                     threshold_sigma: float = 4.0):
+                     threshold_sigma: float = 4.0,
+                     max_peaks: int = 128):
     """Template-free motor-unit firing extraction
     (electromyography_decomposition.rs): peak detection + 2-means
-    amplitude clustering into units. Returns per-unit firing indices."""
-    from r4w_tpu.ops.events import refractory_trigger
+    amplitude clustering into units. jit-safe fixed-capacity form
+    (VERDICT r4 #6): returns `(firings[K] int32, unit[K] int32,
+    valid[K])` — firing sample indices in time order, each labeled
+    with its motor-unit cluster (units ordered by ascending centroid
+    amplitude; unit = -1 on masked slots). K = max_peaks."""
+    from r4w_tpu.ops.events import masked_indices, refractory_trigger
 
-    x = np.asarray(emg, float)
-    sd = np.median(np.abs(x)) * 1.4826
+    x = jnp.asarray(emg, REAL_DTYPE)
+    a = jnp.abs(x)
+    n = a.shape[0]
+    sd = jnp.median(a) * 1.4826
     refractory = max(1, int(0.005 * fs))
-    # device scan + vectorized window argmax (see qrs_detect)
-    fires = np.nonzero(np.asarray(refractory_trigger(
-        jnp.asarray(np.abs(x) > threshold_sigma * sd), refractory)))[0]
-    pad = np.concatenate([np.abs(x), np.full(refractory, -np.inf)])
-    ks = (fires + pad[fires[:, None]
-                      + np.arange(refractory)[None, :]].argmax(axis=1))
-    peaks = [int(k) for k in ks]
-    amps = [float(abs(x[k])) for k in ks]
-    if not peaks:
-        return [[] for _ in range(n_units)]
-    amps = np.asarray(amps)
-    # k-means 1-D on amplitude
-    cents = np.quantile(amps, np.linspace(0.2, 0.8, n_units))
+    fires, valid = masked_indices(
+        refractory_trigger(a > threshold_sigma * sd, refractory),
+        max_peaks)
+    pad = jnp.concatenate([a, jnp.full(refractory + 1, -jnp.inf,
+                                       REAL_DTYPE)])
+    ks = fires + jnp.argmax(
+        pad[fires[:, None] + jnp.arange(refractory)[None, :]], axis=1)
+    amps = a[jnp.minimum(ks, n - 1)]
+    # masked 1-D k-means on amplitude, fixed 20 iterations
+    amps_q = jnp.where(valid, amps, jnp.nan)
+    cents = jnp.nanquantile(amps_q, jnp.linspace(0.2, 0.8, n_units))
+    amps_d = jnp.where(valid, amps, jnp.inf)
     for _ in range(20):
-        assign = np.argmin(np.abs(amps[:, None] - cents[None, :]),
-                           axis=1)
-        for k in range(n_units):
-            if (assign == k).any():
-                cents[k] = amps[assign == k].mean()
-    units = [[] for _ in range(n_units)]
-    for p, a in zip(peaks, assign):
-        units[a].append(p)
-    return units
+        assign = jnp.argmin(jnp.abs(amps_d[:, None] - cents[None, :]),
+                            axis=1)
+        onehot = (assign[:, None] == jnp.arange(n_units)[None, :]
+                  ) & valid[:, None]
+        cnt = jnp.sum(onehot, axis=0)
+        s = jnp.sum(jnp.where(onehot, amps[:, None], 0.0), axis=0)
+        cents = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), cents)
+    assign = jnp.argmin(jnp.abs(amps_d[:, None] - cents[None, :]),
+                        axis=1)
+    return (jnp.where(valid, ks, 0).astype(jnp.int32),
+            jnp.where(valid, assign, -1).astype(jnp.int32), valid)
 
 
 def emg_gesture_features(emg_channels, fs: float):

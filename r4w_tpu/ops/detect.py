@@ -117,11 +117,17 @@ def sync_word_correlate(bits, word) -> jax.Array:
     return (corr + k) / 2.0  # match count
 
 
-def sync_word_detect(bits, word, max_errors: int = 0) -> np.ndarray:
-    """Offsets where the word matches within max_errors (host)."""
-    c = np.asarray(sync_word_correlate(bits, word))
-    k = len(np.asarray(word))
-    return np.where(c >= k - max_errors)[0]
+def sync_word_detect(bits, word, max_errors: int = 0,
+                     max_matches: int = 64):
+    """Offsets where the word matches within max_errors. jit-safe
+    fixed-capacity form (VERDICT r4 #6): `(offsets[K] int32,
+    valid[K])` for the first K = max_matches matches in stream
+    order."""
+    from r4w_tpu.ops.events import masked_indices
+
+    c = sync_word_correlate(bits, word)
+    k = jnp.asarray(word).shape[-1]
+    return masked_indices(c >= k - max_errors, max_matches)
 
 
 def teager_kaiser(x) -> jax.Array:

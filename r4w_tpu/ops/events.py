@@ -70,3 +70,17 @@ def deadtime_runs(mask, dead_time: int) -> tuple[jax.Array, jax.Array]:
                                                      jnp.int32))
     _, (starts, ends) = lax.scan(step, init, jnp.moveaxis(m, -1, 0))
     return jnp.moveaxis(starts, 0, -1), jnp.moveaxis(ends, 0, -1)
+
+
+def masked_indices(mask, size: int) -> tuple[jax.Array, jax.Array]:
+    """Fixed-capacity event extraction (VERDICT r4 #6): the positions
+    of the first `size` True entries of a 1-D mask as
+    `(idx int32[size], valid bool[size])`, padded with n = len(mask)
+    past the last event. The jit-safe replacement for np.nonzero in
+    every variable-length hit/stroke/trigger-list block — callers
+    gather with the padded index (pad their source by one) and mask
+    results with `valid`."""
+    m = jnp.asarray(mask, bool)
+    n = m.shape[-1]
+    idx = jnp.nonzero(m, size=size, fill_value=n)[0]
+    return idx.astype(jnp.int32), idx < n

@@ -315,32 +315,60 @@ def pocsag_encode_numeric(address: int, digits: str,
     return np.asarray(words, np.uint32)
 
 
+_POCSAG_INV_BCD = {0xA: "*", 0xB: "U", 0xC: " ", 0xD: "-", 0xE: ")",
+                   0xF: "("}
+
+
 def pocsag_decode(words):
     """Decode a POCSAG batch (pocsag_decoder.rs): find sync, pull the
-    address codeword and BCD numeric message."""
-    w = [int(x) & 0xFFFFFFFF for x in np.asarray(words, np.uint64)]
-    if not w or w[0] != _POCSAG_SYNC:
-        return None
-    addr = None
-    func = None
-    digits = []
-    inv_bcd = {0xA: "*", 0xB: "U", 0xC: " ", 0xD: "-", 0xE: ")",
-               0xF: "("}
-    for slot, cw in enumerate(w[1:17]):
-        if cw == _POCSAG_IDLE:
-            continue
-        data21 = cw >> 11       # strip BCH(10) + even-parity bit
-        if not (data21 >> 20):       # address codeword
-            addr = ((data21 >> 2) << 3) | (slot // 2)
-            func = data21 & 0x3
-        else:                        # message codeword
-            data20 = data21 & 0xFFFFF
-            for i in range(4, -1, -1):
-                rev = (data20 >> (4 * i)) & 0xF
-                nb = ((rev & 1) << 3) | ((rev & 2) << 1) \
-                    | ((rev & 4) >> 1) | ((rev & 8) >> 3)
-                digits.append(inv_bcd.get(nb, str(nb)))
-    return addr, func, "".join(digits).rstrip()
+    address codeword and BCD numeric message.
+
+    jit-safe fixed-capacity form (VERDICT r4 #6): returns
+    `(addr int32, func int32, nibbles[80] int32, valid[80])` — addr
+    and func are -1 when no sync/address codeword is present; the 16
+    frame slots each contribute 5 BCD nibbles, `valid` True only on
+    message-codeword slots. `pocsag_digits_to_str` maps the masked
+    nibbles to the display string (host, protocol-object step)."""
+    import jax
+
+    if not isinstance(words, (jax.Array, jax.core.Tracer)):
+        # host lists may carry Python ints >= 2^31 (sync word): mask
+        # in uint64 BEFORE the uint32 cast to avoid overflow churn
+        words = (np.asarray(words, np.uint64) & 0xFFFFFFFF).astype(
+            np.uint32)
+    w = jnp.asarray(words).astype(jnp.uint32)
+    sync_ok = w[0] == _POCSAG_SYNC
+    cw = w[1:17]
+    is_idle = cw == _POCSAG_IDLE
+    data21 = cw >> 11            # strip BCH(10) + even-parity bit
+    is_addr = (data21 >> 20) == 0
+    slot = jnp.arange(16, dtype=jnp.uint32)
+    addr_cand = ((data21 >> 2) << 3) | (slot // 2)
+    addr_mask = is_addr & ~is_idle & sync_ok
+    has_addr = jnp.any(addr_mask)
+    first = jnp.argmax(addr_mask)
+    addr = jnp.where(has_addr, addr_cand[first].astype(jnp.int32), -1)
+    func = jnp.where(has_addr, (data21[first] & 0x3).astype(jnp.int32),
+                     -1)
+    # message codewords: 5 bit-reversed BCD nibbles each, MSB first
+    data20 = data21 & 0xFFFFF
+    sh = (jnp.arange(4, -1, -1, dtype=jnp.uint32) * 4)
+    rev = (data20[:, None] >> sh[None, :]) & 0xF
+    nb = (((rev & 1) << 3) | ((rev & 2) << 1)
+          | ((rev & 4) >> 1) | ((rev & 8) >> 3))
+    valid = (~is_addr & ~is_idle & sync_ok)[:, None] & jnp.ones(
+        (1, 5), bool)
+    return (addr, func,
+            jnp.where(valid, nb, 0).astype(jnp.int32).reshape(-1),
+            valid.reshape(-1))
+
+
+def pocsag_digits_to_str(nibbles, valid) -> str:
+    """Display string from pocsag_decode's masked nibbles (host)."""
+    out = [_POCSAG_INV_BCD.get(int(n), str(int(n)))
+           for n, v in zip(np.asarray(nibbles), np.asarray(valid))
+           if v]
+    return "".join(out).rstrip()
 
 
 # --------------------------------------------------------------- PSK31

@@ -260,30 +260,44 @@ def radar_waveform_classify(x, sample_rate: float) -> str:
     return "cw"
 
 
-def pulse_descriptors(x, sample_rate: float, threshold_rel: float = 0.3):
+def pulse_descriptors(x, sample_rate: float, threshold_rel: float = 0.3,
+                      max_pulses: int = 32):
     """Batch pulse-descriptor words (pulse_descriptor_extractor.rs):
-    per detected pulse → (toa_s, width_s, amplitude, freq_hz)."""
-    x = np.asarray(x)
-    mag = np.abs(x)
-    thr = threshold_rel * mag.max()
+    per detected pulse → TOA, width, amplitude, intra-pulse
+    frequency. jit-safe fixed-capacity form (VERDICT r4 #6):
+    `(toa_s[K], width_s[K], amp[K], freq_hz[K], valid[K])` for
+    K = max_pulses, in time order; `valid` False for sub-2-sample
+    blips and unused slots. Per-pulse stats come from cumulative-sum
+    differences and one (K, N) masked max — no per-pulse loop."""
+    from r4w_tpu.ops.events import masked_indices
+
+    x = jnp.asarray(x)
+    mag = jnp.abs(x)
+    n = mag.shape[0]
+    thr = threshold_rel * jnp.max(mag)
     on = mag > thr
-    edges = np.diff(on.astype(np.int8))
-    starts = np.nonzero(edges == 1)[0] + 1
-    stops = np.nonzero(edges == -1)[0] + 1
-    if on[0]:
-        starts = np.concatenate([[0], starts])
-    if on[-1]:
-        stops = np.concatenate([stops, [len(on)]])
-    pdws = []
-    for s, e in zip(starts, stops):
-        seg = x[s:e]
-        if seg.shape[0] < 2:
-            continue
-        d = seg[1:] * np.conj(seg[:-1])
-        f = np.angle(np.mean(d)) * sample_rate / (2 * np.pi)
-        pdws.append((s / sample_rate, (e - s) / sample_rate,
-                     float(mag[s:e].max()), float(f)))
-    return pdws
+    prev = jnp.concatenate([jnp.zeros(1, bool), on[:-1]])
+    nxt = jnp.concatenate([on[1:], jnp.zeros(1, bool)])
+    starts, sv = masked_indices(on & ~prev, max_pulses)
+    stops_inc, _ev = masked_indices(on & ~nxt, max_pulses)
+    stops = jnp.where(sv, stops_inc + 1, n)  # exclusive end
+    width = stops - starts
+    valid = sv & (width >= 2)
+    # intra-pulse frequency from the phase of sum(x[i+1]·conj(x[i]))
+    # over [s, e-1): one complex cumsum, one gather-difference
+    d = x[1:] * jnp.conj(x[:-1])
+    csum = jnp.concatenate([jnp.zeros(1, d.dtype), jnp.cumsum(d)])
+    seg_sum = csum[jnp.minimum(stops - 1, n - 1)] - csum[starts]
+    freq = (jnp.angle(seg_sum) * sample_rate / (2.0 * jnp.pi))
+    i = jnp.arange(n)
+    in_seg = (i[None, :] >= starts[:, None]) & (i[None, :]
+                                                < stops[:, None])
+    amp = jnp.max(jnp.where(in_seg, mag[None, :], 0.0), axis=1)
+    fs = sample_rate
+    return (jnp.where(valid, starts / fs, 0.0),
+            jnp.where(valid, width / fs, 0.0),
+            jnp.where(valid, amp, 0.0),
+            jnp.where(valid, freq, 0.0), valid)
 
 
 # ------------------------------------------------------- FMCW automotive
@@ -393,27 +407,29 @@ def gpr_discriminate(image, patch: int = 16):
 
 
 def otdr_analyze(trace_db, fs: float, pulse_ns: float = 100.0,
-                 event_threshold_db: float = 0.3):
+                 event_threshold_db: float = 0.3,
+                 max_events: int = 32):
     """OTDR event analysis (otdr_pulse_analyzer.rs): fiber attenuation
     slope fit + reflective/loss event detection from the backscatter
     trace."""
-    y = np.asarray(trace_db, np.float64)
+    y = jnp.asarray(trace_db, jnp.float32)
     # robust slope: the median first difference is immune to the few
     # event steps (a global least-squares fit is not)
-    slope_db_per_samp = float(np.median(np.diff(y)))
-    d = np.diff(y) - slope_db_per_samp
+    dy = jnp.diff(y)
+    slope_db_per_samp = jnp.median(dy)
+    d = dy - slope_db_per_samp
     skip = int(max(1, pulse_ns * 1e-9 * fs))
     # pulse-width dead time is the only sequential dependency: run it
-    # as a device lax.scan, classify vectorized (was: Python loop)
-    from r4w_tpu.ops.events import refractory_trigger
+    # as a device lax.scan; the event list is fixed-capacity
+    # (VERDICT r4 #6): (slope, positions[K], is_reflection[K],
+    # magnitude_db[K], valid[K]) with K = max_events
+    from r4w_tpu.ops.events import masked_indices, refractory_trigger
 
-    fires = np.nonzero(np.asarray(refractory_trigger(
-        jnp.asarray(np.abs(d) > event_threshold_db), skip)))[0]
-    events = [(int(i) + 1,
-               "reflection" if d[i] > 0 else "loss",
-               float(abs(d[i])))
-              for i in fires]
-    return slope_db_per_samp, events
+    fires, valid = masked_indices(refractory_trigger(
+        jnp.abs(d) > event_threshold_db, skip), max_events)
+    dpad = jnp.concatenate([d, jnp.zeros(1, d.dtype)])
+    return (slope_db_per_samp, fires + 1, dpad[fires] > 0,
+            jnp.where(valid, jnp.abs(dpad[fires]), 0.0), valid)
 
 
 def ndt_thickness(echo, fs: float, velocity: float = 5900.0,

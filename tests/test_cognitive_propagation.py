@@ -199,10 +199,12 @@ class TestSatellite:
         lon = np.deg2rad(28.9)
         site = 6371e3 * np.array([np.cos(lon), np.sin(lon), 0.0])
         t = np.arange(0, 6 * 5400, 30.0)
-        passes = pr.pass_predict(tle, site, t, min_elevation_deg=0.0)
-        assert len(passes) >= 1
-        for t0, t1, el in passes:
-            assert t1 > t0 and el > 0.0
+        t0s, t1s, els, valid = pr.pass_predict(tle, site, t,
+                                               min_elevation_deg=0.0)
+        nv = int(np.sum(np.asarray(valid)))
+        assert nv >= 1
+        for k in range(nv):
+            assert float(t1s[k]) > float(t0s[k]) and float(els[k]) > 0.0
 
 
 class TestWeatherProp:
@@ -236,12 +238,13 @@ class TestSounding:
               + 1j * rng.standard_normal(1024)).astype(np.complex64)
         # channel: taps at 0 and 37
         rx = tx + 0.5 * np.roll(tx, 37)
-        taps = pr.multipath_profile(tx, rx.astype(np.complex64),
-                                    n_paths=2)
-        delays = [d for d, _ in taps]
-        assert 0 in delays and 37 in delays
-        g37 = dict(taps)[37]
-        assert abs(abs(g37) - 0.5) < 0.05
+        delays, gains, valid = pr.multipath_profile(
+            tx, rx.astype(np.complex64), n_paths=2)
+        d = {int(dd): gg for dd, gg, v in
+             zip(np.asarray(delays), np.asarray(gains),
+                 np.asarray(valid)) if v}
+        assert set(d) == {0, 37}
+        assert abs(abs(d[37]) - 0.5) < 0.05
 
     def test_sparse_equalizer_flattens(self):
         rng = np.random.default_rng(5)
@@ -276,7 +279,8 @@ class TestSounding:
         f = np.linspace(2e6, 30e6, 200)
         resp = np.exp(-((f - 7e6) / 1e6) ** 2) \
             + 0.6 * np.exp(-((f - 14e6) / 1e6) ** 2)
-        modes = pr.mode_sound(resp, f)
-        freqs = [m for m, _ in modes]
+        mfreqs, mags, valid = pr.mode_sound(resp, f)
+        freqs = [float(x) for x, v in zip(np.asarray(mfreqs),
+                                          np.asarray(valid)) if v]
         assert any(abs(x - 7e6) < 3e5 for x in freqs)
         assert any(abs(x - 14e6) < 3e5 for x in freqs)

@@ -48,8 +48,11 @@ def test_data_plane_majority_jits(classified):
     # processing blocks. The remaining "host" entries are genuinely
     # host-side and carry machine-readable reason classes (see
     # test_host_blocks_carry_reason_class below).
-    assert c["jit"] >= 335, f"jit-safe count regressed: {c}"
-    assert c["jit"] / total >= 0.60, c
+    # r5 (VERDICT r4 #6): the 15 dynamic-shape extractors became
+    # fixed-capacity masked outputs and the probe learned that traced
+    # scalar outputs compose under jit — 417 jit / 106 host measured
+    assert c["jit"] >= 410, f"jit-safe count regressed: {c}"
+    assert c["jit"] / total >= 0.75, c
 
 
 def test_unknown_tail_small(classified):

@@ -302,9 +302,11 @@ def test_pass_predict_finds_overhead_window():
     site = np.asarray([6.371e6, 0.0, 0.0])
     T = 86400.0 / 15.5
     t = np.linspace(0, T, 2000)
-    passes = P.pass_predict(tle, site, t, min_elevation_deg=10.0)
-    assert len(passes) >= 1
-    best = max(p[2] for p in passes)
+    t0s, t1s, els, valid = P.pass_predict(tle, site, t,
+                                          min_elevation_deg=10.0)
+    v = np.asarray(valid)
+    assert int(np.sum(v)) >= 1
+    best = float(np.max(np.asarray(els)[v]))
     assert best > 85.0  # directly overhead at t=0 (MA=0, RAAN=0)
 
 

@@ -159,19 +159,17 @@ class TestSyncWordDetect:
         bits = rng.integers(0, 2, 400)
         for off in (37, 200):
             bits[off:off + 16] = word
-        hits = np.asarray(sync_word_detect(jnp.asarray(bits),
-                                           jnp.asarray(word)))
-        assert {37, 200}.issubset(set(hits.tolist()))
+        def hits(b, w, **kw):
+            idx, valid = sync_word_detect(jnp.asarray(b),
+                                          jnp.asarray(w), **kw)
+            return set(np.asarray(idx)[np.asarray(valid)].tolist())
+
+        assert {37, 200}.issubset(hits(bits, word))
         # one flipped bit: found only with max_errors >= 1
         corrupted = bits.copy()
         corrupted[37 + 5] ^= 1
-        h0 = np.asarray(sync_word_detect(jnp.asarray(corrupted),
-                                         jnp.asarray(word)))
-        h1 = np.asarray(sync_word_detect(jnp.asarray(corrupted),
-                                         jnp.asarray(word),
-                                         max_errors=1))
-        assert 37 not in set(h0.tolist())
-        assert 37 in set(h1.tolist())
+        assert 37 not in hits(corrupted, word)
+        assert 37 in hits(corrupted, word, max_errors=1)
 
 
 # ------------------------------------------------------ localization

@@ -135,8 +135,10 @@ class TestMultipathProfile:
         h[0], h[9] = 1.0, 0.5j
         rx = np.fft.ifft(np.fft.fft(tx) * np.fft.fft(h)
                          ).astype(np.complex64)
-        taps = multipath_profile(tx, rx, n_paths=2)
-        d = {delay: gain for delay, gain in taps}
+        delays, gains, valid = multipath_profile(tx, rx, n_paths=2)
+        d = {int(dd): gg for dd, gg, v in
+             zip(np.asarray(delays), np.asarray(gains),
+                 np.asarray(valid)) if v}
         assert set(d) == {0, 9}
         assert abs(d[0] - 1.0) < 0.02
         assert abs(d[9] - 0.5j) < 0.02
@@ -241,10 +243,11 @@ class TestOscilloscopeTrigger:
         x = np.sin(2 * np.pi * t / fs_per_cycle).astype(np.float32)
         # level 0.5 crosses between samples 8 (0.482) and 9 (0.536) of
         # each cycle; the trigger index is the LAST sample below level
-        idx, frames = oscilloscope_trigger(x, level=0.5, slope="rising",
-                                           holdoff=50, pre=8, length=32)
-        assert idx == [8, 108, 208, 308, 408]
-        frames = np.asarray(frames)
+        idx, frames, valid = oscilloscope_trigger(
+            x, level=0.5, slope="rising", holdoff=50, pre=8, length=32)
+        v = np.asarray(valid)
+        assert list(np.asarray(idx)[v]) == [8, 108, 208, 308, 408]
+        frames = np.asarray(frames)[v]
         assert np.all(frames[:, 8] < 0.5)
         assert np.all(frames[:, 9] >= 0.5)
 

@@ -102,14 +102,15 @@ class TestPulseDescriptors:
         for start, width, amp, f in pulses:
             tt = np.arange(width) / fs
             x[start:start + width] = amp * np.exp(2j * np.pi * f * tt)
-        pdws = pulse_descriptors(x, fs)
-        assert len(pdws) == 2
-        for (toa, w, a, f), (start, width, amp, f_true) in zip(pdws,
-                                                               pulses):
-            assert toa == pytest.approx(start / fs, abs=2 / fs)
-            assert w == pytest.approx(width / fs, abs=3 / fs)
-            assert a == pytest.approx(amp, rel=1e-3)
-            assert f == pytest.approx(f_true, abs=500.0)
+        toas, ws, amps, fqs, valid = pulse_descriptors(x, fs)
+        assert int(np.sum(np.asarray(valid))) == 2
+        for k, (start, width, amp, f_true) in enumerate(pulses):
+            assert float(toas[k]) == pytest.approx(start / fs,
+                                                   abs=2 / fs)
+            assert float(ws[k]) == pytest.approx(width / fs,
+                                                 abs=3 / fs)
+            assert float(amps[k]) == pytest.approx(amp, rel=1e-3)
+            assert float(fqs[k]) == pytest.approx(f_true, abs=500.0)
 
 
 # ---------------------------------------------------------- timing

@@ -109,10 +109,11 @@ class TestLightningStrokes:
             decay = np.exp(-np.arange(800) / 300.0)
             e[start:start + rise] += pol * ramp
             e[start + rise:start + rise + 800] += pol * decay
-        strokes = lightning_stroke_analyze(e, fs)
-        assert len(strokes) == 2
-        for (toa, pol, rt), (start, want_pol) in zip(
-                strokes, ((20_000, 1), (60_000, -1))):
+        times, pols, rises, valid = lightning_stroke_analyze(e, fs)
+        assert int(np.sum(np.asarray(valid))) == 2
+        for k, (start, want_pol) in enumerate(((20_000, 1),
+                                               (60_000, -1))):
+            toa, pol, rt = float(times[k]), int(pols[k]), float(rises[k])
             # TOA is the threshold crossing: somewhere on the ramp
             assert start / fs <= toa <= (start + rise) / fs
             assert pol == want_pol

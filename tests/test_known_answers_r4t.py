@@ -70,15 +70,18 @@ class TestOtdrAnalyze:
         y = slope * np.arange(n)
         y[300:] -= 0.8
         y[700:720] += 1.5  # reflective spike region start
-        slope_est, events = otdr_analyze(y, fs=1.0,
-                                         event_threshold_db=0.3)
-        assert slope_est == pytest.approx(slope, abs=1e-6)
-        kinds = {i: kind for i, kind, _ in events}
-        assert kinds.get(300) == "loss"
-        assert kinds.get(700) == "reflection"
-        mags = {i: m for i, _, m in events}
-        assert mags[300] == pytest.approx(0.8, abs=0.02)
-        assert mags[700] == pytest.approx(1.5, abs=0.02)
+        slope_est, pos, is_refl, mags, valid = otdr_analyze(
+            y, fs=1.0, event_threshold_db=0.3)
+        assert float(slope_est) == pytest.approx(slope, abs=1e-6)
+        v = np.asarray(valid)
+        kinds = {int(i): bool(r) for i, r, ok in
+                 zip(np.asarray(pos), np.asarray(is_refl), v) if ok}
+        assert kinds.get(300) is False   # loss
+        assert kinds.get(700) is True    # reflection
+        mag = {int(i): float(m) for i, m, ok in
+               zip(np.asarray(pos), np.asarray(mags), v) if ok}
+        assert mag[300] == pytest.approx(0.8, abs=0.02)
+        assert mag[700] == pytest.approx(1.5, abs=0.02)
 
 
 # ----------------------------------------------------- pulse-pair

@@ -171,12 +171,12 @@ class TestDisplayClassify:
         t = np.arange(200) / fs
         x[500:700] = np.exp(2j * np.pi * 50e3 * t)
         x[2000:2100] = 0.5 * np.exp(2j * np.pi * -30e3 * t[:100])
-        pdws = rs.pulse_descriptors(x, fs)
-        assert len(pdws) == 2
-        toa, width, amp, freq = pdws[0]
-        assert abs(toa - 500e-6) < 5e-6 and abs(width - 200e-6) < 10e-6
-        assert abs(freq - 50e3) < 2e3
-        assert abs(pdws[1][3] + 30e3) < 2e3
+        toas, widths, amps, freqs, valid = rs.pulse_descriptors(x, fs)
+        assert int(np.sum(np.asarray(valid))) == 2
+        assert abs(float(toas[0]) - 500e-6) < 5e-6
+        assert abs(float(widths[0]) - 200e-6) < 10e-6
+        assert abs(float(freqs[0]) - 50e3) < 2e3
+        assert abs(float(freqs[1]) + 30e3) < 2e3
 
 
 class TestAutomotiveLidar:
@@ -230,10 +230,11 @@ class TestGprOtdrNdt:
         y = -0.002 * np.arange(n)  # fiber slope
         y[800:] -= 0.8             # splice loss
         y[1400] += 1.5             # reflective event
-        slope, events = rs.otdr_analyze(y, fs=1e9)
-        assert abs(slope + 0.002) < 2e-4
-        kinds = {e[1] for e in events}
-        assert "loss" in kinds and "reflection" in kinds
+        slope, pos, is_refl, mags, valid = rs.otdr_analyze(y, fs=1e9)
+        assert abs(float(slope) + 0.002) < 2e-4
+        kinds = {bool(r) for r, ok in zip(np.asarray(is_refl),
+                                          np.asarray(valid)) if ok}
+        assert False in kinds and True in kinds  # loss + reflection
 
     def test_ndt_thickness(self):
         fs, v = 100e6, 5900.0

@@ -144,9 +144,9 @@ class TestPackets:
     def test_pocsag_roundtrip(self):
         words = pk.pocsag_encode_numeric(1234568, "0425 1234",
                                          function=2)
-        addr, func, digits = pk.pocsag_decode(words)
-        assert addr == 1234568 and func == 2
-        assert digits == "0425 1234"
+        addr, func, nibbles, valid = pk.pocsag_decode(words)
+        assert int(addr) == 1234568 and int(func) == 2
+        assert pk.pocsag_digits_to_str(nibbles, valid) == "0425 1234"
 
     def test_psk31_varicode_roundtrip(self):
         msg = "cq cq de r4w"

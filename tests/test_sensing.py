@@ -13,9 +13,14 @@ class TestAcoustic:
         x = 0.01 * rng.standard_normal(4096)
         x[1000:1020] += 2.0
         x[3000:3010] += 1.5
-        n, hits = sn.acoustic_emission_count(x)
-        assert n == 2
-        assert abs(hits[0][0] - 1000) < 5
+        n, starts, energies, valid = sn.acoustic_emission_count(x)
+        assert int(n) == 2
+        assert int(np.sum(np.asarray(valid))) == 2
+        assert abs(int(starts[0]) - 1000) < 5
+        # masked tail carries zero energy and invalid flags
+        assert not np.any(np.asarray(valid)[2:])
+        assert np.all(np.asarray(energies)[2:] == 0.0)
+        assert float(energies[0]) > float(energies[1]) > 0.0
 
     def test_gunshot_localization(self):
         fs, c = 48_000.0, 343.0
@@ -217,8 +222,9 @@ class TestSpaceWeather:
         fs = 1e6
         e = 0.01 * np.random.default_rng(9).standard_normal(100_000)
         e[50_000:50_050] += np.linspace(0, 5, 50)  # positive stroke
-        strokes = sn.lightning_stroke_analyze(e, fs)
-        assert len(strokes) == 1 and strokes[0][1] == 1
+        times, pols, rises, valid = sn.lightning_stroke_analyze(e, fs)
+        assert int(np.sum(np.asarray(valid))) == 1
+        assert int(pols[0]) == 1
         a = np.zeros(1000)
         b = np.zeros(1000)
         a[[100, 500, 900]] = 10.0
