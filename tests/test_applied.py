@@ -22,6 +22,7 @@ class TestDenoise:
         snr_out = clean[seg].var() / (out[seg] - clean[seg]).var()
         assert snr_out > 2.0 * snr_in  # >3 dB improvement
 
+    @pytest.mark.slow
     def test_wavelet_denoise_improves_snr(self):
         rng = np.random.default_rng(1)
         t = np.arange(4096)
@@ -53,6 +54,7 @@ class TestSpeech:
         assert np.allclose(a_est, a_true, atol=0.03)
         assert gain == pytest.approx(1.0, abs=0.1)
 
+    @pytest.mark.slow
     def test_lpc_vocoder_roundtrip(self):
         fs = 8000.0
         t = np.arange(2400) / fs

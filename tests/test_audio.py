@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from r4w_tpu.ops import audio as au
 
@@ -28,6 +29,7 @@ class TestMfcc:
 
 
 class TestPhaseVocoder:
+    @pytest.mark.slow
     def test_stretch_preserves_pitch(self):
         fs = 8000.0
         t = np.arange(16_000) / fs
@@ -54,6 +56,7 @@ class TestVocoders:
         np.testing.assert_allclose(coeffs[0], [1.0, -1.3, 0.6],
                                    atol=0.05)
 
+    @pytest.mark.slow
     def test_melp_roundtrip_preserves_pitch_and_energy(self):
         fs = 8000.0
         t = np.arange(8000) / fs
@@ -67,6 +70,7 @@ class TestVocoders:
         assert y.shape[0] == params["lpc"].shape[0] * params["frame"]
         assert np.isfinite(y).all()
 
+    @pytest.mark.slow
     def test_formant_track_finds_resonance(self):
         fs = 8000.0
         rng = np.random.default_rng(1)

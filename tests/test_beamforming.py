@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from r4w_tpu.ops import beamforming as bf
 from r4w_tpu.ops import mapping as mp
@@ -96,6 +97,7 @@ class TestNoma:
 
 
 class TestArrays:
+    @pytest.mark.slow
     def test_null_steering_pattern(self):
         w = bf.null_steer_weights(8, 0.0, [30.0])
         resp = np.asarray(bf.array_response(8, np.arange(-90, 91, 1.0)))

@@ -6,6 +6,7 @@ roundtrip.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from r4w_tpu.ops import coding
@@ -78,6 +79,7 @@ def test_whitening_first_byte():
     assert seq[0] == byte
 
 
+@pytest.mark.slow
 def test_interleaver_roundtrip():
     rng = np.random.default_rng(0)
     for sf in (7, 9, 12):

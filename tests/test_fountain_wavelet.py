@@ -88,6 +88,7 @@ def test_dwt_haar_known_answer():
     assert abs(e_in - e_out) < 1e-3
 
 
+@pytest.mark.slow
 def test_dwt_idwt_roundtrip():
     rng = np.random.default_rng(4)
     x = rng.standard_normal(128).astype(np.float32)

@@ -274,6 +274,7 @@ def test_acquisition_large_code_lag():
         assert bool(res.detected[0]), shift
 
 
+@pytest.mark.slow
 def test_acquisition_noncoherent_integration_gains():
     """K-period non-coherent integration detects what K=1 cannot."""
     fs = 1_023_000.0
@@ -341,6 +342,7 @@ def test_gps_prn_specific_factory():
     assert np.asarray(res.bits)[0] == 0xF0
 
 
+@pytest.mark.slow
 def test_pcps_pow2_mode_matches_exact():
     """Two-period pow2 FFT path finds the same phase/Doppler as the
     exact circular path, with full-sum (untapered) peaks."""

@@ -43,6 +43,7 @@ def _geometry(n_sats=6, seed=0):
 
 
 @pytest.mark.filterwarnings("ignore::RuntimeWarning")
+@pytest.mark.slow
 def test_position_fix_from_generated_signal():
     truth, sat_pos = _geometry()
     ranges = np.linalg.norm(sat_pos - truth, axis=1)

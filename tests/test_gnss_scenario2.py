@@ -249,6 +249,7 @@ def test_multipath_changes_composite_power():
 # ---------------------------------------------- secondary-safe acquisition
 
 
+@pytest.mark.slow
 def test_acquisition_align_refine_beats_secondary_transitions():
     """E1C secondary-code sign flips straddle unaligned correlation
     windows and can erase the peak; the alignment verification pass

@@ -66,6 +66,7 @@ class TestGolayAlgebra:
 
 
 class TestConvFreeDistance:
+    @pytest.mark.slow
     def test_k7_171_133_free_distance_is_10(self):
         """The NASA-standard (171,133) K=7 rate-1/2 code has
         d_free = 10 (published constant) — verified by exhaustive
@@ -105,6 +106,7 @@ class TestPolarKernel:
             cw = np.asarray(polar_encode(jnp.asarray(bits), n, k))
             np.testing.assert_array_equal(cw, kern[info_pos[j]] % 2)
 
+    @pytest.mark.slow
     def test_linearity_over_gf2(self):
         from r4w_tpu.fec.polar import polar_encode
 

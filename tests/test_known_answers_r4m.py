@@ -320,6 +320,7 @@ class TestNoiseShapingQuantizer:
 
 
 class TestPhaseVocoder:
+    @pytest.mark.slow
     def test_time_stretch_preserves_pitch(self):
         """rate = 0.5 (2× slower): output is ~2× longer but the tone
         frequency is unchanged — the defining vocoder property."""

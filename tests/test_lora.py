@@ -88,6 +88,7 @@ def test_roundtrip_at_moderate_snr():
     assert np.array_equal(np.asarray(result.payload[:8]), np.asarray(payload))
 
 
+@pytest.mark.slow
 def test_ber_improves_with_snr():
     p = lora.LoRaParams(sf=7)
     payload = jnp.asarray(np.random.default_rng(0).integers(0, 256, 16))

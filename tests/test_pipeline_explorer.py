@@ -99,6 +99,7 @@ def test_explorer_page_has_three_views(server):
         assert marker in page, marker
 
 
+@pytest.mark.slow
 def test_explorer_demo_channel_suite(server):
     """The nine-model channel suite is reachable from /api/demo
     (VERDICT r2 weak #8: explorer had only none|awgn)."""

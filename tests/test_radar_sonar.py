@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from r4w_tpu.ops import radar_sonar as rs
 
@@ -147,6 +148,7 @@ class TestDisplayClassify:
         # angle 90 deg -> +y direction, x ~ center
         assert abs(k[1] - 50) <= 2 and k[0] > 60
 
+    @pytest.mark.slow
     def test_waveform_classifier(self):
         fs = 1e6
         n = 4096

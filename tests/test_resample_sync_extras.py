@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from r4w_tpu.ops import resample as rs, sync as sy
 from r4w_tpu.ops.pulse import root_raised_cosine_taps
@@ -27,6 +28,7 @@ def test_farrow_tone_preserved():
                                             ty[20:-20]))) < 2e-3
 
 
+@pytest.mark.slow
 def test_farrow_orders_and_downsample():
     x = np.linspace(0, 1, 200).astype(np.float32) ** 2
     for order in (1, 2, 3):

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from r4w_tpu import viz
 
@@ -25,6 +26,7 @@ def test_plot_primitives(tmp_path):
         assert os.path.getsize(p) > 5000  # non-trivial PNG
 
 
+@pytest.mark.slow
 def test_generate_gallery_subset(tmp_path):
     made = viz.generate_gallery(str(tmp_path), ["BPSK", "CW"], 48000.0)
     assert len(made) == 6  # 3 figures x 2 waveforms

@@ -176,18 +176,33 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
     dop = np.asarray(res.doppler_hz, np.float64)
 
     # --- track all 6 PRNs with the production DLL/PLL ----------------
+    # Each channel's integration windows are aligned to ITS OWN code
+    # epochs: start at floor(tau) samples and carry only the
+    # sub-sample remainder as initial code phase (the e1c_tracking
+    # lesson). Sample-grid-aligned windows put the nav-bit flip
+    # mid-block for channels with code phase near half a period; the
+    # near-zero straddle prompt then kicks the Costas/FLL every 20 ms
+    # and the loop occasionally slips 180° — measured 5-40% bit
+    # inversions on exactly the SVs whose delay fraction was near
+    # 0.5 ms (tools/pvt_diag2.py, r5).
     t2 = time.time()
     tcfg = tracking.TrackingConfig(sample_rate=FS_DEC, costas=True,
                                    fll_gain=0.2)
     cps = CHIP_RATE / FS_DEC  # chips per sample
-    phase0 = (1023.0 - tau * cps) % 1023.0
+    istart = np.floor(tau).astype(np.int64)
+    frac = tau - istart
+    phase0 = (1023.0 - frac * cps) % 1023.0
+    bs = tcfg.block_size
+    n_keep = ((rx.shape[0] - int(istart.max())) // bs) * bs
     st0 = tracking.init_state(tcfg,
                               jnp.asarray(phase0, jnp.float32),
                               jnp.asarray(dop, jnp.float32))
     run = jax.jit(jax.vmap(
-        lambda s, code, x: tracking.track(tcfg, s, x, code),
-        in_axes=(0, 0, None)))
-    _fin, outs = run(st0, jnp.asarray(codes), rx)
+        lambda s, code, i0, x: tracking.track(
+            tcfg, s, jax.lax.dynamic_slice(x, (i0,), (n_keep,)), code),
+        in_axes=(0, 0, 0, None)))
+    _fin, outs = run(st0, jnp.asarray(codes),
+                     jnp.asarray(istart.astype(np.int32)), rx)
     prompt_i = np.asarray(jax.device_get(outs.prompt_i), np.float64)
     code_ph = np.asarray(jax.device_get(outs.code_phase), np.float64)
     cn0_est = float(np.median(np.asarray(
@@ -195,21 +210,26 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
     track_s = time.time() - t2
 
     # --- nav decode + transmit times + solve (host) ------------------
+    # Block m of channel i starts at receiver sample istart_i + m·bs,
+    # so each channel's pseudorange is measured at ITS OWN receiver
+    # epoch t_rx_i — the solver's clock-bias state absorbs the common
+    # offset and the per-channel spread (< 1 ms, static geometry)
+    # cancels exactly in c·(t_rx_i − t_tx_i).
     n_blocks = prompt_i.shape[1]
     m_star = n_blocks - 10
-    recs, sat_ps, t_txs, used = [], [], [], []
+    recs, sat_ps, rhos, used = [], [], [], []
     for i, p in enumerate(prns):
         rec, eph_dec, t_tx = decode_sv_channel(
             prompt_i[i], code_ph[i, :-1], float(phase0[i]), m_star, p)
         recs.append(rec)
         if eph_dec is not None:
+            t_rx = t0_sow + (istart[i] + m_star * bs) / FS_DEC
             sat_ps.append(np.asarray(eph_dec.position(t_tx)))
-            t_txs.append(t_tx)
+            rhos.append(c * (t_rx - t_tx))
             used.append(i)
     decoded = len(used)
     if decoded >= 4:
-        t_ref = t0_sow + m_star * 1e-3  # receiver clock (no error)
-        rho = c * (t_ref - np.asarray(t_txs))
+        rho = np.asarray(rhos)
         sol = pvt.solve_position(np.stack(sat_ps), rho)
         err = float(np.linalg.norm(np.asarray(sol.position_ecef)
                                    - truth))

@@ -1,7 +1,14 @@
 """Diagnostic companion to tools/gps_pvt_fix.py (decoded mode): runs
-the same scenario→acquire→track pipeline and reports per-channel lock
+the scenario→acquire→track pipeline and reports per-channel lock
 metrics + bit-error rates against the KNOWN overlaid nav bits, to
 localize why a channel fails nav decode. Not part of the bench suite.
+
+NOTE (r5): this intentionally keeps the ORIGINAL sample-grid-aligned
+tracking windows — together with pvt_diag2.py it documents the
+failure mode those windows cause (near-zero straddle prompts every
+20 ms kick the Costas/FLL into occasional 180° slips on channels
+whose code phase sits near half a period). The production gate now
+uses per-channel code-epoch-aligned windows and decodes 6/6.
 """
 
 from __future__ import annotations
