@@ -331,11 +331,18 @@ def bench_e1c_tracking():
     out = trk_main(periods=50)
     if out.get("skipped"):
         return {"skipped": out["skipped"]}
-    return {"tracked": f"{out['value']}/{out['of']}",
-            "acquired": out["acquired"],
-            "cn0_mean_dbhz": out["cn0_mean_dbhz"],
-            "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
-            "track_s": out["track_s"]}
+    res = {"tracked": f"{out['value']}/{out['of']}",
+           "acquired": out["acquired"],
+           "cn0_mean_dbhz": out["cn0_mean_dbhz"],
+           "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
+           "track_s": out["track_s"]}
+    e1b = out.get("e1b")
+    if isinstance(e1b, dict) and "svs_pages_ok" in e1b:
+        res["e1b_pages_ok"] = f"{e1b['svs_pages_ok']}/{e1b['of']}"
+        res["e1b_pass"] = e1b["pass"]
+    elif isinstance(e1b, dict):
+        res["e1b_error"] = e1b.get("error", "?")[:80]
+    return res
 
 
 def bench_lora_sf7_demod():
@@ -412,7 +419,10 @@ def bench_rotator():
 
     from r4w_tpu.core.hostio import cis
 
-    n, iters = 1 << 16, 4096
+    # iters sized so one timed run lasts ~0.3-1 s: an 80 ms run was
+    # jitter-exposed through the tunnel (driver 3.26 vs session 8.4
+    # Gsps on identical code — PERFORMANCE.md variance note)
+    n, iters = 1 << 16, 16384
     rng = np.random.default_rng(3)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -439,7 +449,7 @@ def bench_cmul():
     import jax.numpy as jnp
     import numpy as np
 
-    n, iters = 1 << 16, 8192
+    n, iters = 1 << 16, 32768  # ~0.2 s/run at 10 Gsps (variance note)
     rng = np.random.default_rng(4)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -477,7 +487,7 @@ def bench_bpsk_mod():
 
     # 2^20-bit blocks amortize the per-iteration loop latency that
     # dominated at 2^16 (253 -> ~1200 Msps measured)
-    n_bits, iters = 1 << 20, 32
+    n_bits, iters = 1 << 20, 128  # ~0.25 s/run at 0.5 Gsps
     rng = np.random.default_rng(5)
     bits = rng.integers(0, 2, n_bits).astype(np.int32)
     con = to_device(psk_constellation(2))  # complex-safe transfer
@@ -578,7 +588,15 @@ def bench_pcps():
 
 
 def bench_channel():
-    """AWGN channel apply throughput (channel.rs:667)."""
+    """AWGN channel apply throughput (channel.rs:667).
+
+    Headline Msps uses the default threefry key (the production
+    default — counter-based, splittable, reproducible across
+    backends); the same channel code is ALSO timed with an RBG key
+    (jax.random.key(impl="rbg"), hardware RNG lowering) because the
+    bench is PRNG-issue-bound (~16x the ALU per sample of a cmul —
+    PERFORMANCE.md envelope note): the key impl is the caller's
+    choice on the identical awgn() path."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -586,7 +604,7 @@ def bench_channel():
 
     from r4w_tpu.channel import awgn
 
-    n, iters = 1 << 18, 64
+    n, iters = 1 << 18, 512  # ~0.2 s/run: tunnel-jitter amortization
     rng = np.random.default_rng(8)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -601,11 +619,17 @@ def bench_channel():
             v = awgn(sub, v, 20.0)
             return v, key
 
-        v, _ = lax.fori_loop(0, iters, body, (v, jax.random.key(0)))
+        v, _ = lax.fori_loop(0, iters, body, (v, key))
         return jnp.sum(v.real**2 + v.imag**2)
 
     dt = _timed_scalar(run, re, im, jax.random.key(0))
-    return {"Msps": round(n * iters / dt / 1e6, 1)}
+    out = {"Msps": round(n * iters / dt / 1e6, 1)}
+    try:
+        dt2 = _timed_scalar(run, re, im, jax.random.key(0, impl="rbg"))
+        out["Msps_rbg"] = round(n * iters / dt2 / 1e6, 1)
+    except Exception as e:  # noqa: BLE001 — rbg is an optional extra
+        out["rbg_error"] = f"{type(e).__name__}"[:40]
+    return out
 
 
 def bench_lora_sweep():
@@ -919,8 +943,10 @@ CACHEABLE = {
     # acquire ~55-75 s + track ~37 s + host decode, measured on TPU
     "gps_pvt_fix": 260.0,
     # marginal after e1c_gate in the same child (shared capture memo);
-    # still budgeted for the child-restarted worst case
-    "e1c_tracking": 300.0,
+    # still budgeted for the child-restarted worst case. r5 adds the
+    # E1B I/NAV phase (own 4.35 s dual-component capture + long
+    # dual-channel pass) — skippable via R4W_E1B=0 if budget-pressed
+    "e1c_tracking": 600.0,
 }
 _HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_PATH = os.path.join(_HERE, "docs", "bench_records",
@@ -1011,6 +1037,8 @@ def _gates_summary():
     trk = has("e1c_tracking")
     if trk and "tracked" in trk:
         g["e1c_trk"] = trk["tracked"]
+        if "e1b_pages_ok" in trk:
+            g["e1b"] = trk["e1b_pages_ok"]
     pvt = has("gps_pvt_fix")
     if pvt and "error_m" in pvt:
         g["pvt_err_m"] = pvt["error_m"]

@@ -88,6 +88,11 @@ class TrackingOutput(NamedTuple):
     carrier_freq: jax.Array
     code_phase: jax.Array
     cn0_dbhz: jax.Array
+    # auxiliary data-channel prompts, slaved to the SAME NCO (e.g.
+    # Galileo E1B symbols off the E1C pilot loop): (B, aux_per_block)
+    # complex sub-prompts; zeros when track() is given no aux_code
+    aux_i: jax.Array
+    aux_q: jax.Array
 
 
 def init_state(cfg: TrackingConfig, code_phase_chips, doppler_hz
@@ -106,17 +111,28 @@ def init_state(cfg: TrackingConfig, code_phase_chips, doppler_hz
     )
 
 
-def track(cfg: TrackingConfig, state: TrackingState, samples, code
+def track(cfg: TrackingConfig, state: TrackingState, samples, code,
+          aux_code=None, aux_per_block: int = 1
           ) -> tuple[TrackingState, TrackingOutput]:
     """Run the tracking loop over (n_blocks·block_size) samples.
 
     samples: (N,) complex64; code: (code_length,) ±1 chips.
+
+    aux_code: optional second spreading code correlated open-loop at
+    the SAME chip/carrier alignment as the prompt — the data-channel
+    companion of a pilot loop (Galileo E1B off the E1C pilot). With
+    aux_per_block = A, each block yields A sub-prompts over equal
+    sample quarters (a 16 ms pilot block → four 4 ms E1B symbol
+    prompts); they appear in TrackingOutput.aux_i/aux_q.
     """
     bs = cfg.block_size
     samples = jnp.asarray(samples, IQ_DTYPE)
     n_blocks = samples.shape[-1] // bs
     blocks = samples[: n_blocks * bs].reshape(n_blocks, bs)
     code = jnp.asarray(code, REAL_DTYPE)
+    aux = (None if aux_code is None
+           else jnp.asarray(aux_code, REAL_DTYPE))
+    assert bs % aux_per_block == 0
     (dk1, dk2), (pk1, pk2, pk3) = cfg.loop_gains()
     i_idx = jnp.arange(bs, dtype=REAL_DTYPE)
     t_in_block = i_idx / cfg.sample_rate
@@ -146,6 +162,17 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
         early = corr(-half)
         prompt = corr(0.0)
         late = corr(half)
+        # auxiliary (data-channel) sub-prompts at the prompt alignment
+        if aux is not None:
+            pos_a = jnp.mod(chip, cfg.code_length)
+            a0 = jnp.floor(pos_a)
+            wa = (pos_a - a0).astype(REAL_DTYPE)
+            a0 = a0.astype(jnp.int32)
+            a1 = jnp.where(a0 + 1 >= cfg.code_length, 0, a0 + 1)
+            ca = aux[a0] * (1.0 - wa) + aux[a1] * wa
+            va = (stripped * ca).reshape(aux_per_block, -1).sum(axis=1)
+        else:
+            va = jnp.zeros((aux_per_block,), IQ_DTYPE)
         e_mag = jnp.abs(early)
         l_mag = jnp.abs(late)
         dll_disc = jnp.where(
@@ -221,7 +248,7 @@ def track(cfg: TrackingConfig, state: TrackingState, samples, code
             early_mag=e_mag, late_mag=l_mag,
             dll_disc=dll_disc, pll_disc=pll_disc,
             carrier_freq=new_carrier_freq, code_phase=new_code_phase,
-            cn0_dbhz=cn0,
+            cn0_dbhz=cn0, aux_i=va.real, aux_q=va.imag,
         )
         return new_state, out
 
