@@ -1049,7 +1049,14 @@ def _gates_summary():
         g["lora_sweep_s"] = lora["compute_s"]
     sweep = has("device_sweep")
     if sweep and "ok" in sweep:
-        g["sweep"] = f"{sweep['ok']}/{sweep['total']}"
+        if sweep.get("truncated"):
+            # budget-truncated fresh run: n/attempted, not n/total —
+            # "35/50" would read as 15 failures when 15 simply did
+            # not fit the remaining global budget
+            g["sweep"] = (f"{sweep['ok']}/{sweep['attempted']}"
+                          f" (of {sweep['total']}, budget-truncated)")
+        else:
+            g["sweep"] = f"{sweep['ok']}/{sweep['total']}"
         if sweep.get("cached"):
             g["sweep_cached_h"] = sweep.get("cache_age_h")
     gcorr = has("pcps_gcorr")
@@ -1301,7 +1308,10 @@ def run_suite(order):
             continue
         first_real = False
         _record(name, res)
-        if name in CACHEABLE and "error" not in res:
+        if name in CACHEABLE and "error" not in res \
+                and not res.get("truncated"):
+            # budget-truncated sweeps are honest fresh witnesses for
+            # THIS record but must not replace a full 50/50 cache
             _store_cache(name, res)
     orch.close()
 

@@ -10,6 +10,14 @@ import pytest
 from r4w_tpu.gnss import inav
 
 
+def test_crc24q_standard_check_value():
+    """CRC-24Q of the ASCII check string '123456789' is the published
+    0xCDE703 (CRC catalogue, CRC-24/LTE-A == CRC-24Q; poly 0x864CFB,
+    init 0, no reflect, no xorout)."""
+    bits = np.unpackbits(np.frombuffer(b"123456789", np.uint8))
+    assert inav.crc24q(bits) == 0xCDE703
+
+
 def test_crc24q_known_vector():
     """CRC-24Q of the single bit 1 after 24 zero-shifts equals the
     polynomial remainder; cross-check against a direct long-division
