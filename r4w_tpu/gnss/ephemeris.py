@@ -254,7 +254,8 @@ def load_ephemeris_file(path: str):
 def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
                                     t_eval: float, prn: int = 1,
                                     af0: float = 0.0, af1: float = 0.0,
-                                    af2: float = 0.0
+                                    af2: float = 0.0,
+                                    toe_quantum: float = 16.0
                                     ) -> BroadcastEphemeris:
     """Synthesize a circular-orbit broadcast ephemeris whose IS-GPS
     `position(t_eval)` equals pos_ecef exactly, with the along-track
@@ -269,8 +270,10 @@ def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
     a ±50 ms epoch error moves the predicted range by ~|vδt|²/2r ≈
     millimeters instead of v·δt ≈ hundreds of meters.
 
-    t_oe is snapped to the field's 2^4 s scale so encode/decode
-    through the SF2/SF3 bit layout is exact (nav_message.SF2_FIELDS).
+    t_oe is snapped to the broadcast field's LSB (toe_quantum: 2^4 s
+    for GPS LNAV nav_message.SF2_FIELDS, 60 s for Galileo I/NAV
+    inav_words word 1) so encode/decode through the bit layout is
+    exact.
     """
     p = np.asarray(pos_ecef, np.float64)
     rcv = np.asarray(receiver_ecef, np.float64)
@@ -309,8 +312,8 @@ def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
     u = math.atan2(float(np.dot(np.cross(node, p_hat), h_hat)),
                    float(np.dot(node, p_hat)))
     lam_node = math.atan2(node[1], node[0])  # ECEF longitude at t_eval
-    toe = float(np.clip(round(t_eval / 16.0) * 16.0, 0.0,
-                        604800.0 - 16.0))
+    toe = float(np.clip(round(t_eval / toe_quantum) * toe_quantum,
+                        0.0, 604800.0 - toe_quantum))
     n_mot = math.sqrt(MU / r ** 3)
     m0 = math.remainder(u - n_mot * (t_eval - toe), 2 * math.pi)
     omega0 = math.remainder(lam_node + OMEGA_E * t_eval, 2 * math.pi)
