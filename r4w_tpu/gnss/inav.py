@@ -155,7 +155,10 @@ def decode_page(soft500: np.ndarray) -> dict:
 
 def decode_stream(soft_syms: np.ndarray) -> list[dict]:
     """Find the part grid in a soft ±1 stream and decode every
-    complete nominal page (even part followed by odd part)."""
+    complete nominal page (even part followed by odd part). Each page
+    dict carries `sym_index` — the stream index of the page's FIRST
+    symbol (its even part's first sync symbol), the anchor the word-5
+    GST TOW refers to (tools/galileo_pvt.py transmit times)."""
     s = np.asarray(soft_syms, np.float64)
     off, pol = sync_search(s)
     s = pol * s
@@ -166,6 +169,30 @@ def decode_stream(soft_syms: np.ndarray) -> list[dict]:
         if page["even_odd"] != (0, 1):
             k += PAGE_SYMS  # grid hit an odd part first: slip one part
             continue
+        page["sym_index"] = k
         pages.append(page)
         k += 2 * PAGE_SYMS
     return pages
+
+
+def transmit_time_at_block(m_star: int, page_sym_index: int,
+                           tow_page: float, code_phase_at,
+                           code_length: float,
+                           t_epoch_s: float = 4092 / 1.023e6) -> float:
+    """Transmit time (GST seconds-of-week) of the signal at the START
+    of tracked block m_star, from a decoded word-5 TOW — the full
+    pseudorange observable with no supplied integer milliseconds
+    (the Galileo analogue of nav_message.transmit_time_at_block;
+    E1B is simpler: one symbol per 4 ms code epoch, so block index IS
+    symbol index and there is no bit-edge search).
+
+    page_sym_index: block index of the first symbol of the page whose
+    word 5 carried tow_page (decode_stream's `sym_index`).
+    code_phase_at(m): tracked replica code phase (code_length units)
+    at the start of block m."""
+    frac0 = float(code_phase_at(page_sym_index)) / code_length
+    delta = frac0 if frac0 <= 0.5 else frac0 - 1.0
+    t_est = tow_page + (delta + (m_star - page_sym_index)) * t_epoch_s
+    frac_star = float(code_phase_at(m_star)) / code_length
+    n_ep = round(t_est / t_epoch_s - frac_star)
+    return (n_ep + frac_star) * t_epoch_s
