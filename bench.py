@@ -419,10 +419,11 @@ def bench_rotator():
 
     from r4w_tpu.core.hostio import cis
 
-    # iters sized so one timed run lasts ~0.3-1 s: an 80 ms run was
-    # jitter-exposed through the tunnel (driver 3.26 vs session 8.4
-    # Gsps on identical code — PERFORMANCE.md variance note)
-    n, iters = 1 << 16, 16384
+    # iters sized so one timed run lasts >= 0.25 s at the DEMONSTRATED
+    # ceiling (17.5 Gsps, r5) — the first r5 bump (16384) was sized for
+    # the r4 floor and fell back to a 61 ms dispatch-lottery run once
+    # the kernel itself got fast (PERFORMANCE.md variance note)
+    n, iters = 1 << 16, 131072
     rng = np.random.default_rng(3)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -449,7 +450,11 @@ def bench_cmul():
     import jax.numpy as jnp
     import numpy as np
 
-    n, iters = 1 << 16, 32768  # ~0.2 s/run at 10 Gsps (variance note)
+    # the chained dependent multiply measures VPU fp32 ALU throughput
+    # once the loop is long enough to amortize loop-control overhead:
+    # 201 Gsps ≈ 1.2 TFLOP/s at iters=262144 (r5 rehearsal) — sized up
+    # again so one run lasts ~0.35 s at that demonstrated peak
+    n, iters = 1 << 16, 1 << 20
     rng = np.random.default_rng(4)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -487,7 +492,7 @@ def bench_bpsk_mod():
 
     # 2^20-bit blocks amortize the per-iteration loop latency that
     # dominated at 2^16 (253 -> ~1200 Msps measured)
-    n_bits, iters = 1 << 20, 128  # ~0.25 s/run at 0.5 Gsps
+    n_bits, iters = 1 << 20, 16384  # ~0.45 s/run at the 37 Gsps peak
     rng = np.random.default_rng(5)
     bits = rng.integers(0, 2, n_bits).astype(np.int32)
     con = to_device(psk_constellation(2))  # complex-safe transfer
@@ -604,7 +609,7 @@ def bench_channel():
 
     from r4w_tpu.channel import awgn
 
-    n, iters = 1 << 18, 512  # ~0.2 s/run: tunnel-jitter amortization
+    n, iters = 1 << 18, 16384  # ~0.3 s/run at the 14 Gsps rbg peak
     rng = np.random.default_rng(8)
     re = rng.standard_normal(n, dtype=np.float32)
     im = rng.standard_normal(n, dtype=np.float32)
@@ -616,7 +621,10 @@ def bench_channel():
         def body(i, carry):
             v, key = carry
             key, sub = jax.random.split(key)
-            v = awgn(sub, v, 20.0)
+            # renormalize the 1.01x per-iteration power growth (20 dB
+            # SNR noise adds 1% power): 1.01^16384 overflows f32; one
+            # extra multiply is noise next to the per-sample threefry
+            v = awgn(sub, v, 20.0) * np.float32(1.0 / np.sqrt(1.01))
             return v, key
 
         v, _ = lax.fori_loop(0, iters, body, (v, key))
@@ -816,6 +824,17 @@ def child_main():
         # NB: the JAX_PLATFORMS env var does NOT override the ambient
         # axon platform in this environment; programmatic config does.
         jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("R4W_NO_COMPILE_CACHE") != "1":
+        # Persistent compilation cache (verified to work through the
+        # axon TPU tunnel: cross-process recompile 0.88 s -> 0.07 s).
+        # The suite is compile-dominated (lora_sweep: 0.27 s compute vs
+        # 81 s wall; device_sweep: 50 waveform graphs), so a cache
+        # populated by any prior full run collapses the wall cost and
+        # frees the global deadline for fresh acceptance runs.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
     for line in sys.stdin:
         parts = line.strip().split()
         if not parts:
@@ -1055,6 +1074,10 @@ def _gates_summary():
             # not fit the remaining global budget
             g["sweep"] = (f"{sweep['ok']}/{sweep['attempted']}"
                           f" (of {sweep['total']}, budget-truncated)")
+            fc = sweep.get("full_cache")
+            if fc:
+                g["sweep_full"] = (f"{fc['ok']}/{fc['total']}"
+                                   f"@{fc['age_h']}h")
         else:
             g["sweep"] = f"{sweep['ok']}/{sweep['total']}"
         if sweep.get("cached"):
@@ -1172,29 +1195,39 @@ class _Orchestrator:
         self._ensure_child()
 
     def run_one(self, name, budget, retries=1, escalate=1.0,
-                extra: str = ""):
+                extra: str = "", restart_on_retry=True):
         """Run one bench with the given watchdog; None on hang.
 
         escalate > 1 grows the watchdog per retry (the canary uses
         1.5×: tunnel init has been measured anywhere from 83 s to
-        >240 s, and a slow-but-alive tunnel must not be misread as
+        526 s, and a slow-but-alive tunnel must not be misread as
         dead — a false "degraded" verdict forfeits the round's TPU
-        record, which is far worse than spending 120 extra seconds)."""
+        record, which is far worse than spending 120 extra seconds).
+
+        restart_on_retry=False keeps the SAME child across attempts:
+        a canary timeout almost always means the tunnel is still
+        initializing, and killing the child restarts that init from
+        zero — with the observed 526 s worst-case init, a restart
+        guarantees the second attempt also times out and the round is
+        falsely declared degraded. Waiting on the live child instead
+        tolerates init up to the SUM of the attempt windows."""
         self._ensure_child()
         for attempt in range(retries + 1):
             res = self.child.run(name, budget, extra=extra)
             if res is not None:
                 self.warmed = True
                 return res
-            print(f"# bench {name} hung (> {budget:.0f}s), "
-                  f"restarting child", file=sys.stderr, flush=True)
+            print(f"# bench {name} hung (> {budget:.0f}s)"
+                  + ("" if restart_on_retry else ", keeping child"),
+                  file=sys.stderr, flush=True)
             if attempt < retries:
                 budget *= escalate
                 if RUN.remaining() < budget:
                     budget = max(30.0, RUN.remaining())
                     if budget <= 30.0:
                         break
-                self._restart_child(15.0 * self.spawns)
+                if restart_on_retry:
+                    self._restart_child(15.0 * self.spawns)
         return None
 
     def close(self):
@@ -1226,7 +1259,8 @@ def run_suite(order):
     # longer: a cold tunnel has taken >240 s to first answer while
     # still healthy — observed r4), then verdict.
     cap = min(CANARY_CAP, max(45.0, RUN.remaining()))
-    res = orch.run_one("canary", cap, retries=1, escalate=1.5)
+    res = orch.run_one("canary", cap, retries=1, escalate=1.5,
+                       restart_on_retry=False)
     if res is None or "error" in res:
         RUN.tunnel_dead = True
         _record("canary", res or {"error": "watchdog timeout"})
@@ -1270,7 +1304,7 @@ def run_suite(order):
         # with truncated:true beats a day-old 50/50 cache)
         extra = ""
         fresh_truncated = (name == "device_sweep" and name == priority
-                           and remaining >= 420.0)
+                           and remaining >= 270.0)
         if fresh_truncated:
             extra = ("R4W_SWEEP_BUDGET_S="
                      f"{max(60.0, remaining - 90.0):.0f}")
@@ -1282,7 +1316,15 @@ def run_suite(order):
                 res["cached"] = True
                 res["cache_age_h"] = round(
                     (time.time() - entry["recorded_unix"]) / 3600.0, 1)
-                if priority is not None:
+                if name == priority:
+                    # the fresh slot went to THIS unit but the global
+                    # budget ran out before its turn — say so instead
+                    # of a self-contradictory "fresh slot" note on a
+                    # cached entry (the r5-session record's confusion)
+                    res["alternation"] = (
+                        f"fresh slot forfeited: {remaining:.0f}s left "
+                        f"< {270 if name == 'device_sweep' else nominal:.0f}s needed")
+                elif priority is not None:
                     res["alternation"] = (
                         f"fresh slot this round: {priority}")
                 _record(name, res)
@@ -1307,6 +1349,16 @@ def run_suite(order):
                 break
             continue
         first_real = False
+        if name == "device_sweep" and res.get("truncated") \
+                and cache.get(name):
+            # fresh-but-truncated witness: keep the last full 50/50
+            # evidence visible alongside it rather than replacing it
+            ent = cache[name]
+            full = ent["result"]
+            res["full_cache"] = {
+                "ok": full.get("ok"), "total": full.get("total"),
+                "age_h": round(
+                    (time.time() - ent["recorded_unix"]) / 3600.0, 1)}
         _record(name, res)
         if name in CACHEABLE and "error" not in res \
                 and not res.get("truncated"):
