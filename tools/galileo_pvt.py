@@ -129,49 +129,21 @@ def decode_sv_channel(prompt_i: np.ndarray, code_phase: np.ndarray,
     return rec, eph, t_tx
 
 
-def main(cn0_dbhz: float = 48.0) -> dict:
+def e1b_receiver(rx, prns) -> dict:
+    """Galileo E1B receiver front end on a device-resident capture at
+    FS: PCPS acquisition (sub-sample CBOC bank) → open-loop Doppler
+    refine (squared-prompt FFT — the data channel precludes the E1C
+    gate's coherent CS25 trick, but at the gate C/N0 the squaring loss
+    is negligible) → non-coherent ±6-subchip code sweep (BOC side-peak
+    guard) → closed production Costas DLL/PLL over the full capture.
+    Shared by the Galileo-only gate and tools/dual_pvt.py."""
     import jax
     import jax.numpy as jnp
 
-    from r4w_tpu.gnss import acquisition, pvt, tracking
+    from r4w_tpu.gnss import acquisition, tracking
     from r4w_tpu.gnss import scenario as sc
-    from r4w_tpu.gnss.ephemeris import circular_ephemeris_for_position
-    from r4w_tpu.gnss.scenario import (GnssScenario, ReceiverConfig,
-                                       SatelliteConfig, ScenarioConfig)
+    from r4w_tpu.gnss.scenario import SatelliteConfig
 
-    truth, sat_pos = _geometry()
-    prns = list(range(1, len(sat_pos) + 1))
-    ranges = np.linalg.norm(sat_pos - truth, axis=1)
-    c = pvt.SPEED_OF_LIGHT
-
-    # symbol 0 transmits at t0_sow; word-5 pages start 9 s later
-    t0_sow = 345_600.0
-    tow_w5 = t0_sow + (250 + 4 * 500) * T_EP
-    duration_s = 11.2
-    t_eval = t0_sow + duration_s - 0.3  # ≈ transmit epoch at m_star
-    ephs = [circular_ephemeris_for_position(
-        sat_pos[i], truth, t_eval, prn=p, toe_quantum=60.0)
-        for i, p in enumerate(prns)]
-
-    t0 = time.time()
-    sats = tuple(
-        SatelliteConfig(
-            signal="GalileoE1B", prn=p, cn0_dbhz=cn0_dbhz,
-            doppler_hz=0.0, range_m=float(ranges[i]), nav_data=True,
-            nav_bits=tuple(int(v) for v in
-                           1 - 2 * build_sv_nav_symbols(
-                               ephs[i], p, tow_w5)))
-        for i, p in enumerate(prns))
-    cfg = ScenarioConfig(sample_rate=FS, duration_s=duration_s,
-                         satellites=sats,
-                         receiver=ReceiverConfig(lat_deg=45.0,
-                                                 lon_deg=7.0),
-                         seed=101)
-    rx = GnssScenario(cfg).generate_device(duration_s)
-    rx.block_until_ready()
-    gen_s = time.time() - t0
-
-    # --- acquisition: PCPS with sub-sample CBOC replica bank ---------
     code_len = 4092 * sc.SUBCHIP
     n_per = int(round(FS * T_EP))
     waves = [sc._spread_waveform(SatelliteConfig(signal="GalileoE1B",
@@ -271,7 +243,59 @@ def main(cn0_dbhz: float = 48.0) -> dict:
     cn0_est = float(np.median(np.asarray(
         jax.device_get(outs.cn0_dbhz))[:, -500:]))
     track_s = time.time() - t2
+    return {"det": det, "istart": istart, "bs": bs,
+            "code_len": code_len, "phase_ref": phase_ref,
+            "prompt_i": prompt_i, "code_ph": code_ph,
+            "cn0_est": cn0_est, "acquire_s": acquire_s,
+            "track_s": track_s}
 
+
+def main(cn0_dbhz: float = 48.0) -> dict:
+    import jax
+
+    from r4w_tpu.gnss import pvt
+    from r4w_tpu.gnss.ephemeris import circular_ephemeris_for_position
+    from r4w_tpu.gnss.scenario import (GnssScenario, ReceiverConfig,
+                                       SatelliteConfig, ScenarioConfig)
+
+    truth, sat_pos = _geometry()
+    prns = list(range(1, len(sat_pos) + 1))
+    ranges = np.linalg.norm(sat_pos - truth, axis=1)
+    c = pvt.SPEED_OF_LIGHT
+
+    # symbol 0 transmits at t0_sow; word-5 pages start 9 s later
+    t0_sow = 345_600.0
+    tow_w5 = t0_sow + (250 + 4 * 500) * T_EP
+    duration_s = 11.2
+    t_eval = t0_sow + duration_s - 0.3  # ≈ transmit epoch at m_star
+    ephs = [circular_ephemeris_for_position(
+        sat_pos[i], truth, t_eval, prn=p, toe_quantum=60.0)
+        for i, p in enumerate(prns)]
+
+    t0 = time.time()
+    sats = tuple(
+        SatelliteConfig(
+            signal="GalileoE1B", prn=p, cn0_dbhz=cn0_dbhz,
+            doppler_hz=0.0, range_m=float(ranges[i]), nav_data=True,
+            nav_bits=tuple(int(v) for v in
+                           1 - 2 * build_sv_nav_symbols(
+                               ephs[i], p, tow_w5)))
+        for i, p in enumerate(prns))
+    cfg = ScenarioConfig(sample_rate=FS, duration_s=duration_s,
+                         satellites=sats,
+                         receiver=ReceiverConfig(lat_deg=45.0,
+                                                 lon_deg=7.0),
+                         seed=101)
+    rx = GnssScenario(cfg).generate_device(duration_s)
+    rx.block_until_ready()
+    gen_s = time.time() - t0
+
+    rcv = e1b_receiver(rx, prns)
+    det = rcv["det"]
+    acquire_s, track_s = rcv["acquire_s"], rcv["track_s"]
+    istart, bs, code_len = rcv["istart"], rcv["bs"], rcv["code_len"]
+    phase_ref, prompt_i = rcv["phase_ref"], rcv["prompt_i"]
+    code_ph, cn0_est = rcv["code_ph"], rcv["cn0_est"]
     # --- nav decode + transmit times + solve (host) ------------------
     n_blocks = prompt_i.shape[1]
     m_star = n_blocks - 10

@@ -117,13 +117,78 @@ def decode_sv_channel(prompt_i: np.ndarray, code_phase: np.ndarray,
     return rec, eph, t_tx
 
 
-def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
-                 ) -> dict:
+def l1ca_receiver(rx, prns, fs: float = FS_DEC) -> dict:
+    """GPS L1 C/A receiver front end on a device-resident capture:
+    PCPS acquisition (short slice, code phase + Doppler seed) → the
+    production Costas DLL/PLL over the full capture, one vmapped
+    channel per PRN with code-epoch-aligned windows. Shared by the
+    GPS-only gate and tools/dual_pvt.py."""
     import jax
     import jax.numpy as jnp
 
-    from r4w_tpu.gnss import acquisition, nav_message as nm
-    from r4w_tpu.gnss import prn as prn_mod, pvt, tracking
+    from r4w_tpu.gnss import acquisition, prn as prn_mod, tracking
+
+    sps = int(round(fs / CHIP_RATE))
+    codes = np.stack([prn_mod.gps_ca_code(p) for p in prns]
+                     ).astype(np.float32)
+    codes_os = np.repeat(codes, sps, axis=1)
+    acq_cfg = acquisition.PcpsConfig(doppler_max_hz=500.0,
+                                     doppler_step_hz=250.0,
+                                     coherent_periods=8, threshold=2.0)
+    t1 = time.time()
+    n_acq = int(fs * 0.012)
+    res = acquisition.acquire(rx[:n_acq], jnp.asarray(codes_os), prns,
+                              fs, acq_cfg)
+    acquire_s = time.time() - t1
+    det = np.asarray(res.detected)
+    tau = np.asarray(res.code_phase, np.float64)  # samples to chip 0
+    dop = np.asarray(res.doppler_hz, np.float64)
+
+    # --- track all PRNs with the production DLL/PLL ------------------
+    # Each channel's integration windows are aligned to ITS OWN code
+    # epochs: start at floor(tau) samples and carry only the
+    # sub-sample remainder as initial code phase (the e1c_tracking
+    # lesson). Sample-grid-aligned windows put the nav-bit flip
+    # mid-block for channels with code phase near half a period; the
+    # near-zero straddle prompt then kicks the Costas/FLL every 20 ms
+    # and the loop occasionally slips 180° — measured 5-40% bit
+    # inversions on exactly the SVs whose delay fraction was near
+    # 0.5 ms (tools/pvt_diag2.py, r5).
+    t2 = time.time()
+    tcfg = tracking.TrackingConfig(sample_rate=fs, costas=True,
+                                   fll_gain=0.2)
+    cps = CHIP_RATE / fs  # chips per sample
+    istart = np.floor(tau).astype(np.int64)
+    frac = tau - istart
+    phase0 = (1023.0 - frac * cps) % 1023.0
+    bs = tcfg.block_size
+    n_keep = ((rx.shape[0] - int(istart.max())) // bs) * bs
+    st0 = tracking.init_state(tcfg,
+                              jnp.asarray(phase0, jnp.float32),
+                              jnp.asarray(dop, jnp.float32))
+    run = jax.jit(jax.vmap(
+        lambda s, code, i0, x: tracking.track(
+            tcfg, s, jax.lax.dynamic_slice(x, (i0,), (n_keep,)), code),
+        in_axes=(0, 0, 0, None)))
+    _fin, outs = run(st0, jnp.asarray(codes),
+                     jnp.asarray(istart.astype(np.int32)), rx)
+    prompt_i = np.asarray(jax.device_get(outs.prompt_i), np.float64)
+    code_ph = np.asarray(jax.device_get(outs.code_phase), np.float64)
+    cn0_est = float(np.median(np.asarray(
+        jax.device_get(outs.cn0_dbhz))[:, -2000:]))
+    track_s = time.time() - t2
+    return {"det": det, "istart": istart, "bs": bs,
+            "phase0": phase0, "prompt_i": prompt_i,
+            "code_ph": code_ph, "cn0_est": cn0_est,
+            "acquire_s": acquire_s, "track_s": track_s}
+
+
+def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
+                 ) -> dict:
+    import jax
+
+    from r4w_tpu.gnss import nav_message as nm
+    from r4w_tpu.gnss import pvt
     from r4w_tpu.gnss.ephemeris import circular_ephemeris_for_position
     from r4w_tpu.gnss.scenario import (GnssScenario, ReceiverConfig,
                                        SatelliteConfig, ScenarioConfig)
@@ -158,56 +223,12 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
     rx.block_until_ready()
     gen_s = time.time() - t0
 
-    # --- acquisition on a short slice (code phase + Doppler seed) ----
-    sps = int(round(FS_DEC / CHIP_RATE))
-    codes = np.stack([prn_mod.gps_ca_code(p) for p in prns]
-                     ).astype(np.float32)
-    codes_os = np.repeat(codes, sps, axis=1)
-    acq_cfg = acquisition.PcpsConfig(doppler_max_hz=500.0,
-                                     doppler_step_hz=250.0,
-                                     coherent_periods=8, threshold=2.0)
-    t1 = time.time()
-    n_acq = int(FS_DEC * 0.012)
-    res = acquisition.acquire(rx[:n_acq], jnp.asarray(codes_os), prns,
-                              FS_DEC, acq_cfg)
-    acquire_s = time.time() - t1
-    det = np.asarray(res.detected)
-    tau = np.asarray(res.code_phase, np.float64)  # samples to chip 0
-    dop = np.asarray(res.doppler_hz, np.float64)
-
-    # --- track all 6 PRNs with the production DLL/PLL ----------------
-    # Each channel's integration windows are aligned to ITS OWN code
-    # epochs: start at floor(tau) samples and carry only the
-    # sub-sample remainder as initial code phase (the e1c_tracking
-    # lesson). Sample-grid-aligned windows put the nav-bit flip
-    # mid-block for channels with code phase near half a period; the
-    # near-zero straddle prompt then kicks the Costas/FLL every 20 ms
-    # and the loop occasionally slips 180° — measured 5-40% bit
-    # inversions on exactly the SVs whose delay fraction was near
-    # 0.5 ms (tools/pvt_diag2.py, r5).
-    t2 = time.time()
-    tcfg = tracking.TrackingConfig(sample_rate=FS_DEC, costas=True,
-                                   fll_gain=0.2)
-    cps = CHIP_RATE / FS_DEC  # chips per sample
-    istart = np.floor(tau).astype(np.int64)
-    frac = tau - istart
-    phase0 = (1023.0 - frac * cps) % 1023.0
-    bs = tcfg.block_size
-    n_keep = ((rx.shape[0] - int(istart.max())) // bs) * bs
-    st0 = tracking.init_state(tcfg,
-                              jnp.asarray(phase0, jnp.float32),
-                              jnp.asarray(dop, jnp.float32))
-    run = jax.jit(jax.vmap(
-        lambda s, code, i0, x: tracking.track(
-            tcfg, s, jax.lax.dynamic_slice(x, (i0,), (n_keep,)), code),
-        in_axes=(0, 0, 0, None)))
-    _fin, outs = run(st0, jnp.asarray(codes),
-                     jnp.asarray(istart.astype(np.int32)), rx)
-    prompt_i = np.asarray(jax.device_get(outs.prompt_i), np.float64)
-    code_ph = np.asarray(jax.device_get(outs.code_phase), np.float64)
-    cn0_est = float(np.median(np.asarray(
-        jax.device_get(outs.cn0_dbhz))[:, -2000:]))
-    track_s = time.time() - t2
+    rcv = l1ca_receiver(rx, prns)
+    det = rcv["det"]
+    acquire_s, track_s = rcv["acquire_s"], rcv["track_s"]
+    istart, bs = rcv["istart"], rcv["bs"]
+    phase0, prompt_i = rcv["phase0"], rcv["prompt_i"]
+    code_ph, cn0_est = rcv["code_ph"], rcv["cn0_est"]
 
     # --- nav decode + transmit times + solve (host) ------------------
     # Block m of channel i starts at receiver sample istart_i + m·bs,
