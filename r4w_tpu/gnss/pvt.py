@@ -31,6 +31,9 @@ class PvtSolution:
     hdop: float
     vdop: float
     iterations: int
+    # multi-constellation solves: c·dt per system label (the first
+    # system's bias also lands in clock_bias_m); None for single-system
+    system_biases_m: dict | None = None
 
     @property
     def lla(self) -> np.ndarray:
@@ -79,6 +82,63 @@ def solve_position(sat_positions, pseudoranges, x0=None,
                        velocity_ecef=None, clock_drift_mps=None,
                        residuals_m=resid, gdop=gdop, pdop=pdop,
                        hdop=hdop, vdop=vdop, iterations=it)
+
+
+def solve_position_multi(sat_positions, pseudoranges, systems,
+                         x0=None, max_iter: int = 10,
+                         tol_m: float = 1e-4) -> PvtSolution:
+    """Joint multi-constellation Gauss-Newton fix: 3 position unknowns
+    plus ONE receiver clock-bias state PER SYSTEM (the standard
+    inter-system-bias / GGTO formulation — each constellation's time
+    base and receiver-chain group delay folds into its own c·dt).
+
+    systems: length-N sequence of hashable labels (e.g. "gps"/"gal").
+    Needs N >= 3 + n_systems. DOP factors are computed from the
+    position block of the full (3+K)-state geometry matrix.
+    """
+    sats = np.asarray(sat_positions, np.float64)
+    rho = np.asarray(pseudoranges, np.float64)
+    labels = list(systems)
+    n = len(rho)
+    order = list(dict.fromkeys(labels))          # first-seen order
+    k = len(order)
+    ind = np.zeros((n, k))
+    for i, lab in enumerate(labels):
+        ind[i, order.index(lab)] = 1.0
+    if n < 3 + k:
+        raise ValueError(f"multi-system PVT needs >= {3 + k} satellites")
+    x = np.zeros(3 + k)
+    if x0 is not None:
+        x[:3] = np.asarray(x0, np.float64)
+    it = 0
+    for it in range(1, max_iter + 1):
+        d = sats - x[:3]
+        r = np.linalg.norm(d, axis=1)
+        resid = rho - (r + ind @ x[3:])
+        g = np.concatenate([-d / r[:, None], ind], axis=1)
+        dx, *_ = np.linalg.lstsq(g, resid, rcond=None)
+        x = x + dx
+        if np.linalg.norm(dx[:3]) < tol_m:
+            break
+
+    d = sats - x[:3]
+    r = np.linalg.norm(d, axis=1)
+    resid = rho - (r + ind @ x[3:])
+    g = np.concatenate([-d / r[:, None], ind], axis=1)
+    q = np.linalg.inv(g.T @ g)
+    gdop = float(np.sqrt(np.trace(q[:4, :4])))
+    pdop = float(np.sqrt(np.trace(q[:3, :3])))
+    lla = np.asarray(ecef_to_lla(x[:3]))
+    m = np.asarray(ecef_to_enu_matrix(lla[0], lla[1]))
+    q_enu = m @ q[:3, :3] @ m.T
+    hdop = float(np.sqrt(q_enu[0, 0] + q_enu[1, 1]))
+    vdop = float(np.sqrt(q_enu[2, 2]))
+    return PvtSolution(
+        position_ecef=x[:3], clock_bias_m=float(x[3]),
+        velocity_ecef=None, clock_drift_mps=None, residuals_m=resid,
+        gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop, iterations=it,
+        system_biases_m={lab: float(x[3 + j])
+                         for j, lab in enumerate(order)})
 
 
 def solve_velocity(solution: PvtSolution, sat_positions, sat_velocities,

@@ -101,6 +101,86 @@ class TestPointSolution:
         assert dop_c > 2 * dop_s
 
 
+class TestMultiSystem:
+    """solve_position_multi: one clock-bias state per constellation
+    (ISB/GGTO formulation)."""
+
+    def test_recovers_distinct_system_biases(self):
+        truth = np.asarray(lla_to_ecef(45.0, 7.0, 250.0))
+        gps = _constellation(truth, n=5, seed=10)
+        gal = _constellation(truth, n=5, seed=11, radius=29_600e3)
+        sats = np.concatenate([gps, gal])
+        systems = ["gps"] * 5 + ["gal"] * 5
+        b = {"gps": 39_000.0, "gal": 39_126.0}  # 126 m ISB
+        rho = (np.linalg.norm(sats - truth, axis=1)
+               + np.asarray([b[s] for s in systems]))
+        sol = pvt.solve_position_multi(sats, rho, systems)
+        assert np.linalg.norm(sol.position_ecef - truth) < 1e-3
+        assert sol.system_biases_m["gps"] == pytest.approx(b["gps"],
+                                                           abs=1e-3)
+        assert sol.system_biases_m["gal"] == pytest.approx(b["gal"],
+                                                           abs=1e-3)
+        assert sol.clock_bias_m == pytest.approx(b["gps"], abs=1e-3)
+        assert np.abs(sol.residuals_m).max() < 1e-3
+
+    def test_single_shared_bias_aliases_isb_into_position(self):
+        """The failure mode the multi solve exists for: solving a
+        dual-constellation set with ONE clock state leaks the
+        inter-system bias into the position estimate."""
+        truth = np.asarray(lla_to_ecef(45.0, 7.0, 250.0))
+        gps = _constellation(truth, n=5, seed=10)
+        gal = _constellation(truth, n=5, seed=11, radius=29_600e3)
+        sats = np.concatenate([gps, gal])
+        systems = ["gps"] * 5 + ["gal"] * 5
+        isb = 130.0
+        rho = (np.linalg.norm(sats - truth, axis=1)
+               + np.where(np.arange(10) < 5, isb, 0.0))
+        err_single = np.linalg.norm(
+            pvt.solve_position(sats, rho).position_ecef - truth)
+        err_multi = np.linalg.norm(
+            pvt.solve_position_multi(sats, rho,
+                                     systems).position_ecef - truth)
+        assert err_multi < 1e-3
+        assert err_single > 10 * max(err_multi, 1.0)
+
+    def test_degenerates_to_single_system(self):
+        truth = np.asarray(lla_to_ecef(45.0, 7.0, 250.0))
+        sats = _constellation(truth, n=6, seed=12)
+        rho = np.linalg.norm(sats - truth, axis=1) + 7_000.0
+        sol = pvt.solve_position_multi(sats, rho, ["gps"] * 6)
+        ref = pvt.solve_position(sats, rho)
+        assert np.linalg.norm(sol.position_ecef
+                              - ref.position_ecef) < 1e-6
+        assert sol.gdop == pytest.approx(ref.gdop, rel=1e-9)
+        assert sol.system_biases_m == {"gps": pytest.approx(7_000.0,
+                                                            abs=1e-3)}
+
+    def test_needs_enough_sats_for_states(self):
+        truth = np.asarray(lla_to_ecef(0.0, 0.0, 0.0))
+        sats = _constellation(truth, n=4, seed=13)
+        with pytest.raises(ValueError, match=">= 5"):
+            pvt.solve_position_multi(sats, np.ones(4),
+                                     ["gps", "gps", "gal", "gal"])
+
+    def test_noisy_dual_fix_beats_isb_magnitude(self):
+        """With metre-level noise and a 130 m ISB, the joint fix stays
+        at the noise·DOP scale, nowhere near the ISB scale."""
+        truth = np.asarray(lla_to_ecef(45.0, 7.0, 250.0))
+        gps = _constellation(truth, n=5, seed=14)
+        gal = _constellation(truth, n=5, seed=15, radius=29_600e3)
+        sats = np.concatenate([gps, gal])
+        systems = ["gps"] * 5 + ["gal"] * 5
+        rng = np.random.default_rng(16)
+        rho = (np.linalg.norm(sats - truth, axis=1)
+               + np.where(np.arange(10) < 5, 130.0, 0.0)
+               + rng.normal(0, 3.0, 10))
+        sol = pvt.solve_position_multi(sats, rho, systems)
+        err = np.linalg.norm(sol.position_ecef - truth)
+        assert err < 5 * 3.0 * sol.pdop
+        assert (sol.system_biases_m["gps"] - sol.system_biases_m["gal"]
+                == pytest.approx(130.0, abs=15.0))
+
+
 class TestVelocity:
     def test_velocity_and_drift(self):
         truth = np.asarray(lla_to_ecef(45.0, 7.0, 100.0))
