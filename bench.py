@@ -318,6 +318,31 @@ def bench_gps_pvt_fix():
             "track_s": out.get("track_s", 0.0)}
 
 
+def bench_dual_pvt():
+    """Dual-constellation GPS+Galileo joint IQ→PVT (r5 flagship): one
+    scenario carries 5 GPS L1 C/A + 5 Galileo E1B SVs; both front ends
+    run on the same samples, decode LNAV SF1-3 and I/NAV words 1-5,
+    and the joint solve carries an inter-system clock-bias state
+    (tools/dual_pvt.py; gate err < 60 m, 10/10 decoded)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.dual_pvt import main as dual_main
+
+    out = dual_main()
+    return {"error_m": out["value"], "pass": out["pass"],
+            "mode": out["mode"],
+            "acquired": f"{out['acquired']}/{out['of']}",
+            "decoded": f"{out['decoded']}/{out['of']}",
+            "gps_only_m": (out.get("gps_only") or {}).get("error_m"),
+            "galileo_only_m": (out.get("galileo_only")
+                               or {}).get("error_m"),
+            "isb_m": (out.get("joint") or {}).get("isb_m"),
+            "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
+            "track_s": out["track_s"]}
+
+
 def bench_e1c_tracking():
     """Galileo E1C acquisition→tracking handoff: 8 DLL/PLL channels
     seeded from the PCPS states hold lock across the C/N0-34 scenario
@@ -807,6 +832,7 @@ BENCHES = {
     "pcps_gcorr": bench_pcps_gcorr,
     "e1c_gate": bench_e1c_gate,
     "gps_pvt_fix": bench_gps_pvt_fix,
+    "dual_pvt": bench_dual_pvt,
     "e1c_tracking": bench_e1c_tracking,
     "device_sweep": bench_device_sweep,
 }
@@ -944,6 +970,7 @@ BUDGETS = {
     "viterbi_info_bits": 480.0,  # pallas AOT warmup ~150 s + transfers
     "e1c_gate": 600.0,         # gen ~250 s + acquire ~65 s + margin
     "gps_pvt_fix": 600.0,
+    "dual_pvt": 700.0,         # measured 254 gen + 120 acq + 90 trk
     "e1c_tracking": 600.0,
     "udp_rx": 180.0,
 }
@@ -961,6 +988,9 @@ CACHEABLE = {
     # decoded-ephemeris mode (r5): gen 25-90 s (device-resident) +
     # acquire ~55-75 s + track ~37 s + host decode, measured on TPU
     "gps_pvt_fix": 260.0,
+    # dual-constellation joint fix: 10-SV scenario gen 254 s + both
+    # front ends (acquire 120 s + track 90 s), measured on TPU r5
+    "dual_pvt": 500.0,
     # marginal after e1c_gate in the same child (shared capture memo);
     # still budgeted for the child-restarted worst case. r5 adds the
     # E1B I/NAV phase (own 4.35 s dual-component capture + long
@@ -1063,6 +1093,9 @@ def _gates_summary():
         g["pvt_err_m"] = pvt["error_m"]
         if pvt.get("mode"):
             g["pvt_mode"] = pvt["mode"]
+    dual = has("dual_pvt")
+    if dual and "error_m" in dual:
+        g["dual_pvt_m"] = dual["error_m"]
     lora = has("lora_sweep")
     if lora and "compute_s" in lora:
         g["lora_sweep_s"] = lora["compute_s"]
@@ -1126,7 +1159,7 @@ def _build_headline():
                 "device": fft["device"],
                 "msps": msps,
                 "gates": _gates_summary(),
-                "record": "docs/bench_records/last_run.json",
+                "record": os.path.relpath(PARTIAL_PATH, _HERE),
             },
         }
         if errors:
@@ -1148,7 +1181,7 @@ def _build_headline():
             "cpu_msps": {
                 n: int(round(r["Msps"]))
                 for n, r in RUN.cpu_results.items() if "Msps" in r},
-            "record": "docs/bench_records/last_run.json",
+            "record": os.path.relpath(PARTIAL_PATH, _HERE),
         },
     }
     if errors:
@@ -1281,8 +1314,8 @@ def run_suite(order):
         e = cache.get(n)
         return (time.time() - e["recorded_unix"]) if e else float("inf")
 
-    units = [["gps_pvt_fix"], ["e1c_gate", "e1c_tracking"],
-             ["device_sweep"]]
+    units = [["gps_pvt_fix"], ["dual_pvt"],
+             ["e1c_gate", "e1c_tracking"], ["device_sweep"]]
     tail = [n for u in units for n in u]
     priority = None
     if all(n in order for n in tail):
@@ -1391,7 +1424,8 @@ ORDER = [
     # cacheable acceptance tail (slowest last); e1c_tracking AFTER
     # e1c_gate — both share one memoized scenario capture per child
     # (tools/e1c_common.py), so tracking costs ~10 s marginal
-    "gps_pvt_fix", "e1c_gate", "e1c_tracking", "device_sweep",
+    "gps_pvt_fix", "dual_pvt", "e1c_gate", "e1c_tracking",
+    "device_sweep",
 ]
 
 

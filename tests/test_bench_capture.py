@@ -74,6 +74,13 @@ def _full_suite_results():
                         "mode": "decoded_ephemeris", "clock_bias_m": 10.5,
                         "gen_s": 4.2, "acquire_s": 47.6, "device": dev,
                         "wall_s": 51.9},
+        "dual_pvt": {"error_m": 23.1, "pass": True, "acquired": "10/10",
+                     "decoded": "10/10",
+                     "mode": "decoded_ephemeris_joint",
+                     "gps_only_m": 52.5, "galileo_only_m": 38.1,
+                     "isb_m": 126.2, "gen_s": 254.4, "acquire_s": 120.0,
+                     "track_s": 89.7, "device": dev, "wall_s": 470.0,
+                     "cached": True, "cache_age_h": 3.0},
         "e1c_gate": {"acquired": "8/8", "false_alarms": 0,
                      "worst_present_metric": 4.07,
                      "best_absent_metric": 1.74, "gen_s": 7.7,
@@ -108,6 +115,7 @@ def test_headline_fits_driver_tail_window_full_suite():
     gates = out["extra"]["gates"]
     assert gates["e1c_acq"] == "8/8" and gates["e1c_trk"] == "8/8"
     assert gates["pvt_err_m"] == 31.7 and gates["sweep"] == "50/50"
+    assert gates["dual_pvt_m"] == 23.1
     assert out["extra"]["msps"]["cmul"] == 10281
     assert out["extra"]["record"] == "docs/bench_records/last_run.json"
 
