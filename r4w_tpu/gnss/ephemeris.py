@@ -255,11 +255,14 @@ def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
                                     t_eval: float, prn: int = 1,
                                     af0: float = 0.0, af1: float = 0.0,
                                     af2: float = 0.0,
-                                    toe_quantum: float = 16.0
+                                    toe_quantum: float = 16.0,
+                                    range_rate_mps: float = 0.0
                                     ) -> BroadcastEphemeris:
     """Synthesize a circular-orbit broadcast ephemeris whose IS-GPS
     `position(t_eval)` equals pos_ecef exactly, with the along-track
-    velocity PERPENDICULAR to the receiver line of sight.
+    velocity oriented so the ECEF range rate toward the receiver is
+    `range_rate_mps` (default 0: velocity PERPENDICULAR to the line
+    of sight).
 
     Scenario-synthesis seam for signal-only PVT gates
     (tools/gps_pvt_fix.py): a static-geometry IQ scenario needs nav
@@ -285,8 +288,8 @@ def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
     # (the ephemeris algorithm rotates the orbit into ECEF, so the
     # effective ECEF velocity carries the −Ωe ẑ×p term). Pick the
     # inertial tangential direction, v_in = s(cosφ ê1 + sinφ ê2) ⟂ p̂
-    # with s = n·r, that zeroes it: s(a1 cosφ + a2 sinφ) = w where
-    # w = Ωe (ẑ×p)·L̂.
+    # with s = n·r, that makes it equal the target:
+    # s(a1 cosφ + a2 sinφ) = w where w = Ωe (ẑ×p)·L̂ + rdot_target.
     n_mot0 = math.sqrt(MU / r ** 3)
     s = n_mot0 * r
     e1 = np.cross(p_hat, [0.0, 0.0, 1.0])
@@ -295,7 +298,8 @@ def circular_ephemeris_for_position(pos_ecef, receiver_ecef,
     e1 /= np.linalg.norm(e1)
     e2 = np.cross(p_hat, e1)
     a1, a2 = float(e1 @ l_hat), float(e2 @ l_hat)
-    w = OMEGA_E * float(np.cross([0.0, 0.0, 1.0], p) @ l_hat)
+    w = (OMEGA_E * float(np.cross([0.0, 0.0, 1.0], p) @ l_hat)
+         + float(range_rate_mps))
     amp = s * math.hypot(a1, a2)
     phi0 = math.atan2(a2, a1)
     if amp > 1e-9 and abs(w) <= amp:

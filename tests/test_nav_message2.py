@@ -123,6 +123,20 @@ class TestCircularEphemeris:
         eph = circular_ephemeris_for_position(sats[0], rcv, 9618.3)
         assert eph.toe % 16.0 == 0.0
 
+    def test_target_range_rate_matched(self):
+        """range_rate_mps orients the along-track velocity so the ECEF
+        range rate toward the receiver equals the target (the seam for
+        Doppler-spread scenarios, tools/dual_pvt.py)."""
+        rcv, sats = _geometry(seed=6)
+        t_eval = 345_616.2
+        for p, rdot in zip(sats, (-90.0, -30.0, 45.0, 85.0)):
+            eph = circular_ephemeris_for_position(
+                p, rcv, t_eval, range_rate_mps=rdot)
+            assert np.linalg.norm(eph.position(t_eval) - p) < 1e-6
+            r_m = np.linalg.norm(eph.position(t_eval - 0.25) - rcv)
+            r_p = np.linalg.norm(eph.position(t_eval + 0.25) - rcv)
+            assert (r_p - r_m) / 0.5 == pytest.approx(rdot, abs=0.05)
+
 
 class TestFrameSync:
     def _stream(self, offset=137, polarity=0, seed=1):

@@ -95,16 +95,49 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
     gal_prns = list(range(1, len(gal_pos) + 1))
     c = pvt.SPEED_OF_LIGHT
 
+    # Distinct per-SV range rates (=> Doppler spread): ten satellites
+    # at ZERO relative Doppler is the C/A multi-access worst case —
+    # the -24 dB cross-correlations are STATIC and bias each DLL by
+    # tens of meters (measured ±25 m GPS pseudorange spread in the
+    # all-zero-Doppler run); with >=100 Hz relative Doppler the MAI
+    # rotates far above the loop bandwidth and averages out. Rates
+    # stay inside the acquisition searches (GPS ±500 Hz, E1B ±400 Hz;
+    # 5.255 Hz per m/s at L1).
+    gps_rdot = [-90.0, -45.0, 0.0, 40.0, 85.0]
+    gal_rdot = [-70.0, -30.0, 15.0, 50.0, 75.0]
+
     # shared time base: every SV's nav bit/symbol 0 transmits at t0_sow
     tow_sf4 = 57_600
     t0_sow = nm.subframe_start_sow(tow_sf4)
     tow_w5 = t0_sow + (250 + 4 * 500) * gal.T_EP
     t_eval = t0_sow + duration_s - 0.3
-    gps_ephs = [circular_ephemeris_for_position(gps_pos[i], truth,
-                                                t_eval, prn=p)
-                for i, p in enumerate(gps_prns)]
+    t_el_eval = t_eval - t0_sow
+
+    def _range_at_tx(pos0, rdot, t_el_tx):
+        """Satellite-to-receiver distance at TRANSMIT time t_el_tx
+        (elapsed). The scenario synthesizes delay at RECEIVE time
+        (delay(t_rx) = range(t_rx)/c with range(t) = r0 + rdot·t), so
+        the distance the solver must see at transmit time satisfies
+        R = r0 + rdot·(t_el_tx + R/c) — i.e. the receive-time range of
+        the epoch when this wavefront lands."""
+        r0 = float(np.linalg.norm(pos0 - truth))
+        return (r0 + rdot * t_el_tx) / (1.0 - rdot / c)
+
+    def _eval_pos(pos0, rdot):
+        """Satellite position at t_eval on the truth range trajectory
+        along the fixed LOS (the static scenario path synthesizes
+        range, not a 3-D track)."""
+        los = pos0 - truth
+        r0 = np.linalg.norm(los)
+        return truth + _range_at_tx(pos0, rdot, t_el_eval) * (los / r0)
+
+    gps_ephs = [circular_ephemeris_for_position(
+        _eval_pos(gps_pos[i], gps_rdot[i]), truth, t_eval, prn=p,
+        range_rate_mps=gps_rdot[i])
+        for i, p in enumerate(gps_prns)]
     gal_ephs = [circular_ephemeris_for_position(
-        gal_pos[i], truth, t_eval, prn=p, toe_quantum=60.0)
+        _eval_pos(gal_pos[i], gal_rdot[i]), truth, t_eval, prn=p,
+        toe_quantum=60.0, range_rate_mps=gal_rdot[i])
         for i, p in enumerate(gal_prns)]
 
     t0 = time.time()
@@ -112,6 +145,7 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
         SatelliteConfig(
             signal="GpsL1Ca", prn=p, cn0_dbhz=cn0_dbhz, doppler_hz=0.0,
             range_m=float(np.linalg.norm(gps_pos[i] - truth)),
+            range_rate_mps=gps_rdot[i],
             nav_data=True,
             nav_bits=tuple(int(v) for v in
                            1 - 2 * gps.build_sv_nav_bits(gps_ephs[i],
@@ -121,6 +155,7 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
             signal="GalileoE1B", prn=p, cn0_dbhz=cn0_dbhz,
             doppler_hz=0.0,
             range_m=float(np.linalg.norm(gal_pos[i] - truth)),
+            range_rate_mps=gal_rdot[i],
             nav_data=True,
             nav_bits=tuple(int(v) for v in
                            1 - 2 * gal.build_sv_nav_symbols(
@@ -140,7 +175,10 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
     er = gal.e1b_receiver(rx, gal_prns)
 
     # --- decode + transmit times per channel (host) -------------------
-    recs, cons, sat_ps, rhos = [], [], [], []
+    def _truth_range(pos0, rdot, t_tx):
+        return _range_at_tx(pos0, rdot, t_tx - t0_sow)
+
+    recs, cons, sat_ps, truth_ps, rhos = [], [], [], [], []
     m_g = gr["prompt_i"].shape[1] - 10
     for i, p in enumerate(gps_prns):
         rec, eph_dec, t_tx = gps.decode_sv_channel(
@@ -153,7 +191,12 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
             sat_ps.append(np.asarray(eph_dec.position(t_tx)))
             rhos.append(c * (t_rx - t_tx))
             rec["rho_err_m"] = round(
-                rhos[-1] - float(np.linalg.norm(gps_pos[i] - truth)), 1)
+                rhos[-1] - _truth_range(gps_pos[i], gps_rdot[i], t_tx),
+                1)
+            los = gps_pos[i] - truth
+            truth_ps.append(truth + _truth_range(
+                gps_pos[i], gps_rdot[i], t_tx)
+                * los / np.linalg.norm(los))
             cons.append("gps")
     m_e = er["prompt_i"].shape[1] - 10
     for i, p in enumerate(gal_prns):
@@ -167,11 +210,18 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
             sat_ps.append(np.asarray(eph_dec.position(t_tx)))
             rhos.append(c * (t_rx - t_tx))
             rec["rho_err_m"] = round(
-                rhos[-1] - float(np.linalg.norm(gal_pos[i] - truth)), 1)
+                rhos[-1] - _truth_range(gal_pos[i], gal_rdot[i], t_tx),
+                1)
+            los = gal_pos[i] - truth
+            truth_ps.append(truth + _truth_range(
+                gal_pos[i], gal_rdot[i], t_tx)
+                * los / np.linalg.norm(los))
             cons.append("gal")
 
     cons = np.asarray(cons)
     sat_ps = np.stack(sat_ps) if len(sat_ps) else np.zeros((0, 3))
+    truth_ps = (np.stack(truth_ps) if len(truth_ps)
+                else np.zeros((0, 3)))
     rhos = np.asarray(rhos)
 
     def _solve(mask):
@@ -213,10 +263,9 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
     gps_only = _solve(cons == "gps")
     gal_only = _solve(cons == "gal")
 
-    # control: same rhos against TRUTH satellite positions — separates
+    # control: same rhos against TRUTH satellite positions (on the
+    # truth range trajectory at each decoded t_tx) — separates
     # decoded-ephemeris position error from pseudorange error
-    truth_ps = np.concatenate([gps_pos, gal_pos])[
-        [i for i, r in enumerate(recs) if "rho_err_m" in r]]
     ctrl = None
     if len(rhos) >= 5 and len(set(cons.tolist())) == 2:
         sol = pvt.solve_position_multi(truth_ps, rhos, cons.tolist())
