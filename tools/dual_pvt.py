@@ -18,7 +18,10 @@ L1CA PCPS + Costas DLL/PLL (1 ms blocks) and E1B sub-sample-bank PCPS
 forms all ten transmit times from DECODED TOW (no supplied
 milliseconds, no truth positions), and solves three fixes from the
 same observables: GPS-only, Galileo-only, and the joint
-10-satellite solution.
+10-satellite solution — plus the velocity/clock-drift solve from the
+tracked carrier Dopplers against decoded-ephemeris satellite
+velocities (the receiver is static, so the solved speed is the
+end-to-end Doppler error budget).
 
 Prints ONE JSON line. Run on the TPU:
   timeout 1800 python tools/dual_pvt.py
@@ -113,31 +116,13 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
     t_eval = t0_sow + duration_s - 0.3
     t_el_eval = t_eval - t0_sow
 
-    def _range_at_tx(pos0, rdot, t_el_tx):
-        """Satellite-to-receiver distance at TRANSMIT time t_el_tx
-        (elapsed). The scenario synthesizes delay at RECEIVE time
-        (delay(t_rx) = range(t_rx)/c with range(t) = r0 + rdot·t), so
-        the distance the solver must see at transmit time satisfies
-        R = r0 + rdot·(t_el_tx + R/c) — i.e. the receive-time range of
-        the epoch when this wavefront lands."""
-        r0 = float(np.linalg.norm(pos0 - truth))
-        return (r0 + rdot * t_el_tx) / (1.0 - rdot / c)
-
-    def _eval_pos(pos0, rdot):
-        """Satellite position at t_eval on the truth range trajectory
-        along the fixed LOS (the static scenario path synthesizes
-        range, not a 3-D track)."""
-        los = pos0 - truth
-        r0 = np.linalg.norm(los)
-        return truth + _range_at_tx(pos0, rdot, t_el_eval) * (los / r0)
-
     gps_ephs = [circular_ephemeris_for_position(
-        _eval_pos(gps_pos[i], gps_rdot[i]), truth, t_eval, prn=p,
-        range_rate_mps=gps_rdot[i])
+        gps.eval_pos(gps_pos[i], truth, gps_rdot[i], t_el_eval), truth,
+        t_eval, prn=p, range_rate_mps=gps_rdot[i])
         for i, p in enumerate(gps_prns)]
     gal_ephs = [circular_ephemeris_for_position(
-        _eval_pos(gal_pos[i], gal_rdot[i]), truth, t_eval, prn=p,
-        toe_quantum=60.0, range_rate_mps=gal_rdot[i])
+        gps.eval_pos(gal_pos[i], truth, gal_rdot[i], t_el_eval), truth,
+        t_eval, prn=p, toe_quantum=60.0, range_rate_mps=gal_rdot[i])
         for i, p in enumerate(gal_prns)]
 
     t0 = time.time()
@@ -176,53 +161,59 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
 
     # --- decode + transmit times per channel (host) -------------------
     def _truth_range(pos0, rdot, t_tx):
-        return _range_at_tx(pos0, rdot, t_tx - t0_sow)
+        return gps.range_at_tx(pos0, truth, rdot, t_tx - t0_sow)
 
     recs, cons, sat_ps, truth_ps, rhos = [], [], [], [], []
+    sat_vs, rrs = [], []
+    lam = c / 1_575_420_000.0  # L1/E1 carrier wavelength
+
+    def _channel(front, i, sys_name, pos0, rdot, decode):
+        rec, eph_dec, t_tx = decode()
+        rec["sys"] = sys_name
+        recs.append(rec)
+        if eph_dec is None:
+            return
+        m = front["prompt_i"].shape[1] - 10
+        t_rx = t0_sow + (front["istart"][i] + m * front["bs"]) / FS
+        sat_ps.append(np.asarray(eph_dec.position(t_tx)))
+        rhos.append(c * (t_rx - t_tx))
+        rec["rho_err_m"] = round(
+            rhos[-1] - _truth_range(pos0, rdot, t_tx), 1)
+        los = pos0 - truth
+        truth_ps.append(truth + _truth_range(pos0, rdot, t_tx)
+                        * los / np.linalg.norm(los))
+        # velocity observables: tracked carrier Doppler (median of the
+        # last ~2 s of blocks) -> geometric range rate; satellite
+        # velocity from the decoded ephemeris (central difference)
+        n2s = max(1, int(round(2.0 * FS / front["bs"])))  # blocks in 2 s
+        dop_meas = float(np.median(front["carr_freq"][i, max(0, m - n2s):m]))
+        rrs.append(-dop_meas * lam)
+        sat_vs.append((np.asarray(eph_dec.position(t_tx + 0.5))
+                       - np.asarray(eph_dec.position(t_tx - 0.5))))
+        rec["rr_err_mps"] = round(rrs[-1] - rdot, 2)
+        cons.append(sys_name)
+
     m_g = gr["prompt_i"].shape[1] - 10
     for i, p in enumerate(gps_prns):
-        rec, eph_dec, t_tx = gps.decode_sv_channel(
-            gr["prompt_i"][i], gr["code_ph"][i, :-1],
-            float(gr["phase0"][i]), m_g, p)
-        rec["sys"] = "gps"
-        recs.append(rec)
-        if eph_dec is not None:
-            t_rx = t0_sow + (gr["istart"][i] + m_g * gr["bs"]) / FS
-            sat_ps.append(np.asarray(eph_dec.position(t_tx)))
-            rhos.append(c * (t_rx - t_tx))
-            rec["rho_err_m"] = round(
-                rhos[-1] - _truth_range(gps_pos[i], gps_rdot[i], t_tx),
-                1)
-            los = gps_pos[i] - truth
-            truth_ps.append(truth + _truth_range(
-                gps_pos[i], gps_rdot[i], t_tx)
-                * los / np.linalg.norm(los))
-            cons.append("gps")
+        _channel(gr, i, "gps", gps_pos[i], gps_rdot[i],
+                 lambda i=i, p=p: gps.decode_sv_channel(
+                     gr["prompt_i"][i], gr["code_ph"][i, :-1],
+                     float(gr["phase0"][i]), m_g, p))
     m_e = er["prompt_i"].shape[1] - 10
     for i, p in enumerate(gal_prns):
-        rec, eph_dec, t_tx = gal.decode_sv_channel(
-            er["prompt_i"][i], er["code_ph"][i, :-1],
-            float(er["phase_ref"][i]), m_e, p, er["code_len"])
-        rec["sys"] = "gal"
-        recs.append(rec)
-        if eph_dec is not None:
-            t_rx = t0_sow + (er["istart"][i] + m_e * er["bs"]) / FS
-            sat_ps.append(np.asarray(eph_dec.position(t_tx)))
-            rhos.append(c * (t_rx - t_tx))
-            rec["rho_err_m"] = round(
-                rhos[-1] - _truth_range(gal_pos[i], gal_rdot[i], t_tx),
-                1)
-            los = gal_pos[i] - truth
-            truth_ps.append(truth + _truth_range(
-                gal_pos[i], gal_rdot[i], t_tx)
-                * los / np.linalg.norm(los))
-            cons.append("gal")
+        _channel(er, i, "gal", gal_pos[i], gal_rdot[i],
+                 lambda i=i, p=p: gal.decode_sv_channel(
+                     er["prompt_i"][i], er["code_ph"][i, :-1],
+                     float(er["phase_ref"][i]), m_e, p,
+                     er["code_len"]))
 
     cons = np.asarray(cons)
     sat_ps = np.stack(sat_ps) if len(sat_ps) else np.zeros((0, 3))
     truth_ps = (np.stack(truth_ps) if len(truth_ps)
                 else np.zeros((0, 3)))
     rhos = np.asarray(rhos)
+    sat_vs = np.stack(sat_vs) if len(sat_vs) else np.zeros((0, 3))
+    rrs = np.asarray(rrs)
 
     def _solve(mask):
         if int(mask.sum()) < 4:
@@ -244,8 +235,19 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
     # offset into position (measured before ISB: +133 m GPS vs +7 m
     # Galileo common biases)
     joint = None
+    velocity = None
     if len(cons) >= 5 and len(set(cons.tolist())) == 2:
         sol = pvt.solve_position_multi(sat_ps, rhos, cons.tolist())
+        # velocity/clock-drift solve from the tracked carrier Doppler:
+        # the receiver is static, so the solved velocity magnitude IS
+        # the end-to-end Doppler-chain error budget
+        vsol = pvt.solve_velocity(sol, sat_ps, sat_vs, rrs)
+        speed = float(np.linalg.norm(np.asarray(vsol.velocity_ecef)))
+        velocity = {
+            "speed_mps": round(speed, 3),
+            "clock_drift_mps": round(float(vsol.clock_drift_mps), 3),
+            "pass": bool(speed < 1.0),
+        }
         joint = {
             "error_m": round(float(np.linalg.norm(
                 np.asarray(sol.position_ecef) - truth)), 1),
@@ -288,6 +290,7 @@ def main(cn0_dbhz: float = 48.0, duration_s: float = 24.3) -> dict:
         "decoded": decoded,
         "of": n_total,
         "joint": joint,
+        "velocity": velocity,
         "gps_only": gps_only,
         "galileo_only": gal_only,
         "truth_pos_control": ctrl,

@@ -243,11 +243,13 @@ def e1b_receiver(rx, prns) -> dict:
     cn0_est = float(np.median(np.asarray(
         jax.device_get(outs.cn0_dbhz))[:, -500:]))
     track_s = time.time() - t2
+    carr_freq = np.asarray(jax.device_get(outs.carrier_freq),
+                           np.float64)
     return {"det": det, "istart": istart, "bs": bs,
             "code_len": code_len, "phase_ref": phase_ref,
             "prompt_i": prompt_i, "code_ph": code_ph,
-            "cn0_est": cn0_est, "acquire_s": acquire_s,
-            "track_s": track_s}
+            "carr_freq": carr_freq, "cn0_est": cn0_est,
+            "acquire_s": acquire_s, "track_s": track_s}
 
 
 def main(cn0_dbhz: float = 48.0) -> dict:

@@ -68,6 +68,30 @@ def _geometry(n_sats=6, seed=0):
     return truth, np.asarray(sats)
 
 
+SPEED_OF_LIGHT = 299_792_458.0
+
+
+def range_at_tx(pos0, truth, rdot: float, t_el_tx: float) -> float:
+    """Satellite-to-receiver distance at TRANSMIT elapsed time t_el_tx
+    for a moving-range scenario. The scenario synthesizes delay at
+    RECEIVE time (delay(t_rx) = range(t_rx)/c, range(t) = r0 + rdot·t),
+    so the distance the solver must see at transmit time satisfies
+    R = r0 + rdot·(t_el_tx + R/c)."""
+    r0 = float(np.linalg.norm(np.asarray(pos0) - np.asarray(truth)))
+    return (r0 + rdot * t_el_tx) / (1.0 - rdot / SPEED_OF_LIGHT)
+
+
+def eval_pos(pos0, truth, rdot: float, t_el_eval: float) -> np.ndarray:
+    """Satellite position at the ephemeris anchor epoch on the truth
+    moving-range trajectory along the fixed LOS (the static scenario
+    path synthesizes range, not a 3-D track)."""
+    pos0 = np.asarray(pos0)
+    truth = np.asarray(truth)
+    los = pos0 - truth
+    r0 = np.linalg.norm(los)
+    return truth + range_at_tx(pos0, truth, rdot, t_el_eval) * (los / r0)
+
+
 def build_sv_nav_bits(eph, tow_count_sf4: int, week: int = WEEK
                       ) -> np.ndarray:
     """1200-bit LNAV stream: almanac-filler SF4 then SF1+SF2+SF3,
@@ -177,9 +201,12 @@ def l1ca_receiver(rx, prns, fs: float = FS_DEC) -> dict:
     cn0_est = float(np.median(np.asarray(
         jax.device_get(outs.cn0_dbhz))[:, -2000:]))
     track_s = time.time() - t2
+    carr_freq = np.asarray(jax.device_get(outs.carrier_freq),
+                           np.float64)
     return {"det": det, "istart": istart, "bs": bs,
             "phase0": phase0, "prompt_i": prompt_i,
-            "code_ph": code_ph, "cn0_est": cn0_est,
+            "code_ph": code_ph, "carr_freq": carr_freq,
+            "cn0_est": cn0_est,
             "acquire_s": acquire_s, "track_s": track_s}
 
 
@@ -198,19 +225,30 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
     ranges = np.linalg.norm(sat_pos - truth, axis=1)
     c = pvt.SPEED_OF_LIGHT
 
+    # Distinct per-SV range rates: six SVs at zero relative Doppler is
+    # the C/A multi-access worst case — static -24 dB cross-
+    # correlations bias each DLL by tens of meters (the dual_pvt
+    # measurement: Doppler spread cut the per-SV pseudorange spread
+    # from 48 to 19 m p-p). Rates stay inside the ±500 Hz acquisition
+    # search (5.255 Hz per m/s at L1).
+    rdots = [-90.0, -55.0, -20.0, 15.0, 50.0, 85.0][:len(prns)]
+
     # nav bit 0 transmits at t0_sow; ephemeris frames start 6 s later
     tow_sf4 = 57600
     t0_sow = nm.subframe_start_sow(tow_sf4)
     t_eval = t0_sow + duration_s - 0.3  # ≈ transmit epoch at m_star
-    ephs = [circular_ephemeris_for_position(sat_pos[i], truth, t_eval,
-                                            prn=p)
-            for i, p in enumerate(prns)]
+    t_el_eval = t_eval - t0_sow
+    ephs = [circular_ephemeris_for_position(
+        eval_pos(sat_pos[i], truth, rdots[i], t_el_eval), truth,
+        t_eval, prn=p, range_rate_mps=rdots[i])
+        for i, p in enumerate(prns)]
 
     t0 = time.time()
     sats = tuple(
         SatelliteConfig(
             signal="GpsL1Ca", prn=p, cn0_dbhz=cn0_dbhz, doppler_hz=0.0,
-            range_m=float(ranges[i]), nav_data=True,
+            range_m=float(ranges[i]), range_rate_mps=rdots[i],
+            nav_data=True,
             nav_bits=tuple(int(v) for v in
                            1 - 2 * build_sv_nav_bits(ephs[i], tow_sf4)))
         for i, p in enumerate(prns))
@@ -238,7 +276,10 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
     # cancels exactly in c·(t_rx_i − t_tx_i).
     n_blocks = prompt_i.shape[1]
     m_star = n_blocks - 10
+    lam = c / 1_575_420_000.0  # L1 carrier wavelength
+    n2s = max(1, int(round(2.0 * FS_DEC / bs)))  # blocks in 2 s
     recs, sat_ps, rhos, used = [], [], [], []
+    sat_vs, rrs = [], []
     for i, p in enumerate(prns):
         rec, eph_dec, t_tx = decode_sv_channel(
             prompt_i[i], code_ph[i, :-1], float(phase0[i]), m_star, p)
@@ -247,8 +288,18 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
             t_rx = t0_sow + (istart[i] + m_star * bs) / FS_DEC
             sat_ps.append(np.asarray(eph_dec.position(t_tx)))
             rhos.append(c * (t_rx - t_tx))
+            # velocity observables: tracked carrier Doppler (median of
+            # the last ~2 s of blocks) -> geometric range rate;
+            # satellite velocity from decoded ephemeris (central diff)
+            dop = float(np.median(
+                rcv["carr_freq"][i, max(0, m_star - n2s):m_star]))
+            rrs.append(-dop * lam)
+            sat_vs.append(np.asarray(eph_dec.position(t_tx + 0.5))
+                          - np.asarray(eph_dec.position(t_tx - 0.5)))
+            rec["rr_err_mps"] = round(rrs[-1] - rdots[i], 2)
             used.append(i)
     decoded = len(used)
+    velocity = None
     if decoded >= 4:
         rho = np.asarray(rhos)
         sol = pvt.solve_position(np.stack(sat_ps), rho)
@@ -256,6 +307,16 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
                                    - truth))
         clock_bias = float(sol.clock_bias_m)
         max_resid = float(np.abs(np.asarray(sol.residuals_m)).max())
+        # velocity/clock-drift solve: the receiver is static, so the
+        # solved speed IS the end-to-end Doppler-chain error budget
+        vsol = pvt.solve_velocity(sol, np.stack(sat_ps),
+                                  np.stack(sat_vs), np.asarray(rrs))
+        speed = float(np.linalg.norm(np.asarray(vsol.velocity_ecef)))
+        velocity = {
+            "speed_mps": round(speed, 3),
+            "clock_drift_mps": round(float(vsol.clock_drift_mps), 3),
+            "pass": bool(speed < 1.0),
+        }
     else:
         err, clock_bias, max_resid = float("inf"), 0.0, float("inf")
     return {
@@ -270,6 +331,7 @@ def main_decoded(duration_s: float = 24.3, cn0_dbhz: float = 48.0
         "of": len(prns),
         "clock_bias_m": round(clock_bias, 1),
         "max_residual_m": round(max_resid, 1),
+        "velocity": velocity,
         "cn0_est_dbhz": round(cn0_est, 1),
         "per_sv": recs,
         "device": str(jax.devices()[0]),
