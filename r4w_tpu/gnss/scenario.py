@@ -35,6 +35,7 @@ Fidelity features vs round 1 (VERDICT r1 missing #2):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Sequence
 
 import jax
@@ -56,6 +57,10 @@ from r4w_tpu.gnss.environment import KeplerianOrbit, antenna_gain_db
 GALILEO_E1_HZ = 1_575_420_000.0
 GPS_L1_HZ = 1_575_420_000.0
 CHIP_RATE = 1_023_000.0
+# GLONASS L1OF: 511-chip m-sequence at 0.511 Mchip/s (1 ms period),
+# FDMA around 1602 MHz in 562.5 kHz channels (GLONASS ICD 5.1)
+GLONASS_CHIP_RATE = 511_000.0
+GLONASS_L1_HZ = 1_602_000_000.0
 
 # sub-chips per chip in the pre-spread waveform bank (12 ⇒ exact BOC(6,1))
 SUBCHIP = 12
@@ -163,6 +168,12 @@ class SatelliteConfig:
     prn: int = 1
     cn0_dbhz: float | None = 45.0
     doppler_hz: float = 0.0
+    # FDMA channel offset (GLONASS L1OF: k·562.5 kHz, k in −7..+6).
+    # Pure carrier translation: rotates the baseband like Doppler but
+    # does NOT enter the code-Doppler aiding, the anchored-range
+    # correction, or the geometry — it is a transmit-frequency
+    # property, not motion.
+    carrier_offset_hz: float = 0.0
     range_m: float = 23_000_000.0
     range_rate_mps: float = 0.0
     elevation_deg: float = 45.0
@@ -214,22 +225,27 @@ class ScenarioConfig:
 
 def _signal_params(sat: SatelliteConfig):
     """(chips ±1 waveform pre-spread at SUBCHIP rate, code period s,
-    nav bits-per-second). Mirrors satellite_emitter.rs signal match."""
+    nav bits-per-second, chip rate Hz, nominal carrier Hz). Mirrors
+    satellite_emitter.rs signal match; per-signal chip/carrier rates
+    let one scenario mix constellations physically (GLONASS runs its
+    true 0.511 Mchip/s, not the 1.023 Mchip/s of GPS/Galileo)."""
     sig = sat.signal.lower()
     if sig.startswith("galileoe1"):
         chips = prn.galileo_e1_code(sat.prn, "B" if sig.endswith("b") else "C")
         wave = boc.cboc_spread(chips, SUBCHIP, pilot=sig.endswith("c"))
         # E1B carries I/NAV at 250 sym/s = one bit per 4 ms code period
         nav_rate = 250.0 if sig.endswith("b") else 0.0
-        return wave, 4092 / CHIP_RATE, nav_rate
+        return wave, 4092 / CHIP_RATE, nav_rate, CHIP_RATE, GALILEO_E1_HZ
     if sig in ("gpsl1ca", "gps", "gpsca"):
         chips = prn.gps_ca_code(sat.prn)
         wave = np.repeat(chips.astype(np.float32), SUBCHIP)
-        return wave, 1023 / CHIP_RATE, 50.0
+        # GPS L1 and Galileo E1 share the 1575.42 MHz carrier
+        return wave, 1023 / CHIP_RATE, 50.0, CHIP_RATE, GALILEO_E1_HZ
     if sig.startswith("glonass"):
         chips = prn.glonass_l1of_code()
         wave = np.repeat(chips.astype(np.float32), SUBCHIP)
-        return wave, 511 / CHIP_RATE, 50.0
+        return (wave, 511 / GLONASS_CHIP_RATE, 50.0, GLONASS_CHIP_RATE,
+                GLONASS_L1_HZ)
     raise ValueError(f"unknown signal {sat.signal}")
 
 
@@ -267,9 +283,44 @@ class GnssScenario:
 
         # --- pre-spread code bank ----------------------------------------
         sig = [_signal_params(s) for s in sats]
-        waves = [w for w, _, _ in sig]
-        self._period_s = np.asarray([p for _, p, _ in sig], np.float64)
-        nav_rates = [r for _, _, r in sig]
+        waves = [w for w, _, _, _, _ in sig]
+        self._period_s = np.asarray([p for _, p, _, _, _ in sig],
+                                    np.float64)
+        nav_rates = [r for _, _, r, _, _ in sig]
+        # per-SV sub-chip rate (chip_rate·SUBCHIP) and actual carrier
+        # (nominal + FDMA channel offset) — (S,) f64
+        self._chip_sub = np.asarray(
+            [cr * SUBCHIP for _, _, _, cr, _ in sig], np.float64)
+        self._carrier_off = np.asarray(
+            [s.carrier_offset_hz for s in sats], np.float64)
+        self._carrier_hz = (np.asarray([c for _, _, _, _, c in sig],
+                                       np.float64) + self._carrier_off)
+        # FDMA offsets as EXACT rationals of fs: a 1.7 MHz channel
+        # offset over a multi-second capture is ~1e7 carrier cycles —
+        # far beyond f32 phase precision in the block kernel — so the
+        # offset rotation uses integer phase arithmetic
+        # phi[n] = ((n mod D)·M mod D)/D with M/D = offset/fs reduced.
+        from fractions import Fraction
+        fracs = [Fraction(float(o)) / Fraction(float(fs))
+                 for o in self._carrier_off]
+        if any(fr != 0 for fr in fracs):
+            den = 1
+            for fr in fracs:
+                den = den * fr.denominator // math.gcd(
+                    den, fr.denominator)
+            if den > 46340:  # q·M must stay inside int32
+                raise ValueError(
+                    "carrier_offset_hz/sample_rate must reduce to a "
+                    f"common denominator ≤ 46340 (got {den}); pick a "
+                    "sample rate commensurate with the FDMA grid "
+                    "(e.g. fs = 6.132 MHz for 562.5 kHz channels)")
+            self._fdma_den = den
+            self._fdma_num = np.asarray(
+                [int(fr * den) % den for fr in fracs], np.int32)
+        else:
+            self._fdma_den = 0
+            self._fdma_num = np.zeros(n_sat, np.int32)
+        self._n0 = 0  # absolute sample counter (FDMA phase origin)
         max_len = max(len(w) for w in waves)
         bank = np.zeros((n_sat, max_len), np.float32)
         lengths = np.zeros(n_sat, np.int64)
@@ -325,7 +376,7 @@ class GnssScenario:
         tap_coef = np.zeros((n_sat, n_tap), np.complex64)
         for i, taps in enumerate(tap_sets):
             for j, (d_s, p_db, ph) in enumerate(taps):
-                tap_delay[i, j] = d_s * CHIP_RATE * SUBCHIP
+                tap_delay[i, j] = d_s * self._chip_sub[i]
                 tap_coef[i, j] = 10.0 ** (p_db / 20.0) * np.exp(1j * ph)
         self._tap_delay = jnp.asarray(tap_delay)
         # split planes: a captured complex constant forces a complex
@@ -400,7 +451,7 @@ class GnssScenario:
 
         lla = ecef_to_lla(rx_pos)
         _az, el, _rng = look_angles((lla[0], lla[1], lla[2]), sat_pos)
-        return -rr * GALILEO_E1_HZ / LIGHT_SPEED, rng, float(el)
+        return -rr * self._carrier_hz[i] / LIGHT_SPEED, rng, float(el)
 
     def _sat_state(self, elapsed_s: float):
         """Per-SV (doppler_hz, range_m, elevation_deg, amplitude) at
@@ -437,11 +488,12 @@ class GnssScenario:
                 # which makes d(rng)/dt = −dop_anchored·c/f exactly.
                 rng[i] = (s.range_m + (orng - self._orb_range_t0[i])
                           - (s.doppler_hz - self._orb_dop_t0[i])
-                          * (LIGHT_SPEED / GALILEO_E1_HZ) * elapsed_s)
+                          * (LIGHT_SPEED / self._carrier_hz[i])
+                          * elapsed_s)
                 elev[i] = s.elevation_deg if s.elevation_deg else oel
             else:
                 dop[i] = s.doppler_hz + (
-                    -s.range_rate_mps * GALILEO_E1_HZ / LIGHT_SPEED
+                    -s.range_rate_mps * self._carrier_hz[i] / LIGHT_SPEED
                     if s.doppler_hz == 0.0 and s.range_rate_mps != 0.0
                     else 0.0)
                 rng[i] = s.range_m + s.range_rate_mps * elapsed_s
@@ -449,7 +501,8 @@ class GnssScenario:
             if s.cn0_dbhz is not None:
                 cn0 = s.cn0_dbhz
             else:
-                fspl = free_space_path_loss_db(rng[i], GALILEO_E1_HZ)
+                fspl = free_space_path_loss_db(rng[i],
+                                               self._carrier_hz[i])
                 # pattern peaks at +3 dB (zenith); rescale so the peak
                 # equals the configured antenna peak gain
                 gain = (float(antenna_gain_db(
@@ -481,13 +534,16 @@ class GnssScenario:
         banks = self.sv_banks()
         noise_std = self._noise_std
 
+        fdma_den = self._fdma_den
+
         def block(chips0, e_sec0, e_nav0, code_rate, dop_s, dop_e,
-                  theta0, amps, n, key):
+                  theta0, amps, n0, n, key):
             return composite_block(
                 *banks, chips0, e_sec0, e_nav0, code_rate, dop_s,
-                dop_e, theta0, amps, noise_std, key, n=n, fs=fs)
+                dop_e, theta0, amps, n0, noise_std, key, n=n, fs=fs,
+                fdma_den=fdma_den)
 
-        return jax.jit(block, static_argnums=(8,))
+        return jax.jit(block, static_argnums=(9,))
 
     def sv_banks(self) -> tuple:
         """The per-SV constant arrays consumed by `composite_block`,
@@ -501,7 +557,8 @@ class GnssScenario:
                 self._nav_bank,
                 jnp.asarray(self._nav_len.astype(np.int32)),
                 jnp.asarray(self._ppb.astype(np.int32)),
-                self._tap_delay, self._tap_coef_re, self._tap_coef_im)
+                self._tap_delay, self._tap_coef_re, self._tap_coef_im,
+                jnp.asarray(self._fdma_num))
 
     def block_inputs(self, n_samples: int) -> tuple:
         """The per-block dynamic inputs `generate_block` would use at
@@ -521,7 +578,7 @@ class GnssScenario:
         e_nav0 = np.mod(epoch0,
                         self._ppb * self._nav_len).astype(np.int32)
         dop_mid = 0.5 * (dop_s + dop_e)
-        code_rate = CHIP_RATE * SUBCHIP * (1.0 + dop_mid / GALILEO_E1_HZ)
+        code_rate = self._chip_sub * (1.0 + dop_mid / self._carrier_hz)
         _, sub = jax.random.split(self._key)
         return (jnp.asarray(chips0, REAL_DTYPE),
                 jnp.asarray(e_sec0), jnp.asarray(e_nav0),
@@ -529,9 +586,17 @@ class GnssScenario:
                 jnp.asarray(dop_s, REAL_DTYPE),
                 jnp.asarray(dop_e, REAL_DTYPE),
                 jnp.asarray(np.mod(self._theta, 1.0), REAL_DTYPE),
-                jnp.asarray(amp, REAL_DTYPE)), sub
+                jnp.asarray(amp, REAL_DTYPE),
+                self._n0_arg()), sub
 
     # ------------------------------------------------------------- blocks
+
+    def _n0_arg(self) -> jax.Array:
+        """Per-SV absolute-sample counter for the FDMA phase origin,
+        pre-reduced mod the common denominator so int32 stays exact.
+        Broadcast to (S,) so it shards with the satellite axis."""
+        n0 = self._n0 % self._fdma_den if self._fdma_den else 0
+        return jnp.full((len(self.satellites),), n0, jnp.int32)
 
     def _code_phase_at(self, elapsed_s: float, rng_m: np.ndarray):
         """Absolute sub-chip position per SV at elapsed time (f64):
@@ -540,7 +605,7 @@ class GnssScenario:
         delay = (rng_m
                  + np.asarray([s.iono_delay_m for s in sats])
                  + np.asarray([s.tropo_delay_m for s in sats])) / LIGHT_SPEED
-        return (elapsed_s - delay) * CHIP_RATE * SUBCHIP
+        return (elapsed_s - delay) * self._chip_sub
 
     def generate_block(self, n_samples: int) -> jax.Array:
         """Next block of composite IQ (advances scenario time + PRNG)."""
@@ -558,9 +623,10 @@ class GnssScenario:
         # overlay epoch offsets reduced host-side so int32 stays small
         e_sec0 = np.mod(epoch0, self._sec_len).astype(np.int32)
         e_nav0 = np.mod(epoch0, self._ppb * self._nav_len).astype(np.int32)
-        # code rate includes code Doppler (carrier-aided, scale by fc)
+        # code rate includes code Doppler (carrier-aided, scale by fc);
+        # the FDMA offset enters the carrier rotation ONLY
         dop_mid = 0.5 * (dop_s + dop_e)
-        code_rate = CHIP_RATE * SUBCHIP * (1.0 + dop_mid / GALILEO_E1_HZ)
+        code_rate = self._chip_sub * (1.0 + dop_mid / self._carrier_hz)
 
         self._key, sub = jax.random.split(self._key)
         out = self._block_fn(
@@ -570,10 +636,12 @@ class GnssScenario:
             jnp.asarray(dop_s, REAL_DTYPE), jnp.asarray(dop_e, REAL_DTYPE),
             jnp.asarray(np.mod(self._theta, 1.0), REAL_DTYPE),
             jnp.asarray(amp, REAL_DTYPE),
-            n_samples, sub,
+            self._n0_arg(), n_samples, sub,
         )
         # carry carrier phase in f64: trapezoidal Doppler integral
+        # (the FDMA offset rides the exact integer-phase path instead)
         self._theta = self._theta + dop_mid * (t1 - t0)
+        self._n0 += n_samples
         self._dop_prev = dop_e
         self._t0 = t1
         return out
@@ -590,6 +658,7 @@ class GnssScenario:
 
         return {
             "t0": float(self._t0),
+            "n0": int(self._n0),
             "theta": [float(v) for v in self._theta],
             "dop_prev": (None if self._dop_prev is None
                          else [float(v) for v in self._dop_prev]),
@@ -602,6 +671,8 @@ class GnssScenario:
         import jax
 
         self._t0 = float(st["t0"])
+        self._n0 = int(st.get(
+            "n0", round(self._t0 * self.config.sample_rate)))
         self._theta = np.asarray(st["theta"], np.float64)
         self._dop_prev = (None if st["dop_prev"] is None
                           else np.asarray(st["dop_prev"], np.float64))
@@ -693,6 +764,7 @@ def load_scenario_yaml(path_or_text: str) -> ScenarioConfig:
             cn0_dbhz=(None if s.get("cn0_dbhz") is None
                       else float(s["cn0_dbhz"])),
             doppler_hz=float(s.get("doppler_hz", 0.0)),
+            carrier_offset_hz=float(s.get("carrier_offset_hz", 0.0)),
             range_m=float(s.get("range_m", 23e6)),
             range_rate_mps=float(s.get("range_rate_mps", 0.0)),
             elevation_deg=float(s.get("elevation_deg", 45.0)),
@@ -761,9 +833,10 @@ def load_scenario_yaml(path_or_text: str) -> ScenarioConfig:
 
 
 def composite_block(bank, lengths, sec_bank, sec_len, nav_bank,
-                    nav_len, ppb, tap_delay, tap_re, tap_im,
+                    nav_len, ppb, tap_delay, tap_re, tap_im, fdma_num,
                     chips0, e_sec0, e_nav0, code_rate, dop_s, dop_e,
-                    theta0, amps, noise_std, key, *, n: int, fs: float):
+                    theta0, amps, n0, noise_std, key, *, n: int,
+                    fs: float, fdma_den: int = 0):
     """Pure composite-IQ block kernel over any subset of satellites.
 
     Every array argument's leading axis is the satellite axis, so the
@@ -803,6 +876,14 @@ def composite_block(bank, lengths, sec_bank, sec_len, nav_bank,
     theta = (theta0[:, None] + dop_s[:, None] * tau[None, :]
              + 0.5 * (dop_e - dop_s)[:, None]
              * tau[None, :] ** 2 / t_blk)
+    if fdma_den:
+        # FDMA channel offsets (GLONASS): exact integer phase
+        # phi[n] = ((n mod D)·M mod D)/D — offset·t spans ~1e7 cycles
+        # over a capture, far past f32, so it cannot ride `theta`
+        q = jnp.mod(n0[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :],
+                    fdma_den)
+        theta = theta + (jnp.mod(q * fdma_num[:, None], fdma_den)
+                         .astype(REAL_DTYPE) / fdma_den)
     carrier = cis((2.0 * jnp.pi * jnp.mod(theta, 1.0)
                    ).astype(REAL_DTYPE))
     composite = jnp.sum(amps[:, None] * sig * carrier, axis=0)
