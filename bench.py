@@ -339,6 +339,31 @@ def bench_dual_pvt():
             "galileo_only_m": (out.get("galileo_only")
                                or {}).get("error_m"),
             "isb_m": (out.get("joint") or {}).get("isb_m"),
+            "speed_mps": (out.get("velocity") or {}).get("speed_mps"),
+            "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
+            "track_s": out["track_s"]}
+
+
+def bench_glonass_track():
+    """GLONASS L1OF FDMA acceptance (r5, third constellation): 6 SVs
+    on k·562.5 kHz channels sharing ONE 511-chip m-sequence at the
+    true 0.511 Mchip/s — exact integer-phase mixdown → PCPS per
+    channel → production Costas DLL/PLL → 20 ms PRBS nav-bit recovery
+    (tools/glonass_track.py; gate 6/6 channels, bit match ≥ 0.98)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.glonass_track import main as glo_main
+
+    out = glo_main()
+    worst = (min((c["bit_match"] for c in out["per_ch"]), default=0.0)
+             if out["per_ch"] else 0.0)
+    return {"tracked": f"{out['value']}/{out['of']}",
+            "pass": out["pass"], "cn0_dbhz": out["cn0_dbhz"],
+            "worst_bit_match": worst,
+            "max_dop_err_hz": max((abs(c["dop_err_hz"])
+                                   for c in out["per_ch"]), default=None),
             "gen_s": out["gen_s"], "acquire_s": out["acquire_s"],
             "track_s": out["track_s"]}
 
@@ -833,6 +858,7 @@ BENCHES = {
     "e1c_gate": bench_e1c_gate,
     "gps_pvt_fix": bench_gps_pvt_fix,
     "dual_pvt": bench_dual_pvt,
+    "glonass_track": bench_glonass_track,
     "e1c_tracking": bench_e1c_tracking,
     "device_sweep": bench_device_sweep,
 }
@@ -971,6 +997,7 @@ BUDGETS = {
     "e1c_gate": 600.0,         # gen ~250 s + acquire ~65 s + margin
     "gps_pvt_fix": 600.0,
     "dual_pvt": 700.0,         # measured 254 gen + 120 acq + 90 trk
+    "glonass_track": 420.0,
     "e1c_tracking": 600.0,
     "udp_rx": 180.0,
 }
@@ -991,6 +1018,9 @@ CACHEABLE = {
     # dual-constellation joint fix: 10-SV scenario gen 254 s + both
     # front ends (acquire 120 s + track 90 s), measured on TPU r5
     "dual_pvt": 500.0,
+    # GLONASS FDMA 6-channel track: measured r5 on TPU — gen 183 s +
+    # acquire 109 s + track 12 s + host bit search
+    "glonass_track": 340.0,
     # marginal after e1c_gate in the same child (shared capture memo);
     # still budgeted for the child-restarted worst case. r5 adds the
     # E1B I/NAV phase (own 4.35 s dual-component capture + long
@@ -1096,6 +1126,9 @@ def _gates_summary():
     dual = has("dual_pvt")
     if dual and "error_m" in dual:
         g["dual_pvt_m"] = dual["error_m"]
+    glo = has("glonass_track")
+    if glo and "tracked" in glo:
+        g["glo"] = glo["tracked"]
     lora = has("lora_sweep")
     if lora and "compute_s" in lora:
         g["lora_sweep_s"] = lora["compute_s"]
@@ -1314,7 +1347,7 @@ def run_suite(order):
         e = cache.get(n)
         return (time.time() - e["recorded_unix"]) if e else float("inf")
 
-    units = [["gps_pvt_fix"], ["dual_pvt"],
+    units = [["gps_pvt_fix"], ["dual_pvt"], ["glonass_track"],
              ["e1c_gate", "e1c_tracking"], ["device_sweep"]]
     tail = [n for u in units for n in u]
     priority = None
@@ -1424,8 +1457,8 @@ ORDER = [
     # cacheable acceptance tail (slowest last); e1c_tracking AFTER
     # e1c_gate — both share one memoized scenario capture per child
     # (tools/e1c_common.py), so tracking costs ~10 s marginal
-    "gps_pvt_fix", "dual_pvt", "e1c_gate", "e1c_tracking",
-    "device_sweep",
+    "gps_pvt_fix", "dual_pvt", "glonass_track", "e1c_gate",
+    "e1c_tracking", "device_sweep",
 ]
 
 
